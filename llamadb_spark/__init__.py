@@ -1,0 +1,17 @@
+"""llamadb_spark — a PySpark-native analytics engine with the query
+surface of nukep/llamadb (reference: /root/reference), extended with
+large-scale training-data pipeline operators.
+
+Layout:
+  session.py    SparkSession factory tuned for scale + table catalog
+  sources/      parquet catalog / loaders
+  functions/    scalar function surface (text, vector math)
+  operators/    relational combinators, dedup, similarity, text, multimodal
+  sql/          llamadb SQL dialect -> Spark SQL (LlamaSession)
+  plans/        lisp-style EXPLAIN rendering (parity with Usage.md)
+  streaming/    Structured Streaming ops over the events table
+"""
+
+from llamadb_spark.session import get_spark, load_tables, register_views
+
+__all__ = ["get_spark", "load_tables", "register_views"]
