@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is measured with the noop sink (full plan runs, nothing
+collected to the driver) — the number is engine time, not
+toPandas() serialization time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llamadb_spark.queries import all_queries  # noqa: E402
+from llamadb_spark.session import get_spark  # noqa: E402
+
+#: Representative slice of SURVEY §2: core SQL (scan/join/agg/topk/
+#: window), dedup, similarity, text, events.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_inner_join",
+    "q05_left_join",
+    "q09_order_limit",
+    "q16_revenue_by_nation",
+    "q18_window_rank",
+    "d01_exact_dedup",
+    "d02_jaccard_ngram",
+    "d03_minhash_lsh",
+    "d05_embed_neardup",
+    "s01_knn_bruteforce",
+    "t02_quality_score",
+    "t03_token_count",
+    "e01_events_window",
+    "e02_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("llamadb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    # warm the JVM + file listing with one tiny query
+    qs["q09_order_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Deduplication operators (SURVEY §2 #29-32).
+
+Scale design: no operator ever forms the O(n²) pair space. Candidate
+pairs come from inverted indexes (shared shingle / LSH band bucket /
+simhash prefix bucket), so shuffle volume is bounded by bucket
+occupancy, and AQE's skew-join splitting handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from llamadb_spark.functions.text import distinct_tokens, word_shingles_fast
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one shuffle on sha256 of
+    the normalized text; keeps the lowest id as the canonical doc.
+
+    Output: (text_sha, keep_id, n_copies).
+    """
+    norm = F.regexp_replace(F.trim(F.lower(col(text_col))), r"\s+", " ")
+    return (
+        docs.select(F.sha2(norm, 256).alias("text_sha"), col(id_col))
+        .groupBy("text_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_ngram_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via an
+    inverted shingle index — the scalable exact algorithm:
+
+      1. distinct shingles per doc (narrow explode)
+      2. self-join on `shingle` → co-occurrence counts = |A∩B|
+      3. |A∪B| = |A| + |B| - |A∩B|; filter jaccard ≥ threshold
+
+    Never materializes non-candidate pairs: docs sharing zero
+    shingles never meet in the join. Shuffles on `shingle` (high
+    cardinality → well spread); hot shingles are the skew risk →
+    AQE skew-join handles, or pre-filter ultra-common shingles
+    (df > some cap) like a stop-shingle list.
+    """
+    sh = word_shingles_fast(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(lit(1)).alias("n_sh"))
+
+    a = sh.select(col(id_col).alias("a_id"), "shingle")
+    b = sh.select(col(id_col).alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(col(id_col).alias("a_id"), col("n_sh").alias("n_a"))
+    sb = sizes.select(col(id_col).alias("b_id"), col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6
+            ),
+        )
+        .filter(col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures over word 3-gram shingles.
+
+    k hash functions are xxhash64(shingle, salt_i) (JVM xxhash64 —
+    deterministic across runs/executors). Signature built with ONE
+    aggregation producing an array column — not k separate aggs.
+
+    Output: (id, sig array<bigint> length k).
+    """
+    sh = word_shingles_fast(docs, id_col, text_col)
+    hashes = F.array(
+        *[F.xxhash64(col("shingle"), lit(i)) for i in range(num_hashes)]
+    )
+    return (
+        sh.select(col(id_col), hashes.alias("hs"))
+        .groupBy(id_col)
+        .agg(
+            F.array(
+                *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified with estimated
+    Jaccard from full-signature agreement.
+
+      sig → split into `bands` bands of r=k/bands rows
+      band bucket key = xxhash64(band values) → self-join per band
+      → distinct candidate pairs → est_jaccard = matching sig
+      positions / k, filter ≥ threshold.
+
+    Scale: the self-join is on (band_id, bucket) — the classic LSH
+    bucket join. Bucket occupancy is the only quadratic term; band
+    width r tunes the candidate rate (P[bucket match] = s^r for
+    similarity s).
+
+    Output: (a_id, b_id, est_jaccard) — rows-only check (xxhash64
+    has no DuckDB twin).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    banded = sig.select(
+        col(id_col),
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        lit(bidx).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("sig", bidx * r + j + 1) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bidx in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(col(id_col), "sig", "band.band_id", "band.bucket")
+
+    a = banded.select(
+        col(id_col).alias("a_id"), col("sig").alias("a_sig"), "band_id", "bucket"
+    )
+    b = banded.select(
+        col(id_col).alias("b_id"), col("sig").alias("b_sig"), "band_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda m: m
+            )
+        )
+        / lit(float(num_hashes)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens.
+
+    Bit b of the fingerprint = majority vote of bit b across
+    xxhash64(token) for all tokens. One collect_list + higher-order
+    transform — no UDF, no 64 separate aggregations.
+
+    Output: (id, simhash bigint, bucket = top-16-bit prefix) —
+    bucket gives the hamming-candidate blocking key.
+    """
+    toks = docs.select(
+        col(id_col), F.explode(distinct_tokens(col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    # Bit positions must be python ints (shiftright takes a literal
+    # count); 64 aggregate expressions over one collected array —
+    # all JVM-side, one shuffle total.
+    def _vote(b: int):
+        return F.aggregate(
+            "hs",
+            lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    simhash = lit(0).cast("long")
+    for b in range(64):
+        simhash = simhash.bitwiseOR(
+            F.when(_vote(b) > 0, F.shiftleft(lit(1).cast("long"), b)).otherwise(
+                lit(0).cast("long")
+            )
+        )
+    return votes.select(
+        col(id_col),
+        simhash.alias("simhash"),
+    ).withColumn("bucket", F.shiftrightunsigned("simhash", 48))

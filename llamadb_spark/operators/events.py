@@ -1,0 +1,91 @@
+"""Event-stream operators in their batch form (SURVEY §2 #41-43).
+
+The same logic runs under Structured Streaming in
+llamadb_spark/streaming/ (readStream + watermark); batch form here
+is what the DuckDB oracles check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+from pyspark.sql.window import Window
+
+
+def windowed_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregate per event_type: count + value sum.
+
+    Uses F.window (the streaming-compatible bucketing) — in batch it
+    compiles to a plain date_trunc-style grouping, one shuffle on
+    (window, event_type).
+
+    Output: (window_start, event_type, n_events, total_value).
+    """
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds `gap_minutes`.
+
+    Batch form: lag + conditional cumsum over a per-user window —
+    one shuffle on user_id, no UDF. (Streaming form:
+    applyInPandasWithState in streaming/sessions.py.)
+
+    Output: (user_id, session_seq, session_start, session_end,
+    n_events, total_value).
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = lit(gap_minutes * 60)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(col("ts").cast("long")).over(order) > gap,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_flag.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def top_users_per_type(events: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k users by total value within each event_type: partial
+    agg → single shuffle on (event_type, user_id) → tiny window.
+
+    Output: (event_type, user_id, total_value, rank).
+    """
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        col("total_value").desc(), col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("event_type", "user_id", "total_value", "rank")
+    )

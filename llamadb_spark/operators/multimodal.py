@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (SURVEY §2 #40).
+
+Images/audio/video are opaque `binary` payloads + a typed metadata
+struct. The container has no decode libraries, so the decode step is
+a clearly-marked deterministic STUB — but the Spark-side plumbing
+(schema, Arrow batching via mapInPandas, partition shape) is real
+and is what matters at 100 TB: payloads never pass through Python
+row-at-a-time, only as Arrow record batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the decode stage — what a real image decoder
+#: would emit (dims from the header, not a full pixel decode).
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sha_prefix", StringType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap each document in a multimodal envelope: binary payload
+    (UTF-8 bytes of the text — the deterministic stand-in for real
+    media bytes) + typed metadata. This is the ingest-side schema a
+    media table would carry."""
+    return docs.select(
+        col(id_col),
+        F.encode(col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            lit("text/plain").alias("mime"),
+            F.octet_length(F.encode(col(text_col), "UTF-8")).alias("n_bytes"),
+            F.sha2(col(text_col), 256).alias("content_sha"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """'Decode' payloads via Arrow-batched mapInPandas.
+
+    STUB: real decoders (PIL/ffmpeg) are not in this container, so
+    width/height are derived deterministically from the payload hash
+    — swap `_decode_batch`'s body for the real library call in
+    production. The mapInPandas shape (schema, batch iteration,
+    no driver collect) is the real, tested scale path.
+    """
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            shas = [hashlib.sha256(bytes(p)).hexdigest() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    # deterministic fake decode: dims from hash bytes
+                    "width": [int(s[:4], 16) % 1920 + 1 for s in shas],
+                    "height": [int(s[4:8], 16) % 1080 + 1 for s in shas],
+                    "sha_prefix": [s[:16] for s in shas],
+                }
+            )
+
+    return media.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def media_metadata(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SQL-expressible metadata extraction over the multimodal
+    envelope (the oracle-checkable slice of the pipeline): byte
+    length + content hash per payload.
+
+    Output: (id, mime, n_bytes, content_sha).
+    """
+    env = attach_payload(docs, id_col, text_col)
+    return env.select(
+        col(id_col),
+        col("meta.mime").alias("mime"),
+        col("meta.n_bytes").alias("n_bytes"),
+        col("meta.content_sha").alias("content_sha"),
+    )

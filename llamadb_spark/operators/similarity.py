@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (SURVEY §2 #33-35).
+
+Embeddings are array<float>; all math is cast to double before
+accumulation (see functions/vector.py) so results match a
+double-precision oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from llamadb_spark.functions.vector import as_double, cosine
+
+
+def embed_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold (exact).
+
+    Strategy: broadcast the normalized corpus matrix (one collect of
+    N×d doubles) and stream the same corpus through Arrow-batched
+    mapInPandas doing a block matrix multiply per batch — one corpus
+    pass, zero pairwise shuffle, BLAS-vectorized. This is the exact
+    algorithm's 100 TB shape whenever ONE side fits in executor
+    memory (N×d×8 bytes; ~50 GB for 100M×64) — beyond that, the LSH
+    path (lsh_ann_pairs) replaces the broadcast with bucket joins.
+
+    Output: (a_id, b_id, cos) with cos rounded to 6dp, a_id < b_id.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf = emb.select(col(id_col).alias("_id"), col(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
+        for batch in batches:
+            b_ids = batch["_id"].to_numpy()
+            b_mat = np.array([np.asarray(v, dtype=np.float64) for v in batch["_v"]])
+            b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = np.round(b_mat @ c_mat.T, 6)
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            ai, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": b_ids[ai],
+                    "b_id": c_ids[cj],
+                    "cos": sims[ai, cj],
+                }
+            )
+
+    return emb.select(col(id_col).alias("_id"), col(vec_col).alias("_v")).mapInPandas(
+        _block, "a_id long, b_id long, cos double"
+    )
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a set of query vectors.
+
+    Queries are a tiny relation → broadcast; the corpus streams once
+    with no shuffle until the final per-query top-k (window over
+    query_id — k·|queries| rows max). This is the 100 TB-sane
+    brute-force: one corpus pass, no pairwise shuffle.
+
+    Output: (query_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql.window import Window
+
+    queries = emb.filter(col(id_col).isin(query_ids)).select(
+        col(id_col).alias("query_id"), as_double(col(vec_col)).alias("q_v")
+    )
+    corpus = emb.select(
+        col(id_col).alias("neighbor_id"), as_double(col(vec_col)).alias("c_v")
+    )
+    scored = (
+        corpus.crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") != col("query_id"))
+        .withColumn("cos", F.round(cosine(col("q_v"), col("c_v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_signs(vec: F.Column, num_planes: int = 16) -> F.Column:
+    """Deterministic random-hyperplane sign bits, no RNG state:
+    plane p's component d = (xxhash64(p, d) mod 2001 - 1000)/1000 —
+    a reproducible pseudo-random value in [-1, 1] any executor can
+    recompute. Returns the sign-bit bucket id (int)."""
+    d = F.size(vec)
+    plane_dot = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with(
+            vec,
+            F.sequence(lit(0), d - 1),
+            lambda x, i: x
+            * ((F.pmod(F.xxhash64(lit(p), i), lit(2001)) - 1000) / lit(1000.0)),
+        ),
+        lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = [
+        F.when(plane_dot(p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
+        for p in range(num_planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def lsh_ann_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Approximate near-neighbor pairs via random-hyperplane LSH.
+
+    num_tables independent sign-bit bucketings (planes salted by
+    table id); candidates = pairs sharing a bucket in ANY table;
+    verified with exact cosine ≥ threshold. The bucket join replaces
+    the quadratic pair space — the 100 TB path.
+
+    Output: (a_id, b_id, cos) — rows-only check (bucketing uses
+    xxhash64; exact-recall parity vs embed_neardup_pairs is asserted
+    in tests instead).
+    """
+    v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
+    tables = []
+    for t in range(num_tables):
+        d = F.size(col("v"))
+        plane_dot = lambda p: F.aggregate(  # noqa: E731
+            F.zip_with(
+                col("v"),
+                F.sequence(lit(0), d - 1),
+                lambda x, i: x
+                * (
+                    (F.pmod(F.xxhash64(lit(t * 1000 + p), i), lit(2001)) - 1000)
+                    / lit(1000.0)
+                ),
+            ),
+            lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = lit(0)
+        for p in range(num_planes):
+            bucket = bucket.bitwiseOR(
+                F.when(plane_dot(p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
+            )
+        tables.append(v.select("_id", "v", lit(t).alias("tbl"), bucket.alias("bucket")))
+    banded = tables[0]
+    for other in tables[1:]:
+        banded = banded.unionAll(other)
+
+    a = banded.select(
+        col("_id").alias("a_id"), col("v").alias("a_v"), "tbl", "bucket"
+    )
+    b = banded.select(
+        col("_id").alias("b_id"), col("v").alias("b_v"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(col("a_v"), col("b_v")), 6))
+        .filter(col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -1,0 +1,96 @@
+"""Event-stream queries in batch form (SURVEY §2 #41-43), oracled
+against DuckDB. The same operators run under Structured Streaming in
+llamadb_spark/streaming/ (covered by tests, not oracles — streaming
+triggers aren't SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from llamadb_spark.operators import events as ev
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it
+    as long (nanosAsLong) — convert with integer division (float
+    division would lose precision above 2^53 ns) to match DuckDB's
+    nanos→micros truncation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def e01_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.windowed_counts(_events(spark, sf_dir), width="1 hour")
+
+
+ORACLE_E01 = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+
+ORACLE_E02 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, CAST(sum(new_session)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+def e03_event_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.top_users_per_type(_events(spark, sf_dir), k=5)
+
+
+ORACLE_E03 = """
+WITH totals AS (
+  SELECT event_type, user_id, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id) AS rank
+  FROM totals
+) t WHERE rank <= 5
+"""
+
+
+QUERIES = {
+    "e01_events_window": e01_events_window,
+    "e02_sessionize": e02_sessionize,
+    "e03_event_topk": e03_event_topk,
+}
+
+ORACLES = {
+    "e01_events_window": ORACLE_E01,
+    "e02_sessionize": ORACLE_E02,
+    "e03_event_topk": ORACLE_E03,
+}

@@ -1,0 +1,266 @@
+"""Training-data pipeline queries (SURVEY §2 #29-40): dedup,
+similarity search, text analysis, multimodal metadata — each wired
+to the operator implementations with a DuckDB oracle where the
+semantics are SQL-expressible (minhash/simhash/hyperplane-LSH use
+xxhash64, which DuckDB lacks → rows-only checks by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from llamadb_spark.operators import dedup, multimodal, similarity, textops
+from llamadb_spark.functions.text import STOPWORDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- dedup ---------------------------------------------------------------
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_D01 = r"""
+SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_sha,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+JACCARD_THRESHOLD = 0.12
+
+
+def d02_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_ngram_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+ORACLE_D02 = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: xxhash64 signatures have no DuckDB twin; recall vs
+    # the exact d02 pairs is asserted in tests/test_dedup.py.
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
+
+
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: fingerprints are xxhash64-derived.
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+EMBED_NEARDUP_THRESHOLD = 0.4
+
+
+def d05_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embed_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMBED_NEARDUP_THRESHOLD
+    )
+
+
+ORACLE_D05 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= {EMBED_NEARDUP_THRESHOLD}
+"""
+
+
+# --- similarity search ---------------------------------------------------
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+KNN_K = 5
+
+
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(_emb(spark, sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+ORACLE_S01 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_v FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_v, e.v), 6) AS cos
+  FROM q, e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {KNN_K}
+"""
+
+
+def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: hyperplanes derive from xxhash64. Recall vs s01/d05
+    # asserted in tests/test_similarity.py.
+    return similarity.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+# --- text analysis -------------------------------------------------------
+
+def t01_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_docs(spark, sf_dir))
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_HITS = ", ".join(
+    f"len(list_intersect(tk, {_sql_list(ws)})) AS hits_{lang}"
+    for lang, ws in STOPWORDS.items()
+)
+_BEST = "greatest(hits_en, hits_de, hits_fr, hits_es)"
+ORACLE_T01 = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS tk
+  FROM documents
+),
+h AS (SELECT doc_id, {_HITS} FROM d)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN {_BEST} = 0 THEN 'und'
+            WHEN hits_en = {_BEST} THEN 'en'
+            WHEN hits_de = {_BEST} THEN 'de'
+            WHEN hits_fr = {_BEST} THEN 'fr'
+            WHEN hits_es = {_BEST} THEN 'es'
+       END AS pred_lang
+FROM h
+"""
+
+
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+_EN = _sql_list(STOPWORDS["en"])
+ORACLE_T02 = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_dis,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), {_EN})) AS DOUBLE) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_dis AS BIGINT) AS n_distinct,
+       round(n_punct / n_chars, 6) AS punct_ratio,
+       round(hits / n_dis, 6) AS stop_ratio,
+       round((n_dis / n_tok) * least(1.0, n_tok / 100.0)
+             * (1 - n_punct / n_chars)
+             * (0.5 + 0.5 * least(1.0, 4 * hits / n_dis)), 6) AS quality
+FROM d
+"""
+
+
+def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
+ORACLE_T03 = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+ORACLE_T04 = r"""
+WITH f AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+  FROM documents
+)
+SELECT doc_id, fp_md5,
+       CAST(concat('0x', substr(fp_md5, 1, 15)) AS BIGINT) AS fp64
+FROM f
+"""
+
+
+# --- multimodal ----------------------------------------------------------
+
+def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = multimodal.media_metadata(_docs(spark, sf_dir))
+    return df.withColumn("n_bytes", df["n_bytes"].cast("long"))
+
+
+ORACLE_M01 = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha
+FROM documents
+"""
+
+
+QUERIES = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_jaccard_ngram": d02_jaccard_ngram,
+    "d03_minhash_lsh": d03_minhash_lsh,
+    "d04_simhash": d04_simhash,
+    "d05_embed_neardup": d05_embed_neardup,
+    "s01_knn_bruteforce": s01_knn_bruteforce,
+    "s02_lsh_ann": s02_lsh_ann,
+    "t01_langid": t01_langid,
+    "t02_quality_score": t02_quality_score,
+    "t03_token_count": t03_token_count,
+    "t04_fingerprint": t04_fingerprint,
+    "m01_multimodal_meta": m01_multimodal_meta,
+}
+
+ORACLES = {
+    "d01_exact_dedup": ORACLE_D01,
+    "d02_jaccard_ngram": ORACLE_D02,
+    "d05_embed_neardup": ORACLE_D05,
+    "s01_knn_bruteforce": ORACLE_S01,
+    "t01_langid": ORACLE_T01,
+    "t02_quality_score": ORACLE_T02,
+    "t03_token_count": ORACLE_T03,
+    "t04_fingerprint": ORACLE_T04,
+    "m01_multimodal_meta": ORACLE_M01,
+}

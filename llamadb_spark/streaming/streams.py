@@ -1,0 +1,101 @@
+"""Structured Streaming operators (SURVEY §2 #41): readStream over
+the events parquet, watermarked tumbling-window aggregation, memory
+sink test harness.
+
+The batch twins in operators/events.py define the semantics the
+DuckDB oracles verify; these streaming forms are verified by
+equivalence tests (availableNow over the same files must reproduce
+the batch result exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of events.parquet as Spark reads it (ts = raw nanos; see
+#: queries/events.py on the NANOS timestamp workaround).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. In production this
+    is a Kafka/file-drop source; the parquet file source has the
+    same incremental semantics (new files = new micro-batches).
+
+    FileStreamSource requires a directory (a drop-dir of arriving
+    files); the test fixture is a single parquet file, so stage a
+    temp dir with a symlink to it.
+    """
+    import os
+    import tempfile
+
+    drop_dir = tempfile.mkdtemp(prefix="llamadb_events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{drop_dir}/events-00000.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the streaming twin of
+    operators/events.windowed_counts. The watermark bounds state:
+    windows older than max(event time) - watermark are finalized and
+    evicted, so state size is O(active windows), not O(stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
+) -> DataFrame:
+    """Drain a (finite) stream into an in-memory table with
+    availableNow and return the result as a DataFrame. Test harness
+    only — production sinks are parquet/Kafka/Delta via writeStream."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,66 @@
+"""Core SQL surface tests: semantics spot-checks + plan-shape
+assertions (the scale contract: pushdown, broadcast, top-k)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.queries import core
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_group_keys(spark, sf_dir):
+    rows = core.q01_pricing_summary(spark, sf_dir).collect()
+    keys = {(r.l_returnflag, r.l_linestatus) for r in rows}
+    assert len(rows) == len(keys) > 0
+    for r in rows:
+        assert r.count_order > 0 and r.sum_qty > 0
+
+
+def test_q02_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(core.q02_filter_scan(spark, sf_dir))
+    assert "PushedFilters:" in p and "l_returnflag" in p.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: only the 6 referenced columns in ReadSchema
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_shipdate" not in read_schema
+
+
+def test_q04_broadcasts_dim(spark, sf_dir):
+    p = plan(core.q04_inner_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q05_left_join_keeps_all_customers(spark, sf_dir):
+    df = core.q05_left_join(spark, sf_dir)
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert df.count() == n_customers
+    assert df.filter(F.col("n_big_orders") == 0).count() > 0  # nulls counted as 0
+
+
+def test_q09_uses_takeordered(spark, sf_dir):
+    df = core.q09_order_limit(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan(df)
+    prices = [r.o_totalprice for r in df.collect()]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q16_flagship_shape(spark, sf_dir):
+    df = core.q16_revenue_by_nation(spark, sf_dir)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p  # dims broadcast, not shuffled
+    rows = df.collect()
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q18_rank_bounded(spark, sf_dir):
+    rows = core.q18_window_rank(spark, sf_dir).collect()
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r.o_custkey, []).append(r.rn)
+    for rns in per_cust.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3

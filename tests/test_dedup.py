@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact semantics on constructed duplicates,
+minhash-vs-exact-jaccard recall, simhash locality."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.operators import dedup
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_normalized_dupes(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same after normalization
+            (3, "hello world!"),
+            (4, "  HELLO\tWORLD "),
+        ],
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs_df(spark, [(1, text), (2, text), (3, "totally different words here now")])
+    pairs = dedup.jaccard_ngram_pairs(docs, threshold=0.9).collect()
+    assert [(p.a_id, p.b_id, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_jaccard_short_docs_no_shingles(spark):
+    docs = _docs_df(spark, [(1, "two words"), (2, "two words")])
+    assert dedup.jaccard_ngram_pairs(docs, threshold=0.0).count() == 0
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    """LSH candidates must (a) be a superset-ish of high-jaccard
+    pairs (recall) and (b) estimate jaccard within banding error."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.jaccard_ngram_pairs(docs, threshold=0.3).collect()
+    }
+    est = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    if exact:  # recall on genuinely-similar pairs
+        hit = sum(1 for k in exact if k in est)
+        assert hit / len(exact) >= 0.5
+    for k, e in est.items():
+        if k in exact:
+            assert abs(e - exact[k]) < 0.35
+
+
+def test_minhash_signature_shape(spark):
+    docs = _docs_df(spark, [(1, "a b c d e f g h i j")])
+    sig = dedup.minhash_signatures(docs, num_hashes=16).collect()[0].sig
+    assert len(sig) == 16
+
+
+def test_simhash_deterministic_and_local(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = _docs_df(spark, [(1, base), (2, base), (3, "%s extra" % base)])
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint
+    # mask to 64 bits: values are signed longs, and python's bin() on
+    # a negative xor would count sign-magnitude bits, not the word
+    hamming = bin((fps[1] ^ fps[3]) & (2**64 - 1)).count("1")
+    assert hamming <= 16  # one-token edit stays nearby
+
+
+def test_simhash_on_real_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = dedup.simhash_fingerprints(docs)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(0 <= r.bucket < 2**16 for r in rows)

@@ -1,0 +1,39 @@
+"""Similarity search tests: knn correctness, LSH recall vs the exact
+pair set."""
+
+from __future__ import annotations
+
+from llamadb_spark.operators import similarity
+
+
+def test_knn_rank1_is_argmax(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.knn_bruteforce(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cos for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len(rows) == 3
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_ann_subset_of_exact(spark, sf_dir):
+    """Every LSH pair must appear in the exact pair set with the
+    same cosine (LSH only prunes candidates, never invents them)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.a_id, r.b_id): r.cos
+        for r in similarity.embed_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.cos
+        for r in similarity.lsh_ann_pairs(emb, threshold=0.3).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, c in approx.items():
+        assert c == exact[k]
+    if exact:
+        assert len(approx) / len(exact) >= 0.15  # recall floor at 6 planes

@@ -1,0 +1,51 @@
+"""Text analysis operator tests: edge cases the oracle-parity runs
+don't exercise (short docs, punctuation-heavy, non-listed langs)."""
+
+from __future__ import annotations
+
+from llamadb_spark.operators import textops
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_langid_picks_marker_language(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "the cat and the dog of it is"),
+            (2, "der hund und die katze ist nicht"),
+            (3, "le chat est dans les jardins pour"),
+            (4, "el perro y los gatos es una"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+    )
+    out = {r.doc_id: r.pred_lang for r in textops.language_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = textops.quality_score(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_token_counts_basics(spark):
+    docs = _docs_df(spark, [(1, "Hello, world! 42 times"), (2, "one")])
+    out = {r.doc_id: r for r in textops.token_counts(docs).collect()}
+    assert out[1].ws_tokens == 4
+    # bpe-ish: hello , world ! 4 2 times → 7
+    assert out[1].bpe_tokens == 7
+    assert out[2].ws_tokens == 1
+
+
+def test_fingerprint_normalization(spark):
+    docs = _docs_df(spark, [(1, "A  B\tC"), (2, "a b c"), (3, "a b d")])
+    out = {r.doc_id: r for r in textops.fingerprints(docs).collect()}
+    assert out[1].fp_md5 == out[2].fp_md5
+    assert out[1].fp64 == out[2].fp64
+    assert out[1].fp_md5 != out[3].fp_md5
