@@ -1,0 +1,289 @@
+"""llamadb SQL dialect → Spark SQL.
+
+The reference accepts a SQLite-flavored dialect with its own type
+system (`/root/reference/src/types/mod.rs:30-66`: `Ux`/`Ix` for
+8..64-bit ints, `byte` = U8, `byte[]`/`byte[N]` arrays, `F64`/
+`DOUBLE`, `STRING`/`VARCHAR`, `INT` = I32) and implicit NOT NULL
+(`Usage.md` "NULL" section: nullability is opt-in via a NULL
+constraint).
+
+LlamaSession maps that surface onto Spark's catalog: CREATE TABLE →
+an in-memory DataFrame + temp view, INSERT → union into the view,
+SELECT/EXPLAIN → Spark SQL on the views. Query execution is 100%
+Catalyst — the dialect layer only rewrites DDL types and enforces
+llamadb's null/range semantics at insert time, the way the
+reference's storage layer does.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class LlamaError(Exception):
+    """Dialect-level error (parse, type, constraint)."""
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    spark_type: T.DataType
+    nullable: bool
+    #: (lo, hi) inclusive bounds for llamadb's exact-width integers —
+    #: Spark lacks U8/U48-style widths, so range checks happen at
+    #: insert time like the reference's byte-layout enforcement
+    #: (types/mod.rs:96-105 is_valid_length).
+    bounds: tuple[int, int] | None = None
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, c.nullable) for c in self.columns]
+        )
+
+
+_SPARK_INT_FOR_BYTES = {1: T.ShortType, 2: T.IntegerType, 3: T.IntegerType, 4: T.LongType}
+
+
+def translate_type(type_name: str, array_size: str | None = None) -> tuple[T.DataType, tuple[int, int] | None]:
+    """llamadb type name → (Spark type, integer bounds).
+
+    Mapping mirrors DbType::from_identifier
+    (/root/reference/src/types/mod.rs:31-66):
+      byte         → U8        byte[] / byte[N] → BINARY
+      Ux           → unsigned x-bit   Ix → signed x-bit
+      int/integer  → I32       f64/double → DOUBLE
+      string/varchar → STRING
+    Unsigned types land in the next-wider Spark signed type (U64 in
+    DECIMAL(20,0)); exact range enforced at insert.
+    """
+    t = type_name.lower()
+    if t == "byte" and array_size is not None:
+        return T.BinaryType(), None
+    if t == "byte":
+        return T.ShortType(), (0, 255)
+    if t in ("f64", "double"):
+        return T.DoubleType(), None
+    if t in ("string", "varchar"):
+        return T.StringType(), None
+    if t in ("int", "integer"):
+        return T.IntegerType(), (-(2**31), 2**31 - 1)
+    m = re.fullmatch(r"([ui])(\d+)", t)
+    if m and array_size is None:
+        signed, bits = m.group(1) == "i", int(m.group(2))
+        if bits < 8 or bits > 64 or bits % 8 != 0:
+            raise LlamaError(f"unsupported integer width: {type_name}")
+        if signed:
+            lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+            for spark_bits, tt in ((8, T.ByteType), (16, T.ShortType), (32, T.IntegerType), (64, T.LongType)):
+                if bits <= spark_bits:
+                    return tt(), (lo, hi)
+        else:
+            lo, hi = 0, 2**bits - 1
+            for spark_bits, tt in ((8, T.ShortType), (16, T.IntegerType), (32, T.LongType)):
+                if bits < spark_bits * 2:
+                    return tt(), (lo, hi)
+            return T.DecimalType(20, 0), (lo, hi)
+    raise LlamaError(f"unknown type: {type_name}")
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COLDEF_RE = re.compile(
+    r"^\s*([A-Za-z_][\w]*)\s+([A-Za-z_]\w*)\s*(?:\[\s*(\d*)\s*\])?\s*(.*?)\s*$",
+    re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside parens/quotes."""
+    parts, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append(s[i + 1])
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+class LlamaSession:
+    """Execute llamadb-dialect SQL on a SparkSession.
+
+    Mirrors the reference CLI loop (cli/src/main.rs): statements are
+    CREATE TABLE / INSERT / SELECT / EXPLAIN SELECT
+    (sqlsyntax/ast.rs:179-184 Statement enum).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableSpec] = {}
+        self._data: dict[str, DataFrame] = {}
+
+    # -- statement dispatch ------------------------------------------------
+    def execute(self, sql: str) -> DataFrame | None:
+        stripped = sql.strip().rstrip(";").strip()
+        head = stripped.split(None, 1)[0].upper() if stripped else ""
+        if head == "CREATE":
+            return self._create(sql)
+        if head == "INSERT":
+            return self._insert(sql)
+        if head == "EXPLAIN":
+            raise LlamaError("use explain() for EXPLAIN output")
+        if head == "SELECT":
+            return self.spark.sql(stripped)
+        raise LlamaError(f"unsupported statement: {head or '<empty>'}")
+
+    def explain(self, sql: str) -> str:
+        """Lisp-style plan for an (EXPLAIN) SELECT, parity with
+        Usage.md's EXPLAIN output."""
+        from llamadb_spark.plans.explain import lisp_plan
+
+        stripped = sql.strip().rstrip(";").strip()
+        if stripped.upper().startswith("EXPLAIN"):
+            stripped = stripped[len("EXPLAIN"):].strip()
+        return lisp_plan(self.spark.sql(stripped))
+
+    # -- CREATE TABLE ------------------------------------------------------
+    def _create(self, sql: str) -> None:
+        m = _CREATE_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse CREATE TABLE: {sql!r}")
+        name, cols_src = m.group(1).lower(), m.group(2)
+        if name in self.tables:
+            raise LlamaError(f"table exists: {name}")
+        spec = TableSpec(name)
+        for coldef in _split_top_level(cols_src):
+            coldef = re.sub(r"--[^\n]*", "", coldef).strip()
+            if not coldef:
+                continue
+            cm = _COLDEF_RE.match(coldef)
+            if not cm:
+                raise LlamaError(f"cannot parse column def: {coldef!r}")
+            cname, tname, asize, constraints = cm.groups()
+            array_size = asize if asize is not None else None
+            dtype, bounds = translate_type(
+                tname, array_size if "[" in coldef.split(cname, 1)[1] else None
+            )
+            # llamadb: NOT NULL unless a NULL constraint is present
+            nullable = bool(re.search(r"\bNULL\b", constraints or "", re.IGNORECASE))
+            spec.columns.append(ColumnSpec(cname.lower(), dtype, nullable, bounds))
+        self.tables[name] = spec
+        empty = self.spark.createDataFrame([], spec.schema)
+        self._data[name] = empty
+        empty.createOrReplaceTempView(name)
+
+    # -- INSERT ------------------------------------------------------------
+    def _insert(self, sql: str) -> None:
+        m = _INSERT_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse INSERT: {sql!r}")
+        name = m.group(1).lower()
+        if name not in self.tables:
+            raise LlamaError(f"no such table: {name}")
+        spec = self.tables[name]
+        into_cols = (
+            [c.strip().lower() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        body = m.group(3)
+
+        if body.upper().startswith("VALUES"):
+            rows_src = _split_top_level(m.group(4).strip())
+            tuples_sql = ", ".join(f"({r.strip().strip('()')})" for r in rows_src)
+            cols = into_cols or [c.name for c in spec.columns]
+            src = self.spark.sql(
+                f"SELECT * FROM VALUES {tuples_sql} AS t({', '.join(cols)})"
+            )
+        else:  # INSERT ... SELECT
+            src = self.spark.sql(body)
+            cols = into_cols or [c.name for c in spec.columns]
+            src = src.toDF(*cols)
+
+        aligned = self._align(src, spec, cols)
+        self._validate(aligned, spec)
+        self._data[name] = self._data[name].unionAll(aligned)
+        self._data[name].createOrReplaceTempView(name)
+
+    def _align(self, src: DataFrame, spec: TableSpec, cols: list[str]) -> DataFrame:
+        missing = [c.name for c in spec.columns if c.name not in cols]
+        for mcol in missing:
+            src = src.withColumn(mcol, F.lit(None))
+        return src.select(
+            *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in spec.columns]
+        )
+
+    def _validate(self, df: DataFrame, spec: TableSpec) -> None:
+        """Enforce llamadb semantics the Spark schema can't: implicit
+        NOT NULL and exact integer widths."""
+        checks = []
+        for c in spec.columns:
+            if not c.nullable:
+                checks.append(
+                    F.sum(F.col(c.name).isNull().cast("int")).alias(f"null__{c.name}")
+                )
+            if c.bounds is not None:
+                lo, hi = c.bounds
+                # bounds can exceed a Java long (U64 hi = 2^64-1):
+                # build them as decimal literals, not F.lit ints
+                lo_c = F.expr(f"CAST('{lo}' AS DECIMAL(20,0))")
+                hi_c = F.expr(f"CAST('{hi}' AS DECIMAL(20,0))")
+                checks.append(
+                    F.sum(
+                        ((F.col(c.name) < lo_c) | (F.col(c.name) > hi_c)).cast("int")
+                    ).alias(f"range__{c.name}")
+                )
+        if not checks:
+            return
+        bad = df.agg(*checks).collect()[0].asDict()
+        for key, cnt in bad.items():
+            kind, cname = key.split("__", 1)
+            if cnt and cnt > 0:
+                if kind == "null":
+                    raise LlamaError(
+                        f"column '{cname}' is NOT NULL (llamadb default; "
+                        "add a NULL constraint to allow nulls)"
+                    )
+                raise LlamaError(f"value out of range for column '{cname}'")
+
+    # -- helpers -----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self._data[name.lower()]

@@ -1,0 +1,141 @@
+"""llamadb SQL dialect tests — modeled on the reference's end-to-end
+SQL tests (tempdb/mod.rs: create → insert → select round trips) and
+Usage.md's documented semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from llamadb_spark.sql import LlamaSession
+from llamadb_spark.sql.dialect import LlamaError, translate_type
+from pyspark.sql import types as T
+
+
+@pytest.fixture()
+def db(spark):
+    return LlamaSession(spark)
+
+
+def test_type_mapping():
+    # mirrors DbType::from_identifier (types/mod.rs:31-66)
+    assert isinstance(translate_type("U8")[0], T.ShortType)
+    assert translate_type("U8")[1] == (0, 255)
+    assert isinstance(translate_type("I8")[0], T.ByteType)
+    assert isinstance(translate_type("U32")[0], T.LongType)
+    assert isinstance(translate_type("I32")[0], T.IntegerType)
+    assert isinstance(translate_type("U64")[0], T.DecimalType)
+    assert translate_type("U64")[1] == (0, 2**64 - 1)
+    assert isinstance(translate_type("int")[0], T.IntegerType)
+    assert isinstance(translate_type("F64")[0], T.DoubleType)
+    assert isinstance(translate_type("DOUBLE")[0], T.DoubleType)
+    assert isinstance(translate_type("STRING")[0], T.StringType)
+    assert isinstance(translate_type("byte", "")[0], T.BinaryType)
+    assert isinstance(translate_type("byte")[0], T.ShortType)  # byte = U8
+    with pytest.raises(LlamaError):
+        translate_type("U7")
+    with pytest.raises(LlamaError):
+        translate_type("U128")
+
+
+def test_usage_md_example_roundtrip(db):
+    # the Usage.md person/country example, end to end
+    db.execute(
+        """CREATE TABLE person (
+            id U32,
+            name STRING,
+            age U8,
+            country_id U32,
+            salary U64 NULL     -- nullable: person may be unemployed
+        )"""
+    )
+    db.execute(
+        """CREATE TABLE country (
+            id U32, name STRING, formation_year I16
+        )"""
+    )
+    db.execute(
+        "INSERT INTO country VALUES (0, 'Canada', 1867), "
+        "(1, 'United States of America', 1776)"
+    )
+    db.execute(
+        "INSERT INTO person VALUES (0, 'Joe', 35, 0, NULL), "
+        "(1, 'Quentin', 61, 1, 44232), (2, 'Barbara', 17, 1, NULL), "
+        "(3, 'Joanne', 26, 0, 51700)"
+    )
+    out = db.execute(
+        "SELECT person.name AS name, country.name AS country "
+        "FROM person, country WHERE person.country_id = country.id "
+        "AND age >= 18"
+    ).collect()
+    assert {(r.name, r.country) for r in out} == {
+        ("Joe", "Canada"),
+        ("Quentin", "United States of America"),
+        ("Joanne", "Canada"),
+    }
+
+
+def test_implicit_not_null_rejected(db):
+    db.execute("CREATE TABLE t (id U32, name STRING)")
+    with pytest.raises(LlamaError, match="NOT NULL"):
+        db.execute("INSERT INTO t VALUES (1, NULL)")
+
+
+def test_nullable_column_accepts_null(db):
+    db.execute("CREATE TABLE t (id U32, note STRING NULL)")
+    db.execute("INSERT INTO t VALUES (1, NULL)")
+    assert db.execute("SELECT count(*) AS n FROM t").collect()[0].n == 1
+
+
+def test_unsigned_range_enforced(db):
+    db.execute("CREATE TABLE t (id U8)")
+    db.execute("INSERT INTO t VALUES (255)")
+    with pytest.raises(LlamaError, match="out of range"):
+        db.execute("INSERT INTO t VALUES (256)")
+    with pytest.raises(LlamaError, match="out of range"):
+        db.execute("INSERT INTO t VALUES (-1)")
+
+
+def test_insert_select(db):
+    db.execute("CREATE TABLE src (id U32, v F64)")
+    db.execute("INSERT INTO src VALUES (1, 1.5), (2, 2.5)")
+    db.execute("CREATE TABLE dst (id U32, v F64)")
+    db.execute("INSERT INTO dst SELECT id, v * 2 FROM src")
+    got = sorted((r.id, r.v) for r in db.execute("SELECT * FROM dst").collect())
+    assert got == [(1, 3.0), (2, 5.0)]
+
+
+def test_group_by_with_correlated_subquery(db):
+    # the Usage.md genre/track query shape
+    db.execute("CREATE TABLE genre (genreid U32, name STRING)")
+    db.execute("CREATE TABLE track (trackid U32, genreid U32, ms F64)")
+    db.execute("INSERT INTO genre VALUES (1, 'Rock'), (2, 'Jazz')")
+    db.execute(
+        "INSERT INTO track VALUES (1, 1, 100.0), (2, 1, 200.0), (3, 2, 300.0)"
+    )
+    # dialect delta: llamadb permits a bare correlated scalar
+    # subquery in a grouped SELECT when correlated on the group key;
+    # Spark's analyzer requires it inside first() (same semantics —
+    # the value is constant within each group).
+    rows = db.execute(
+        "SELECT first((SELECT genre.name FROM genre "
+        "WHERE genre.genreid = track.genreid)) "
+        "AS genre, count(*) AS num_tracks, avg(ms) / 1000 AS avg_seconds "
+        "FROM track GROUP BY genreid"
+    ).collect()
+    got = {(r.genre, r.num_tracks, round(r.avg_seconds, 4)) for r in rows}
+    assert got == {("Rock", 2, 0.15), ("Jazz", 1, 0.3)}
+
+
+def test_explain_lisp_shape(db):
+    db.execute("CREATE TABLE person2 (id U32, name STRING, age U8)")
+    db.execute("INSERT INTO person2 VALUES (1, 'a', 20), (2, 'b', 10)")
+    plan = db.explain("EXPLAIN SELECT name, age FROM person2 WHERE age >= 18")
+    # llamadb vocabulary: scan / if / yield (Usage.md EXPLAIN)
+    assert "(yield" in plan or "(if" in plan
+    assert plan.count("(") == plan.count(")")
+
+
+def test_duplicate_create_rejected(db):
+    db.execute("CREATE TABLE dup1 (id U32)")
+    with pytest.raises(LlamaError, match="exists"):
+        db.execute("CREATE TABLE dup1 (id U32)")
