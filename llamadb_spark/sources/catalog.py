@@ -1,0 +1,68 @@
+"""Sources & sinks.
+
+The reference persists nothing (tempdb, in-memory B+Tree pages —
+/root/reference/src/tempdb/); an analytics engine at 100 TB lives
+and dies by its storage layout instead:
+
+- **Partitioned parquet** (write_partitioned): partition pruning
+  turns `WHERE dt = X` into directory pruning — zero I/O for
+  non-matching partitions.
+- **Bucketed tables** (write_bucketed_table): pre-shuffling both
+  sides of a recurring join by the join key means the join runs
+  with NO exchange at read time — the single biggest shuffle saver
+  for repeated big-big joins (verified by plan assertion in
+  tests/test_sources.py).
+- CSV/JSON readers take explicit schemas: schema inference is a
+  full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet: one directory per partition
+    value; readers prune directories via partition filters."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist df as a bucketed (and optionally sorted) managed
+    table. Joins/aggregations on the bucket key across two tables
+    bucketed the same way run WITHOUT a shuffle."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # with the in-memory catalog, a previous session's managed-
+        # table directory can outlive its catalog entry; clear both
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = f"{warehouse}/{table_name.lower()}"
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)

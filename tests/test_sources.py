@@ -1,0 +1,73 @@
+"""Source/sink tests. The bucketed-join test is the scale contract:
+two tables bucketed on the join key must join with NO exchange."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.plans import formatted_plan
+from llamadb_spark.sources import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        nation.write.mode("overwrite").option("header", "true").csv(f"{d}/nation_csv")
+        back = read_csv(
+            spark, f"{d}/nation_csv", "n_nationkey int, n_name string, n_regionkey int"
+        )
+        assert sorted(r.n_name for r in back.collect()) == sorted(
+            r.n_name for r in nation.collect()
+        )
+
+
+def test_json_roundtrip(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        region.write.mode("overwrite").json(f"{d}/region_json")
+        back = read_json(spark, f"{d}/region_json", "r_regionkey int, r_name string")
+        assert back.count() == region.count()
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        write_partitioned(orders, f"{d}/orders_part", ["o_orderstatus"])
+        back = spark.read.parquet(f"{d}/orders_part")
+        q = back.filter(F.col("o_orderstatus") == "F")
+        plan = formatted_plan(q)
+        # partition filter must reach the scan as a PartitionFilter,
+        # not a post-scan Filter
+        assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+            "PartitionFilters"
+        )[1].split("\n")[0]
+        assert q.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """THE scale assertion: joining two tables bucketed on the join
+    key must not exchange (pre-shuffled storage layout)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    write_bucketed_table(orders, "orders_bkt", ["o_custkey"], num_buckets=4)
+    write_bucketed_table(customer, "customer_bkt", ["c_custkey"], num_buckets=4)
+    o = spark.table("orders_bkt")
+    c = spark.table("customer_bkt")
+    joined = o.join(
+        c.hint("merge"), o.o_custkey == c.c_custkey
+    )  # force SMJ so broadcast doesn't mask the bucketing
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucketing removed both shuffles
+    assert joined.count() == orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()

@@ -23,3 +23,33 @@ def test_stream_matches_batch(spark, sf_dir):
     batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
     assert got_rows == batch_rows
     assert len(got_rows) > 0
+
+
+def test_stateful_sessionize_closes_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    by the stream must match the batch sessionizer for every session
+    except each user's last (which stays open in state until
+    timeout)."""
+    from llamadb_spark.operators.events import sessionize
+    from llamadb_spark.streaming.sessions import sessionize_stream
+    from llamadb_spark.streaming.streams import read_events_stream
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir), gap_minutes=30)
+    got = run_to_memory(stream, "sessions_test", output_mode="append")
+    batch = sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+    got_rows = {
+        (r.user_id, r.session_seq): (r.n_events, round(r.total_value, 6))
+        for r in got.collect()
+    }
+    # batch sessions, minus each user's final (still-open) session
+    batch_all = {}
+    last_seq = {}
+    for r in batch.collect():
+        batch_all[(r.user_id, r.session_seq)] = (r.n_events, round(r.total_value, 6))
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, -1), r.session_seq)
+    expected = {
+        k: v for k, v in batch_all.items() if k[1] != last_seq[k[0]]
+    }
+    assert got_rows == expected
+    assert len(got_rows) > 0
