@@ -28,6 +28,8 @@ HEADLINE = [
     "q09_order_limit",
     "q16_revenue_by_nation",
     "q18_window_rank",
+    "q19_rollup",
+    "a01_asof_join",
     "d01_exact_dedup",
     "d02_jaccard_ngram",
     "d03_minhash_lsh",

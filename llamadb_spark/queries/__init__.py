@@ -4,9 +4,9 @@ DuckDB-runnable ANSI SQL). Keys match SURVEY.md §2."""
 
 from __future__ import annotations
 
-from llamadb_spark.queries import core, events, pipeline
+from llamadb_spark.queries import core, events, olap, pipeline
 
-_MODULES = (core, pipeline, events)
+_MODULES = (core, pipeline, events, olap)
 
 
 def all_queries():

@@ -1,0 +1,139 @@
+"""OLAP extensions beyond the reference's surface (SURVEY §2
+#48-51): ROLLUP subtotals, PIVOT, as-of join, approximate
+aggregates — the analytics operators a llamadb user graduating to
+100 TB reaches for next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from llamadb_spark.operators.asof import asof_join
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 48: ROLLUP — hierarchical subtotals in one pass (Spark expands to
+# grouping sets; one shuffle, partial aggregation per set).
+# ---------------------------------------------------------------------------
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"), "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        orders.join(li, col("o_orderkey") == col("l_orderkey"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+            F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q19 = """
+SELECT o_year, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority
+      FROM orders) o
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY ROLLUP(o_year, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 49: PIVOT — long-to-wide with explicit value list (explicit values
+# keep it one pass; without them Spark needs a distinct-scan first).
+# ---------------------------------------------------------------------------
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(broadcast(customer), col("o_custkey") == col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+ORACLE_Q20 = """
+SELECT c_mktsegment,
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 50: as-of join — most recent 'view' event at or before each
+# 'purchase', per user (operators/asof.py union-window construction;
+# oracle uses DuckDB's native ASOF LEFT JOIN).
+# ---------------------------------------------------------------------------
+def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(col("event_type") == "view").select("user_id", "event_id", "ts")
+    return asof_join(
+        purchases, views, key="user_id", right_value_cols=["event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        col("event_id_right").alias("view_event_id"),
+        col("ts_right").alias("view_ts"),
+    )
+
+
+ORACLE_A01 = """
+WITH p AS (SELECT user_id, event_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 51: approximate aggregates — HLL distinct + t-digest quantiles.
+# The 100 TB staple: one pass, fixed memory, mergeable sketches.
+# rows-only check (sketch values are engine-specific by design);
+# tests/test_olap.py bounds them against exact answers.
+# ---------------------------------------------------------------------------
+def a02_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50"),
+        F.percentile_approx("value", 0.95).alias("p95"),
+    )
+
+
+QUERIES = {
+    "q19_rollup": q19_rollup,
+    "q20_pivot": q20_pivot,
+    "a01_asof_join": a01_asof_join,
+    "a02_approx_stats": a02_approx_stats,
+}
+
+ORACLES = {
+    "q19_rollup": ORACLE_Q19,
+    "q20_pivot": ORACLE_Q20,
+    "a01_asof_join": ORACLE_A01,
+}

@@ -1,0 +1,84 @@
+"""OLAP extension tests: rollup structure, asof correctness against
+a per-row reference, approx-aggregate error bounds, salted join
+equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.operators.asof import asof_join
+from llamadb_spark.operators.skew import salted_join
+from llamadb_spark.queries import olap
+
+
+def test_rollup_has_subtotals_and_grand_total(spark, sf_dir):
+    rows = olap.q19_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r.o_year is None and r.o_orderpriority is None]
+    year_subtotals = [r for r in rows if r.o_year is not None and r.o_orderpriority is None]
+    detail = [r for r in rows if r.o_year is not None and r.o_orderpriority is not None]
+    assert len(grand) == 1
+    assert len(year_subtotals) >= 2
+    assert abs(grand[0].revenue - round(sum(r.revenue for r in detail), 2)) < 1.0
+
+
+def test_pivot_row_sums(spark, sf_dir):
+    out = olap.q20_pivot(spark, sf_dir)
+    total = sum((r.F + r.O + r.P) for r in out.collect())
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert total == n_orders  # every order lands in exactly one cell
+
+
+def test_asof_join_matches_reference(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        "k long, ts long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 25, 250.0), (3, 1, 999.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        r.name: (r.v_right, r.ts_right)
+        for r in asof_join(left, right, key="k", right_value_cols=["v"]).collect()
+    }
+    assert out == {
+        "p1": (100.0, 10),   # equal ts matches (inclusive)
+        "p2": (150.0, 15),   # latest at-or-before 20
+        "p3": (None, None),  # no right row for key 2
+    }
+
+
+def test_approx_stats_near_exact(spark, sf_dir):
+    approx = {r.event_type: r for r in olap.a02_approx_stats(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) / max(e.users, 1) < 0.1
+        assert abs(a.p50 - e.p50) <= abs(e.p50) * 0.25 + 1.0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    salted = salted_join(
+        orders, customer, "o_custkey", "c_custkey", num_salts=4,
+        salt_source="o_orderkey",
+    )
+    assert salted.count() == plain.count()
+    a = {(r.o_orderkey, r.c_name) for r in salted.collect()}
+    b = {(r.o_orderkey, r.c_name) for r in plain.collect()}
+    assert a == b
