@@ -48,23 +48,32 @@ def jaccard_ngram_pairs(
     AQE skew-join handles, or pre-filter ultra-common shingles
     (df > some cap) like a stop-shingle list.
     """
-    sh = word_shingles_fast(docs, id_col, text_col)
-    sizes = sh.groupBy(id_col).agg(F.count(lit(1)).alias("n_sh"))
+    from pyspark.sql.window import Window
 
-    a = sh.select(col(id_col).alias("a_id"), "shingle")
-    b = sh.select(col(id_col).alias("b_id"), "shingle")
+    # Shingle strings are ~20 bytes; 64-bit-hash them before the
+    # self-join to shrink shuffle payloads (collision odds over n
+    # distinct shingles ≈ n²/2⁶⁵ — irrelevant below ~10⁸ shingles).
+    # Set sizes ride along via one window count (same shuffle as the
+    # explode), replacing two post-aggregation joins.
+    sh = word_shingles_fast(docs, id_col, text_col).select(
+        col(id_col), F.xxhash64("shingle").alias("sh")
+    )
+    sh = sh.withColumn("n_sh", F.count(lit(1)).over(Window.partitionBy(id_col)))
+
+    a = sh.select(col(id_col).alias("a_id"), "sh", col("n_sh").alias("n_a"))
+    b = sh.select(col(id_col).alias("b_id"), "sh", col("n_sh").alias("n_b"))
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(lit(1)).alias("n_inter"))
+        .agg(
+            F.count(lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(col(id_col).alias("a_id"), col("n_sh").alias("n_a"))
-    sb = sizes.select(col(id_col).alias("b_id"), col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6

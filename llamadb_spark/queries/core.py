@@ -516,6 +516,33 @@ WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: two-level aggregation over a left join — the
+# distribution of customers by order count (zero-order customers
+# included via the outer join).
+# ---------------------------------------------------------------------------
+def q21_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        customer.join(orders, col("c_custkey") == col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(lit(1)).alias("n_customers"))
+
+
+ORACLE_Q21 = """
+SELECT order_count, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS order_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY order_count
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -535,6 +562,7 @@ QUERIES = {
     "q16_revenue_by_nation": q16_revenue_by_nation,
     "q17_union_all": q17_union_all,
     "q18_window_rank": q18_window_rank,
+    "q21_order_count_dist": q21_order_count_dist,
 }
 
 ORACLES = {
@@ -556,4 +584,5 @@ ORACLES = {
     "q16_revenue_by_nation": ORACLE_Q16,
     "q17_union_all": ORACLE_Q17,
     "q18_window_rank": ORACLE_Q18,
+    "q21_order_count_dist": ORACLE_Q21,
 }

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): operator semantics verified
+against pure-python references on randomized inputs — the fuzzing
+layer on top of the fixed DuckDB-oracle suite."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from llamadb_spark.operators.asof import asof_join
+from llamadb_spark.operators.dedup import jaccard_ngram_pairs
+from llamadb_spark.sql.dialect import LlamaError, translate_type
+
+_SPARK_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(bits=st.integers(min_value=-10, max_value=200), signed=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_translate_type_int_widths(bits, signed):
+    name = ("i" if signed else "u") + str(bits)
+    valid = 8 <= bits <= 64 and bits % 8 == 0
+    if not valid:
+        try:
+            translate_type(name)
+        except LlamaError:
+            return
+        raise AssertionError(f"{name} should have been rejected")
+    dtype, (lo, hi) = translate_type(name)
+    # bounds are exactly the reference's N-bit ranges
+    assert (hi - lo + 1) == 2**bits
+    assert (lo == 0) != signed
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=0, max_size=12
+    ),
+)
+@_SPARK_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # unique (key, ts) per side — matches the real-data contract
+    left = list({(k, t): None for k, t in left}.keys())
+    right = list({(k, t): None for k, t in right}.keys())
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(right)],
+        "k long, ts long, v double",
+    )
+    got = {
+        r.lid: r.v_right
+        for r in asof_join(ldf, rdf, key="k", right_value_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, float(j)) for j, (rk, rt) in enumerate(right) if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SPARK_SETTINGS
+def test_jaccard_matches_python_reference(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_ngram_pairs(docs, threshold=0.0).collect()
+    }
+
+    def shingles(t: str) -> set[str]:
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            if inter:
+                expect[(a, b)] = round(inter / len(sa | sb), 6)
+    assert got == expect
