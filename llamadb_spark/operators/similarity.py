@@ -103,6 +103,159 @@ def knn_bruteforce(
     )
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+):
+    """Train IVF coarse centroids (returns a K×d numpy array of
+    L2-normalized centroids).
+
+    Seeds: the K corpus vectors with smallest xxhash64(id) — a
+    deterministic uniform sample needing no RNG state (any executor
+    or rerun picks the same seeds). Refinement: `iters` Lloyd steps,
+    each ONE distributed corpus pass — assignment in Arrow-batched
+    mapInPandas (BLAS matmul against the broadcast K×d matrix),
+    per-cell means via posexplode + groupBy (K·d tiny rows collected).
+    At 100 TB you'd train on a hash-sample (`WHERE xxhash64(id) % m
+    = 0`) — same plan shape, smaller pass.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
+
+    seeds = (
+        v.withColumn("_h", F.xxhash64(col("_id")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([np.asarray(r._v, dtype=np.float64) for r in seeds])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for batch in batches:
+                m = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in batch["_v"]]
+                )
+                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cell = np.argmax(m_n @ c.T, axis=1)
+                yield pd.DataFrame({"cell": cell, "_v": batch["_v"]})
+
+        assigned = v.mapInPandas(_assign, "cell int, _v array<double>")
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their old centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cidx, dims in by_cell.items():
+            vec = np.array([dims[p] for p in sorted(dims)])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cidx] = vec / n
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF index: assign
+    the corpus to K coarse cells, probe only the `nprobe` cells
+    nearest each query — the pairwise work drops to ~nprobe/K of
+    brute force.
+
+    Scale shape: corpus assignment is one Arrow-batched pass (no
+    shuffle); the probe step is a hash equi-join on `cell` between
+    the corpus and the tiny exploded query relation (broadcast), so
+    at 100 TB the only shuffle is the final per-query top-k window
+    over ≤ |queries|·(corpus/K)·nprobe scored rows.
+
+    Output: (query_id, neighbor_id, cos, rank) like knn_bruteforce.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    cents = ivf_train_centroids(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    )
+    bc = spark.sparkContext.broadcast(cents)
+
+    v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for batch in batches:
+            m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cell = np.argmax(m_n @ c.T, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": batch["_id"], "cell": cell, "c_v": batch["_v"]}
+            )
+
+    corpus = v.mapInPandas(
+        _assign, "neighbor_id long, cell int, c_v array<double>"
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for batch in batches:
+            m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m_n @ c.T), axis=1)[:, :nprobe]
+            n = len(batch)
+            yield pd.DataFrame(
+                {
+                    "query_id": batch["_id"].to_numpy().repeat(nprobe),
+                    "cell": order.ravel(),
+                    "q_v": [batch["_v"].iloc[i] for i in range(n) for _ in range(nprobe)],
+                }
+            )
+
+    probes = (
+        v.filter(col("_id").isin(query_ids))
+        .mapInPandas(_probe, "query_id long, cell int, q_v array<double>")
+    )
+
+    scored = (
+        corpus.join(broadcast(probes), "cell")
+        .filter(col("neighbor_id") != col("query_id"))
+        .withColumn("cos", F.round(cosine(col("q_v"), col("c_v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def hyperplane_signs(vec: F.Column, num_planes: int = 16) -> F.Column:
     """Deterministic random-hyperplane sign bits, no RNG state:
     plane p's component d = (xxhash64(p, d) mod 2001 - 1000)/1000 —

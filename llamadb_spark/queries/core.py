@@ -543,6 +543,72 @@ GROUP BY order_count
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: anti join — customers above the average account
+# balance with no urgent-priority order. Spark plans `left_anti` as a
+# broadcast/shuffled hash anti-join (no row-multiplication); the
+# scalar average broadcasts as a one-row subquery result, and the
+# priority filter is pushed to the orders parquet scan.
+# ---------------------------------------------------------------------------
+def q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = customer.filter(col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = customer.join(broadcast(avg_bal)).filter(col("c_acctbal") > col("ab"))
+    no_urgent = rich.join(urgent, col("c_custkey") == col("o_custkey"), "left_anti")
+    return (
+        no_urgent.groupBy("c_nationkey")
+        .agg(
+            F.count(lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets: all 2^2 subtotal combinations over
+# (returnflag, linestatus) in ONE pass — Spark expands grouping sets
+# map-side, so the input is scanned once (vs 4 unioned GROUP BYs).
+# ---------------------------------------------------------------------------
+def q23_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q23 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -563,6 +629,8 @@ QUERIES = {
     "q17_union_all": q17_union_all,
     "q18_window_rank": q18_window_rank,
     "q21_order_count_dist": q21_order_count_dist,
+    "q22_anti_join": q22_anti_join,
+    "q23_cube": q23_cube,
 }
 
 ORACLES = {
@@ -585,4 +653,6 @@ ORACLES = {
     "q17_union_all": ORACLE_Q17,
     "q18_window_rank": ORACLE_Q18,
     "q21_order_count_dist": ORACLE_Q21,
+    "q22_anti_join": ORACLE_Q22,
+    "q23_cube": ORACLE_Q23,
 }

@@ -125,15 +125,55 @@ def a02_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 53: range join — lineitem prices vs OVERLAPPING price bands (step
+# 5000, width 7500 → a genuine interval join, not binning). Uses the
+# bucketed equi-join construction (operators/range_join.py) so the
+# plan is a hash join, never BroadcastNestedLoop/cartesian. Oracle is
+# DuckDB's native BETWEEN join over generate_series bands.
+# ---------------------------------------------------------------------------
+def r01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.operators.range_join import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.range(21).select(
+        col("id").alias("band_id"),
+        (lit(900.0) + col("id") * 5000.0).alias("lo"),
+        (lit(900.0) + col("id") * 5000.0 + 7499.0).alias("hi"),
+    )
+    joined = range_join(
+        li, bands, point_col="l_extendedprice", lo_col="lo", hi_col="hi",
+        bucket_width=2500.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_R01 = """
+WITH bands AS (
+  SELECT i AS band_id, 900 + i * 5000.0 AS lo, 900 + i * 5000.0 + 7499.0 AS hi
+  FROM generate_series(0, 20) t(i)
+)
+SELECT band_id, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+GROUP BY band_id
+"""
+
+
 QUERIES = {
     "q19_rollup": q19_rollup,
     "q20_pivot": q20_pivot,
     "a01_asof_join": a01_asof_join,
     "a02_approx_stats": a02_approx_stats,
+    "r01_range_join": r01_range_join,
 }
 
 ORACLES = {
     "q19_rollup": ORACLE_Q19,
     "q20_pivot": ORACLE_Q20,
     "a01_asof_join": ORACLE_A01,
+    "r01_range_join": ORACLE_R01,
 }

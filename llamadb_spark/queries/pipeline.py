@@ -134,6 +134,15 @@ def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def s03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF index: hash-sampled seeds + 2 Lloyd passes, nprobe/K of the
+    # brute-force pair work. rows-only (approximate by construction);
+    # recall vs s01 asserted in tests/test_similarity.py.
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=4
+    )
+
+
 # --- text analysis -------------------------------------------------------
 
 def t01_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +255,7 @@ QUERIES = {
     "d05_embed_neardup": d05_embed_neardup,
     "s01_knn_bruteforce": s01_knn_bruteforce,
     "s02_lsh_ann": s02_lsh_ann,
+    "s03_ivf_ann": s03_ivf_ann,
     "t01_langid": t01_langid,
     "t02_quality_score": t02_quality_score,
     "t03_token_count": t03_token_count,

@@ -64,3 +64,28 @@ def test_q18_rank_bounded(spark, sf_dir):
         per_cust.setdefault(r.o_custkey, []).append(r.rn)
     for rns in per_cust.values():
         assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3
+
+
+def test_q22_anti_join_plan(spark, sf_dir):
+    df = core.q22_anti_join(spark, sf_dir)
+    p = plan(df)
+    # anti join stays a hash anti-join (no row multiplication) and the
+    # priority filter reaches the orders parquet scan
+    assert "LeftAnti" in p
+    assert "o_orderpriority" in p.split("PushedFilters:", 2)[-1].split("\n")[0] or (
+        "1-URGENT" in p
+    )
+    assert df.count() > 0
+
+
+def test_q23_cube_single_pass(spark, sf_dir):
+    df = core.q23_cube(spark, sf_dir)
+    # grouping sets expand in one scan: exactly one Expand, one scan
+    p = plan(df)
+    assert p.count("InMemoryFileIndex") == 1 and "Expand" in p
+    rows = df.collect()
+    # grand total row present and equals the sum of the leaf rows
+    total = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    leaves = [r for r in rows if r.l_returnflag is not None and r.l_linestatus is not None]
+    assert len(total) == 1
+    assert total[0].n_rows == sum(r.n_rows for r in leaves)

@@ -82,3 +82,35 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     a = {(r.o_orderkey, r.c_name) for r in salted.collect()}
     b = {(r.o_orderkey, r.c_name) for r in plain.collect()}
     assert a == b
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    df = olap.r01_range_join(spark, sf_dir)
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    rows = {r.band_id: r.n_items for r in df.collect()}
+    assert rows and all(n > 0 for n in rows.values())
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from llamadb_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 99.0)], "pid long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 4.0, 20.0)], "iid long, lo double, hi double"
+    )
+    got = range_join(
+        pts, ivs, point_col="v", lo_col="lo", hi_col="hi",
+        bucket_width=5.0, how="left",
+    ).collect()
+    pairs = {(r.pid, r.iid) for r in got}
+    # v=5 hits both intervals, v=15 only the second, v=99 none (null)
+    assert pairs == {(1, 10), (1, 11), (2, 11), (3, None)}

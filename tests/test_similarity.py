@@ -37,3 +37,27 @@ def test_lsh_ann_subset_of_exact(spark, sf_dir):
         assert c == exact[k]
     if exact:
         assert len(approx) / len(exact) >= 0.15  # recall floor at 6 planes
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from llamadb_spark.operators.similarity import ivf_topk, knn_bruteforce
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, KNN_QUERY_IDS, k=KNN_K).collect()
+    }
+    approx_rows = ivf_topk(
+        emb, KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=4
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # every query answered with exactly k neighbors, ranks 1..k
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == set(KNN_QUERY_IDS)
+    assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in per_q.values())
+    # probing 4/16 cells on clustered data keeps most true neighbors
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
