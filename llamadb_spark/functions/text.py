@@ -74,27 +74,55 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return shingled.distinct()
 
 
-def word_shingles_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Same output as word_shingles but via a single higher-order
-    expression (no self-joins, no shuffle): transform over token
-    positions. Preferred at scale; word_shingles kept as the
-    SQL-parity construction."""
-    toks_col = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    df2 = df.select(F.col(id_col), toks_col.alias("_toks"))
+def shingle_array_expr() -> Column:
+    """Distinct word 3-gram shingle array over a `_toks` column, as
+    one higher-order expression.
+
+    MUST stay an inline expression wherever it feeds explode():
+    exploding a materialized column attribute instead lets Catalyst's
+    InferFiltersFromGenerate add `size(col) > 0`, which filter
+    pushdown then re-inlines BELOW the projection — re-evaluating the
+    whole tokenize+shingle expression several times per row (measured
+    12× slowdown at sf0.1). The inference guard skips complex
+    generator expressions, so inline form avoids the trap entirely.
+    """
     # Guard: sequence(0, n) runs DESCENDING when n < 0, so short docs
     # must short-circuit to an empty array, not sequence(0, -1).
-    shingle_arr = F.when(
+    return F.when(
         F.size("_toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("_toks", i + 1),
-                F.element_at("_toks", i + 2),
-                F.element_at("_toks", i + 3),
-            ),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("_toks", i + 1),
+                    F.element_at("_toks", i + 2),
+                    F.element_at("_toks", i + 3),
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df2.select(
-        F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+
+
+def with_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks): non-empty whitespace tokens of lowercased text."""
+    toks_col = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    return df.select(F.col(id_col), toks_col.alias("_toks"))
+
+
+def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word 3-gram shingles per doc as ONE array column
+    (id, shingles array<string>) — no self-joins, no shuffle."""
+    return with_tokens(df, id_col, text_col).select(
+        F.col(id_col), shingle_array_expr().alias("shingles")
+    )
+
+
+def word_shingles_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Same output as word_shingles but via one narrow explode of the
+    inline shingle expression (see shingle_array_expr on why inline).
+    Preferred at scale; word_shingles kept as the SQL-parity
+    construction."""
+    return with_tokens(df, id_col, text_col).select(
+        F.col(id_col), F.explode(shingle_array_expr()).alias("shingle")
     )

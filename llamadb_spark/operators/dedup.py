@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-from llamadb_spark.functions.text import distinct_tokens, word_shingles_fast
+from llamadb_spark.functions.text import (
+    distinct_tokens,
+    word_shingle_arrays,
+    word_shingles_fast,
+)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,17 +52,21 @@ def jaccard_ngram_pairs(
     AQE skew-join handles, or pre-filter ultra-common shingles
     (df > some cap) like a stop-shingle list.
     """
-    from pyspark.sql.window import Window
-
     # Shingle strings are ~20 bytes; 64-bit-hash them before the
     # self-join to shrink shuffle payloads (collision odds over n
     # distinct shingles ≈ n²/2⁶⁵ — irrelevant below ~10⁸ shingles).
-    # Set sizes ride along via one window count (same shuffle as the
-    # explode), replacing two post-aggregation joins.
-    sh = word_shingles_fast(docs, id_col, text_col).select(
-        col(id_col), F.xxhash64("shingle").alias("sh")
-    )
-    sh = sh.withColumn("n_sh", F.count(lit(1)).over(Window.partitionBy(id_col)))
+    # Set sizes come free from the pre-explode shingle array
+    # (size(shingles)) — zero extra shuffle, no window, no join-back,
+    # and the array is built exactly ONCE per doc. Safe to explode
+    # the materialized column because the session excludes
+    # InferFiltersFromGenerate (see session.py — that rule would
+    # re-inline the array construction below this projection).
+    arr = word_shingle_arrays(docs, id_col, text_col)
+    sh = arr.select(
+        col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
 
     a = sh.select(col(id_col).alias("a_id"), "sh", col("n_sh").alias("n_a"))
     b = sh.select(col(id_col).alias("b_id"), "sh", col("n_sh").alias("n_b"))
@@ -139,9 +147,12 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    # Band rows carry ONLY (id, band_id, bucket) — 8 banded copies of
+    # the 256-byte signature through the shuffle would dominate the
+    # join payload; sigs rejoin onto the (much smaller) candidate set
+    # below, where AQE turns both sig joins into broadcasts.
     banded = sig.select(
         col(id_col),
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -155,20 +166,19 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(col(id_col), "sig", "band.band_id", "band.bucket")
+    ).select(col(id_col), "band.band_id", "band.bucket")
 
-    a = banded.select(
-        col(id_col).alias("a_id"), col("sig").alias("a_sig"), "band_id", "bucket"
-    )
-    b = banded.select(
-        col(id_col).alias("b_id"), col("sig").alias("b_sig"), "band_id", "bucket"
-    )
-    cand = (
+    a = banded.select(col(id_col).alias("a_id"), "band_id", "bucket")
+    b = banded.select(col(id_col).alias("b_id"), "band_id", "bucket")
+    pairs = (
         a.join(b, ["band_id", "bucket"])
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
     )
+    cand = pairs.join(
+        sig.select(col(id_col).alias("a_id"), col("sig").alias("a_sig")), "a_id"
+    ).join(sig.select(col(id_col).alias("b_id"), col("sig").alias("b_sig")), "b_id")
     est = F.round(
         F.size(
             F.filter(

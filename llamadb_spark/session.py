@@ -55,6 +55,17 @@ def get_spark(app_name: str = "llamadb_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate turns explode(col) into a
+        # `size(col)>0` filter that pushdown re-inlines below the
+        # producing projection — re-evaluating expensive array
+        # constructions (shingling) once per row per reference.
+        # Our generates always run over non-null arrays, so the
+        # inferred filter can only cost, never prune (measured 12×
+        # on d02 at sf0.1).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert (see events loader).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,9 +1,17 @@
 """Structured Streaming surface over the events table."""
 
 from llamadb_spark.streaming.streams import (
+    dedup_stream,
+    purchases_with_recent_views_stream,
     read_events_stream,
     run_to_memory,
     windowed_counts_stream,
 )
 
-__all__ = ["read_events_stream", "windowed_counts_stream", "run_to_memory"]
+__all__ = [
+    "read_events_stream",
+    "windowed_counts_stream",
+    "run_to_memory",
+    "dedup_stream",
+    "purchases_with_recent_views_stream",
+]

@@ -80,6 +80,53 @@ def windowed_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    dropDuplicatesWithinWatermark keeps the first arrival per key and
+    evicts key state once the watermark passes — O(keys within the
+    watermark horizon) state, not O(stream). The exact-dedup twin of
+    the batch d01 operator for infinite inputs.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def purchases_with_recent_views_stream(
+    events: DataFrame, lag: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views in the preceding `lag`. Both sides are watermarked
+    and the join condition bounds event-time distance, so Spark can
+    evict view state older than watermark+lag — the state-bounded
+    form of a stream-stream join (an unbounded-condition join would
+    keep both sides forever). Inner join ⇒ matches emit in the same
+    micro-batch; watermarks only gate state eviction.
+    """
+    p = events.filter(col("event_type") == "purchase").select(
+        col("user_id").alias("p_user"),
+        col("event_id").alias("purchase_id"),
+        col("ts").alias("p_ts"),
+        col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", watermark)
+    v = events.filter(col("event_type") == "view").select(
+        col("user_id").alias("v_user"),
+        col("event_id").alias("view_id"),
+        col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL {lag}"
+        ),
+        "inner",
+    ).select("p_user", "purchase_id", "p_ts", "purchase_value", "view_id", "v_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
 ) -> DataFrame:

@@ -53,3 +53,64 @@ def test_stateful_sessionize_closes_sessions(spark, sf_dir):
     }
     assert got_rows == expected
     assert len(got_rows) > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    """Watermarked streaming dedup: one row per (user_id, event_type)
+    key, keys identical to the batch distinct over the same file."""
+    from llamadb_spark.streaming import dedup_stream, read_events_stream
+
+    got = run_to_memory(
+        dedup_stream(read_events_stream(spark, sf_dir)),
+        "dedup_stream_test",
+        output_mode="append",
+    )
+    got_keys = [(r.user_id, r.event_type) for r in got.collect()]
+    batch_keys = {
+        (r.user_id, r.event_type)
+        for r in _events(spark, sf_dir).select("user_id", "event_type").distinct().collect()
+    }
+    assert len(got_keys) == len(set(got_keys))  # exactly one row per key
+    assert set(got_keys) == batch_keys
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Interval self-join purchases←views: the streaming inner join
+    must emit exactly the batch join's (purchase, view) pairs."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.streaming import (
+        purchases_with_recent_views_stream,
+        read_events_stream,
+    )
+
+    got = run_to_memory(
+        purchases_with_recent_views_stream(read_events_stream(spark, sf_dir)),
+        "ssjoin_test",
+        output_mode="append",
+    )
+    got_pairs = {(r.purchase_id, r.view_id) for r in got.collect()}
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    batch_pairs = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            F.expr(
+                "p_user = v_user AND v_ts <= p_ts "
+                "AND v_ts >= p_ts - INTERVAL 1 hour"
+            ),
+        ).collect()
+    }
+    assert got_pairs == batch_pairs
+    assert len(got_pairs) > 0
