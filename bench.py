@@ -39,6 +39,15 @@ HEADLINE = [
     "t03_token_count",
     "e01_events_window",
     "e02_sessionize",
+    "q21_order_count_dist",
+    "q22_anti_join",
+    "q23_cube",
+    "r01_range_join",
+    "d06_dedup_clusters",
+    "s03_ivf_ann",
+    "t05_vocab_topk",
+    "t06_repetition",
+    "m02_decode_resize",
 ]
 
 

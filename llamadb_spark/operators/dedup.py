@@ -233,3 +233,53 @@ def simhash_fingerprints(
         col(id_col),
         simhash.alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    transitive-closure step that turns near-dup PAIRS into dedup
+    CLUSTERS (every doc in a component shares one cluster_id: the
+    component's minimum id).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Near-dup graphs are unions of small
+    cliques (diameter ~2-3), so 3-4 rounds settle real workloads;
+    the alternating large/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14) is the O(log n)
+    upgrade if chains ever dominate. Each round is one shuffled join
+    + groupBy-min; localCheckpoint truncates lineage so plans don't
+    nest per iteration. The driver only ever collects ONE number per
+    round (the change count).
+
+    Output: (node, cluster_id) for every node appearing in pairs.
+    """
+    sym = pairs.select(col(a_col).alias("u"), col(b_col).alias("v")).unionAll(
+        pairs.select(col(b_col).alias("u"), col(a_col).alias("v"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select("u").distinct().withColumn("label", col("u"))
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        new = (
+            labels.unionAll(nbr)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(col("label") != col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(col("u").alias("node"), col("label").alias("cluster_id"))

@@ -86,6 +86,30 @@ def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return media.mapInPandas(_decode_batch, DECODED_SCHEMA)
 
 
+def resize_media(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-fit resize planning over decoded media dims — pure
+    JVM-side arithmetic (no UDF): the post-decode stages of a media
+    pipeline stay declarative whenever they only transform metadata.
+    A real pixel resize would be one more mapInPandas stage consuming
+    (payload, out_w, out_h).
+
+    Output: decoded columns + (out_w, out_h) with aspect preserved,
+    longest side == target (min 1px).
+    """
+    scale = F.least(
+        lit(float(target)) / col("width"), lit(float(target)) / col("height")
+    )
+    return decoded.select(
+        "*",
+        F.greatest(F.floor(col("width") * scale), lit(1))
+        .cast("int")
+        .alias("out_w"),
+        F.greatest(F.floor(col("height") * scale), lit(1))
+        .cast("int")
+        .alias("out_h"),
+    )
+
+
 def media_metadata(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SQL-expressible metadata extraction over the multimodal
     envelope (the oracle-checkable slice of the pipeline): byte

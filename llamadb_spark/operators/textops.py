@@ -111,3 +111,54 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp64"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary by document frequency: for each token, how
+    many documents contain it (distinct per doc), top-k with a
+    deterministic (df desc, token asc) tiebreak.
+
+    Scale: explode of distinct per-doc tokens → groupBy(token) with
+    map-side partial count; top-k is TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    toks = docs.select(F.explode(distinct_tokens(col(text_col))).alias("token"))
+    return (
+        toks.filter(col("token") != "")
+        .groupBy("token")
+        .agg(F.count(lit(1)).alias("df"))
+        .orderBy(col("df").desc(), col("token"))
+        .limit(k)
+    )
+
+
+def repetition_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repeated word-3-gram fraction per document — the standard
+    boilerplate/spam signal (1 - distinct/total shingles). Computed
+    from TWO array expressions in one narrow projection: no explode,
+    no shuffle at all.
+
+    Output: (id, n_shingles, n_distinct, rep_ratio) — docs with < 3
+    tokens score 0.
+    """
+    from llamadb_spark.functions.text import shingle_array_expr, with_tokens
+
+    total_expr = F.greatest(F.size("_toks") - 2, lit(0))
+    base = with_tokens(docs, id_col, text_col).select(
+        col(id_col),
+        total_expr.alias("n_shingles"),
+        F.size(shingle_array_expr()).alias("n_distinct"),
+    )
+    return base.select(
+        col(id_col),
+        col("n_shingles").cast("long").alias("n_shingles"),
+        col("n_distinct").cast("long").alias("n_distinct"),
+        F.when(col("n_shingles") > 0,
+               F.round(1.0 - col("n_distinct") / col("n_shingles"), 6))
+        .otherwise(lit(0.0))
+        .alias("rep_ratio"),
+    )

@@ -71,6 +71,36 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
 """
 
 
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: connected components over the
+    jaccard pair graph, every doc labeled with its component's min
+    doc_id. Oracle: same pair SQL + a recursive-CTE reachability
+    closure in DuckDB."""
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    return dedup.connected_components(pairs)
+
+
+ORACLE_D06 = rf"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_D02}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS node, least(u, min(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64 signatures have no DuckDB twin; recall vs
     # the exact d02 pairs is asserted in tests/test_dedup.py.
@@ -231,6 +261,55 @@ FROM f
 """
 
 
+def t05_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+ORACLE_T05 = r"""
+SELECT token, count(*) AS df FROM (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY df DESC, token
+LIMIT 100
+"""
+
+
+def t06_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_ratio(_docs(spark, sf_dir))
+
+
+ORACLE_T06 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+dcount AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),
+tot AS (SELECT doc_id, greatest(len(tk) - 2, 0) AS n_shingles FROM toks)
+SELECT t.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN n_shingles > 0
+            THEN round(1.0 - coalesce(n_distinct, 0)
+                       / CAST(n_shingles AS DOUBLE), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM tot t LEFT JOIN dcount d USING (doc_id)
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,10 +326,43 @@ FROM documents
 """
 
 
+def m02_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media pipeline: envelope → Arrow-batched decode stub →
+    declarative aspect-fit resize. The stub derives dims from the
+    payload sha256, which DuckDB can replicate — so even the UDF
+    stage gets a value-match oracle."""
+    env = multimodal.attach_payload(_docs(spark, sf_dir))
+    decoded = multimodal.decode_media(env)
+    return multimodal.resize_media(decoded, target=224).select(
+        "doc_id", "width", "height", "out_w", "out_h", "sha_prefix"
+    )
+
+
+ORACLE_M02 = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(sha256(text), 1, 4)) AS INT)
+              % 1920 + 1 AS INT) AS width,
+         CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS INT)
+              % 1080 + 1 AS INT) AS height,
+         substr(sha256(text), 1, 16) AS sha_prefix
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(greatest(floor(width * least(224.0 / width, 224.0 / height)), 1)
+            AS INT) AS out_w,
+       CAST(greatest(floor(height * least(224.0 / width, 224.0 / height)), 1)
+            AS INT) AS out_h,
+       sha_prefix
+FROM d
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
     "d03_minhash_lsh": d03_minhash_lsh,
+    "d06_dedup_clusters": d06_dedup_clusters,
     "d04_simhash": d04_simhash,
     "d05_embed_neardup": d05_embed_neardup,
     "s01_knn_bruteforce": s01_knn_bruteforce,
@@ -260,17 +372,24 @@ QUERIES = {
     "t02_quality_score": t02_quality_score,
     "t03_token_count": t03_token_count,
     "t04_fingerprint": t04_fingerprint,
+    "t05_vocab_topk": t05_vocab_topk,
+    "t06_repetition": t06_repetition,
     "m01_multimodal_meta": m01_multimodal_meta,
+    "m02_decode_resize": m02_decode_resize,
 }
 
 ORACLES = {
     "d01_exact_dedup": ORACLE_D01,
     "d02_jaccard_ngram": ORACLE_D02,
     "d05_embed_neardup": ORACLE_D05,
+    "d06_dedup_clusters": ORACLE_D06,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,
     "t02_quality_score": ORACLE_T02,
     "t03_token_count": ORACLE_T03,
     "t04_fingerprint": ORACLE_T04,
+    "t05_vocab_topk": ORACLE_T05,
+    "t06_repetition": ORACLE_T06,
     "m01_multimodal_meta": ORACLE_M01,
+    "m02_decode_resize": ORACLE_M02,
 }

@@ -81,3 +81,16 @@ def test_simhash_on_real_docs(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 50
     assert all(0 <= r.bucket < 2**16 for r in rows)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from llamadb_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
