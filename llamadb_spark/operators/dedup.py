@@ -265,21 +265,22 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().withColumn("label", col("u"))
     for _ in range(max_iter):
+        # One shuffle per round: the previous label rides the union
+        # as `old` (min ignores the nulls from neighbor rows), so
+        # convergence needs no separate labels join — just a filter
+        # over the checkpointed aggregate.
         nbr = sym.join(
             labels.select(col("u").alias("v"), "label"), "v"
-        ).select("u", "label")
+        ).select("u", "label", lit(None).cast("long").alias("old"))
         new = (
-            labels.unionAll(nbr)
+            labels.select("u", "label", col("label").alias("old"))
+            .unionAll(nbr)
             .groupBy("u")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "u")
-            .filter(col("label") != col("old"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(col("label") < col("old")).count()
+        labels = new.select("u", "label")
         if changed == 0:
             break
     return labels.select(col("u").alias("node"), col("label").alias("cluster_id"))

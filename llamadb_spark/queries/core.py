@@ -609,6 +609,50 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated AGGREGATE subquery in WHERE — revenue
+# from small-quantity orders of one brand's parts, where "small" is
+# per-part (below 50% of that part's average quantity). Spark-first
+# form: the correlated subquery decorrelates into a per-key aggregate
+# joined back on the key — lineitem is scanned twice but shuffled
+# once per side on l_partkey, and the brand filter broadcast-prunes
+# both sides before the shuffle.
+# ---------------------------------------------------------------------------
+def q24_corr_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(broadcast(part), col("l_partkey") == col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        branded.join(avg_qty, "l_partkey")
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(lit(1)).alias("n_small"),
+        )
+    )
+
+
+ORACLE_Q24 = """
+SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+       count(*) AS n_small
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -631,6 +675,7 @@ QUERIES = {
     "q21_order_count_dist": q21_order_count_dist,
     "q22_anti_join": q22_anti_join,
     "q23_cube": q23_cube,
+    "q24_corr_agg_subquery": q24_corr_agg_subquery,
 }
 
 ORACLES = {
@@ -655,4 +700,5 @@ ORACLES = {
     "q21_order_count_dist": ORACLE_Q21,
     "q22_anti_join": ORACLE_Q22,
     "q23_cube": ORACLE_Q23,
+    "q24_corr_agg_subquery": ORACLE_Q24,
 }

@@ -92,3 +92,67 @@ def test_jaccard_matches_python_reference(spark, texts):
             if inter:
                 expect[(a, b)] = round(inter / len(sa | sb), 6)
     assert got == expect
+
+
+@given(
+    points=st.lists(st.integers(0, 40), min_size=1, max_size=10),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)), min_size=0, max_size=8
+    ),
+    width=st.sampled_from([1.0, 3.0, 7.5]),
+)
+@_SPARK_SETTINGS
+def test_range_join_matches_bruteforce(spark, points, intervals, width):
+    from llamadb_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pts, ivs, point_col="v", lo_col="lo", hi_col="hi", bucket_width=width
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p <= lo + w
+    }
+    assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=15
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@_SPARK_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from llamadb_spark.operators.dedup import connected_components
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect

@@ -71,3 +71,16 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert joined.count() == orders.join(
         customer, orders.o_custkey == customer.c_custkey
     ).count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from llamadb_spark.sources.catalog import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    # predicate pushdown reaches the ORC scan
+    plan = formatted_plan(back.filter(F.col("n_regionkey") == 1))
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1].split("\n")[0]
