@@ -48,6 +48,9 @@ HEADLINE = [
     "t05_vocab_topk",
     "t06_repetition",
     "m02_decode_resize",
+    "q24_corr_agg_subquery",
+    "e04_sliding_window",
+    "e05_running_totals",
 ]
 
 

@@ -89,3 +89,57 @@ def top_users_per_type(events: DataFrame, k: int = 5) -> DataFrame:
         .filter(col("rank") <= k)
         .select("event_type", "user_id", "total_value", "rank")
     )
+
+
+def sliding_windowed_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide
+    overlapping windows (F.window expands them JVM-side — a bounded
+    explode, factor = width/slide, before the single grouping
+    shuffle). The streaming twin is the same expression under
+    readStream + watermark.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running value totals over event time — one window
+    partitioned on user_id (single shuffle, in-partition sort; at
+    100 TB user_id cardinality spreads partitions, and a hot user is
+    a bounded sort, not a cross-partition problem).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("event_seq"),
+    )

@@ -83,14 +83,55 @@ SELECT event_type, user_id, total_value, rank FROM (
 """
 
 
+def e04_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sliding_windowed_counts(
+        _events(spark, sf_dir), width="1 hour", slide="30 minutes"
+    )
+
+
+# Each event belongs to the two 30-min-aligned windows covering it;
+# Spark's F.window and DuckDB's time_bucket share epoch alignment.
+ORACLE_E04 = """
+SELECT ws AS window_start, event_type, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT *,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL '30 minutes']) AS ws
+  FROM events
+) t
+WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+GROUP BY 1, 2
+"""
+
+
+def e05_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.running_user_totals(_events(spark, sf_dir))
+
+
+ORACLE_E05 = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS event_seq
+FROM events
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
     "e03_event_topk": e03_event_topk,
+    "e04_sliding_window": e04_sliding_window,
+    "e05_running_totals": e05_running_totals,
 }
 
 ORACLES = {
     "e01_events_window": ORACLE_E01,
     "e02_sessionize": ORACLE_E02,
     "e03_event_topk": ORACLE_E03,
+    "e04_sliding_window": ORACLE_E04,
+    "e05_running_totals": ORACLE_E05,
 }

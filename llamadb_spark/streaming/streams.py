@@ -58,15 +58,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts_stream(
-    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregate — the streaming twin of
-    operators/events.windowed_counts. The watermark bounds state:
-    windows older than max(event time) - watermark are finalized and
-    evicted, so state size is O(active windows), not O(stream)."""
+    """Watermarked tumbling (or, with `slide`, sliding) window
+    aggregate — the streaming twin of operators/events
+    windowed_counts / sliding_windowed_counts. The watermark bounds
+    state: windows older than max(event time) - watermark are
+    finalized and evicted, so state size is O(active windows), not
+    O(stream)."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .groupBy(F.window("ts", width, slide or width).alias("w"), "event_type")
         .agg(
             F.count(lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),

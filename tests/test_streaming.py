@@ -114,3 +114,17 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert got_pairs == batch_pairs
     assert len(got_pairs) > 0
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    from llamadb_spark.operators.events import sliding_windowed_counts
+
+    stream = windowed_counts_stream(
+        read_events_stream(spark, sf_dir), slide="30 minutes"
+    )
+    got = run_to_memory(stream, "slide_counts_test")
+    batch = sliding_windowed_counts(_events(spark, sf_dir), slide="30 minutes")
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got_rows = {key(r): (r.n_events, r.total_value) for r in got.collect()}
+    batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got_rows == batch_rows and len(got_rows) > 0
