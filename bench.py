@@ -51,6 +51,15 @@ HEADLINE = [
     "q24_corr_agg_subquery",
     "e04_sliding_window",
     "e05_running_totals",
+    "q26_window_suite",
+    "q27_date_parts",
+    "q29_grouping_sets",
+    "t07_pii_scrub",
+    "t08_chunk_documents",
+    "p01_stratified_sample",
+    "p02_contamination",
+    "p03_pack_sequences",
+    "s04_embed_quantize",
 ]
 
 

@@ -1,0 +1,51 @@
+"""Deterministic sampling operators for training-data curation.
+
+Spark's `df.sample()` is seed-dependent per partition layout, so a
+re-run with different file splits samples different rows — useless
+for reproducible corpus builds. These operators hash the row KEY
+instead: the keep/drop decision is a pure function of the data, so
+it's stable across cluster sizes, partition counts, and re-runs, and
+it's expressible in any engine (the DuckDB oracles run the same
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+#: Knuth multiplicative hash constant (2^32 * golden ratio).
+KNUTH = 2654435761
+
+#: Modulus applied to the key BEFORE multiplying, keeping the product
+#: far inside int64 (100003 is prime, so key % 100003 stays uniform).
+PREMOD = 100003
+
+
+def bucket_hash(key: Column, buckets: int = 1000) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from an integer
+    key: multiplicative hashing (Knuth), overflow-free in int64."""
+    return ((key % PREMOD) * lit(KNUTH)) % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling at exact, reproducible rates:
+    keep a row iff hash(key) mod 1000 < rate*1000 for its stratum.
+    The usual corpus-mixing move (downweight overrepresented
+    languages/sources) as one codegen'd filter — no shuffle, no RNG,
+    and the same rows survive on 1 executor or 1000.
+    """
+    thresh: Column | None = None
+    for stratum, rate in rates.items():
+        arm = (col(strata_col) == stratum, lit(int(rate * 1000)))
+        thresh = F.when(*arm) if thresh is None else thresh.when(*arm)
+    default = lit(int(default_rate * 1000))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(bucket_hash(col(key_col)) < thresh)

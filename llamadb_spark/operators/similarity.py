@@ -345,3 +345,28 @@ def lsh_ann_pairs(
         .filter(col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector — the standard 4×
+    compression before shipping embeddings to an ANN index: scale =
+    max|x| / 127, q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+    floor(x+0.5) (not round()) keeps half-way cases identical across
+    engines. All higher-order built-ins (transform/array_max) — per
+    row in codegen, no shuffle, no UDF.
+
+    Output: (id, n_dims, scale, q_csv) — q_csv is the comma-joined
+    int8 vector (exact integers, so value-comparable anywhere).
+    """
+    v = as_double(col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, maxabs / 127.0).otherwise(lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    return emb.select(
+        col(id_col),
+        F.size(v).cast("long").alias("n_dims"),
+        scale.alias("scale"),
+        F.array_join(q, ",").alias("q_csv"),
+    )

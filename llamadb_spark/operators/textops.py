@@ -113,6 +113,134 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+#: PII patterns — kept to the regex subset shared by Java regex
+#: (Spark) and RE2 (DuckDB oracles) so both engines scrub identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails, URLs, phone-shaped
+    digit runs → typed placeholder tokens, applied in a fixed order
+    (email, then url, then phone) so the output is deterministic.
+
+    Pure regexp_replace/regexp_count chain — per-row inside
+    whole-stage codegen, zero shuffles, scales linearly.
+
+    Output: (id, n_emails, n_urls, n_phones, clean_chars, clean_sha).
+    The scrubbed text itself is reduced to sha256 so downstream
+    comparisons stay compact; callers wanting the text use
+    `scrubbed_text` below.
+    """
+    clean = scrubbed_text(col(text_col))
+    return docs.select(
+        col(id_col),
+        F.regexp_count(col(text_col), lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(col(text_col), lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(col(text_col), lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        F.sha2(clean, 256).alias("clean_sha"),
+    )
+
+
+def scrubbed_text(text: Column) -> Column:
+    """The scrubbed text expression (email → url → phone order)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_URL, "<URL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 400,
+    stride: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size character chunks (size=window, stride=
+    hop) — the context-window splitter of a training pipeline. Chunk k
+    covers [1 + k*stride, 1 + k*stride + size); the last chunk starts
+    at the largest k with start <= length.
+
+    One explode of a generated index sequence — no shuffle; chunk
+    count per doc is ceil(len/stride), bounded and known up front.
+
+    Output: (id, chunk_id, chunk_chars, chunk_sha).
+    """
+    n_last = F.greatest(
+        F.floor((F.length(col(text_col)) - 1) / stride), lit(0)
+    ).cast("int")
+    chunk = F.expr(f"substring({text_col}, 1 + _k * {stride}, {size})")
+    return (
+        docs.select(
+            col(id_col),
+            col(text_col),
+            F.explode(F.sequence(lit(0), n_last)).alias("_k"),
+        )
+        .select(
+            col(id_col),
+            col("_k").cast("long").alias("chunk_id"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.sha2(chunk, 256).alias("chunk_sha"),
+        )
+    )
+
+
+def ngram_shingles(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). One
+    narrow projection + explode (same inline-expression discipline as
+    shingle_array_expr — no shuffle, no re-evaluation trap)."""
+    from llamadb_spark.functions.text import with_tokens
+
+    arr = F.when(
+        F.size("_toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_tokens(docs, id_col, text_col).select(
+        col(id_col), F.explode(arr).alias("shingle")
+    )
+
+
+def contamination_check(
+    train: DataFrame, eval_docs: DataFrame, n: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination scan: for every training doc sharing
+    at least one word n-gram with the eval set, report how many
+    distinct n-grams leak and how many eval docs they touch — the
+    pre-training hygiene check against benchmark leakage.
+
+    Scale: shingles join on the shingle string (inverted-index
+    pattern — never doc×doc). The eval side is tiny by construction
+    (held-out benchmarks), so it broadcasts; the train side streams
+    through map-side with no shuffle until the final per-doc agg.
+
+    Output: (id, n_shared_ngrams, n_eval_docs).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tr = ngram_shingles(train, n, id_col, text_col)
+    ev = ngram_shingles(eval_docs, n, id_col, text_col).select(
+        col(id_col).alias("_eval_id"), "shingle"
+    )
+    return (
+        tr.join(broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

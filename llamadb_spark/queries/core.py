@@ -653,6 +653,209 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct set semantics, like
+# the SQL keywords). Spark plans both as aggregated semi/anti joins —
+# one shuffle on the compared row, no row multiplication.
+# ---------------------------------------------------------------------------
+def q25_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").alias("nationkey"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").alias("nationkey"))
+    )
+    both = cn.intersect(sn).select(lit("both").alias("side"), "nationkey")
+    c_only = cn.subtract(sn).select(lit("customer_only").alias("side"), "nationkey")
+    return both.unionAll(c_only)
+
+
+ORACLE_Q25 = """
+SELECT 'both' AS side, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  INTERSECT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+UNION ALL
+SELECT 'customer_only' AS side, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  EXCEPT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window function suite beyond rank: ntile quartiles, lag deltas,
+# running first_value, dense_rank over banded values. One window
+# partitioning (o_custkey) shared by all four — Spark evaluates them
+# in a single Window exec over one shuffle+sort. Tiebreak on
+# o_orderkey keeps ntile/lag deterministic; dense_rank orders by the
+# coarse price band only (ties collapse to one rank, deterministic
+# by construction).
+# ---------------------------------------------------------------------------
+def q26_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+    wb = Window.partitionBy("o_custkey").orderBy(F.floor(col("o_totalprice") / 50000))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.dense_rank().over(wb).cast("long").alias("band_rank"),
+    )
+
+
+ORACLE_Q26 = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ntile(4) OVER w AS quartile,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       first_value(o_totalprice) OVER w AS cheapest,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY floor(o_totalprice / 50000)) AS band_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions: calendar extraction + date_trunc bucketing —
+# the time-rollup shape every fact table gets. Grouping on derived
+# calendar keys still gets map-side partial agg.
+# ---------------------------------------------------------------------------
+def q27_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.date_trunc("month", col("o_orderdate")).alias("month_start"),
+            "o_totalprice",
+        )
+        .groupBy("o_year", "o_quarter", "o_month", "month_start")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q27 = """
+SELECT year(o_orderdate) AS o_year,
+       quarter(o_orderdate) AS o_quarter,
+       month(o_orderdate) AS o_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# String function surface: upper/lower/substr/length/replace/lpad/
+# reverse/trim — all codegen'd JVM built-ins (no UDFs), evaluated in
+# the scan's projection.
+# ---------------------------------------------------------------------------
+def q28_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace(col("p_type"), " ", "_").alias("type_slug"),
+        F.lpad(col("p_partkey").cast("string"), 8, "0").alias("key_pad"),
+        F.reverse(col("p_brand")).alias("brand_rev"),
+        F.trim(F.concat(lit("  "), col("p_brand"), lit("  "))).alias("brand_trim"),
+    )
+
+
+ORACLE_Q28 = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_slug,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+       reverse(p_brand) AS brand_rev,
+       trim('  ' || p_brand || '  ') AS brand_trim
+FROM part WHERE p_partkey <= 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+# (status, priority), (status), and grand total in ONE scan — Spark's
+# Expand operator replicates rows map-side, so the input is read once
+# instead of 3 unioned GROUP BYs.
+# ---------------------------------------------------------------------------
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("llamadb_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM llamadb_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_Q29 = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# NULL-handling surface: COALESCE / NULLIF / null-safe equality
+# (<=> / IS NOT DISTINCT FROM) over outer-join-produced nulls —
+# llamadb's opt-in NULL semantics (Usage.md NULL section) exercised
+# end-to-end.
+# ---------------------------------------------------------------------------
+def q30_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    spent = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spent"))
+    )
+    joined = customer.join(spent, col("c_custkey") == col("o_custkey"), "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.round(col("spent"), 2), lit(0.0)).alias("big_spent"),
+        F.nullif(col("c_mktsegment"), lit("BUILDING")).alias("seg_or_null"),
+        col("spent").eqNullSafe(lit(None).cast("double")).alias("no_big_orders"),
+    )
+
+
+ORACLE_Q30 = """
+SELECT c_custkey,
+       coalesce(round(spent, 2), 0.0) AS big_spent,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       (spent IS NOT DISTINCT FROM NULL) AS no_big_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, sum(o_totalprice) AS spent
+  FROM orders WHERE o_totalprice > 300000 GROUP BY 1
+) o ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_scan": q02_filter_scan,
@@ -676,6 +879,12 @@ QUERIES = {
     "q22_anti_join": q22_anti_join,
     "q23_cube": q23_cube,
     "q24_corr_agg_subquery": q24_corr_agg_subquery,
+    "q25_set_ops": q25_set_ops,
+    "q26_window_suite": q26_window_suite,
+    "q27_date_parts": q27_date_parts,
+    "q28_string_funcs": q28_string_funcs,
+    "q29_grouping_sets": q29_grouping_sets,
+    "q30_null_handling": q30_null_handling,
 }
 
 ORACLES = {
@@ -701,4 +910,10 @@ ORACLES = {
     "q22_anti_join": ORACLE_Q22,
     "q23_cube": ORACLE_Q23,
     "q24_corr_agg_subquery": ORACLE_Q24,
+    "q25_set_ops": ORACLE_Q25,
+    "q26_window_suite": ORACLE_Q26,
+    "q27_date_parts": ORACLE_Q27,
+    "q28_string_funcs": ORACLE_Q28,
+    "q29_grouping_sets": ORACLE_Q29,
+    "q30_null_handling": ORACLE_Q30,
 }

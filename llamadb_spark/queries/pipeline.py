@@ -310,6 +310,156 @@ FROM tot t LEFT JOIN dcount d USING (doc_id)
 """
 
 
+def t07_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.scrub_pii(_docs(spark, sf_dir))
+
+
+ORACLE_T07 = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(length(clean) AS BIGINT) AS clean_chars,
+       sha256(clean) AS clean_sha
+FROM s
+"""
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 400, 300
+
+
+def t08_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_documents(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+ORACLE_T08 = f"""
+WITH ks AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           greatest(CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS INT), 0)))
+           AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(length(substr(text, 1 + k * {CHUNK_STRIDE}, {CHUNK_SIZE})) AS BIGINT)
+         AS chunk_chars,
+       sha256(substr(text, 1 + k * {CHUNK_STRIDE}, {CHUNK_SIZE})) AS chunk_sha
+FROM ks
+"""
+
+
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75}
+
+
+def p01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        rates=SAMPLE_RATES,
+    )
+
+
+ORACLE_P01 = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ((doc_id % 100003) * 2654435761) % 1000 <
+      CASE lang WHEN 'en' THEN {int(SAMPLE_RATES['en']*1000)}
+                WHEN 'de' THEN {int(SAMPLE_RATES['de']*1000)}
+                WHEN 'fr' THEN {int(SAMPLE_RATES['fr']*1000)}
+                WHEN 'es' THEN {int(SAMPLE_RATES['es']*1000)}
+                ELSE 1000 END
+"""
+
+
+#: Deterministic pseudo eval-set: every 97th doc plays the held-out
+#: benchmark whose n-grams must not leak into training.
+EVAL_MOD = 97
+#: 4-grams: strict enough to mean real overlap, loose enough that the
+#: synthetic corpus actually exhibits leakage (8-grams find zero).
+CONTAM_N = 4
+
+
+def p02_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql.functions import col
+
+    train = docs.filter(col("doc_id") % EVAL_MOD != 0)
+    eval_docs = docs.filter(col("doc_id") % EVAL_MOD == 0)
+    return textops.contamination_check(train, eval_docs, n=CONTAM_N)
+
+
+ORACLE_P02 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, k, k + {CONTAM_N - 1}), ' ') AS shingle
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, len(tk) - {CONTAM_N - 1})) AS k
+    FROM toks WHERE len(tk) >= {CONTAM_N}
+  )
+),
+ev AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_ngrams,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+"""
+
+
+def p03_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: first-fit-decreasing is an imperative greedy, not
+    # SQL-expressible; invariants (every doc exactly once, no bin
+    # over budget, fill accounting exact) asserted in
+    # tests/test_pipeline_ops.py.
+    from llamadb_spark.operators import packing
+
+    return packing.pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
+def s04_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+ORACLE_S04 = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, len(v) AS n_dims,
+         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
+              THEN list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, scale,
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)), ',') AS q_csv
+FROM s
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +526,12 @@ QUERIES = {
     "t06_repetition": t06_repetition,
     "m01_multimodal_meta": m01_multimodal_meta,
     "m02_decode_resize": m02_decode_resize,
+    "t07_pii_scrub": t07_pii_scrub,
+    "t08_chunk_documents": t08_chunk_documents,
+    "p01_stratified_sample": p01_stratified_sample,
+    "p02_contamination": p02_contamination,
+    "p03_pack_sequences": p03_pack_sequences,
+    "s04_embed_quantize": s04_embed_quantize,
 }
 
 ORACLES = {
@@ -392,4 +548,9 @@ ORACLES = {
     "t06_repetition": ORACLE_T06,
     "m01_multimodal_meta": ORACLE_M01,
     "m02_decode_resize": ORACLE_M02,
+    "t07_pii_scrub": ORACLE_T07,
+    "t08_chunk_documents": ORACLE_T08,
+    "p01_stratified_sample": ORACLE_P01,
+    "p02_contamination": ORACLE_P02,
+    "s04_embed_quantize": ORACLE_S04,
 }

@@ -1,0 +1,134 @@
+"""Tests for the round-1b pipeline operators: PII scrub, chunking,
+stratified sampling, contamination, sequence packing, embedding
+quantization — semantics on crafted inputs + invariants on testdata
++ plan-shape (no-shuffle) assertions for the per-row ops."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.operators import packing, sampling, similarity, textops
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scrub_pii_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and http://x.io/a?b=1 now"),
+            (2, "call 555-123-4567 or 555 333 2222 twice"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.scrub_pii(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_urls == 1 and rows[1].n_phones == 0
+    assert rows[2].n_phones == 2 and rows[2].n_emails == 0
+    assert rows[3].n_emails == rows[3].n_urls == rows[3].n_phones == 0
+    # scrubbing changed doc 1+2 but not 3
+    import hashlib
+
+    assert rows[3].clean_sha == hashlib.sha256(
+        b"clean text with no pii at all"
+    ).hexdigest()
+
+
+def test_scrub_and_chunk_have_no_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in plan(textops.scrub_pii(docs))
+    assert "Exchange" not in plan(textops.chunk_documents(docs))
+
+
+def test_chunk_documents_covers_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 950), (2, "b" * 10), (3, "c" * 400)],
+        "doc_id long, text string",
+    )
+    out = textops.chunk_documents(df, size=400, stride=300).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1 (950 chars): starts 1,301,601,901 -> lens 400,400,350,50
+    assert len(by_doc[1]) == 4
+    assert sorted(r.chunk_chars for r in by_doc[1]) == [50, 350, 400, 400]
+    # short doc: one whole chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_chars == 10
+    # exact-size doc: chunk 0 full + chunk 1 tail (stride 300 < 400)
+    assert len(by_doc[3]) == 2
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    rates = {"en": 0.25, "de": 0.5}
+    a = sampling.stratified_sample(docs, rates).collect()
+    b = sampling.stratified_sample(docs, rates).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    n_docs = docs.count()
+    assert 0 < len(a) < n_docs
+    # halving a rate can only shrink the stratum (nested samples)
+    half = sampling.stratified_sample(docs, {"en": 0.125, "de": 0.5})
+    en_half = {r.doc_id for r in half.collect() if r.lang == "en"}
+    en_full = {r.doc_id for r in a if r.lang == "en"}
+    assert en_half <= en_full
+
+
+def test_contamination_check_planted_leak(spark):
+    leak = "alpha beta gamma delta epsilon zeta"
+    train = spark.createDataFrame(
+        [(1, f"intro words then {leak} trailing"), (2, "totally different text here")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"benchmark prompt {leak} answer")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textops.contamination_check(train, eval_docs, n=4).collect()}
+    assert 1 in rows and 2 not in rows
+    # 3 shared 4-grams inside the 6-token leak span
+    assert rows[1].n_shared_ngrams == 3 and rows[1].n_eval_docs == 1
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 256
+    out = packing.pack_sequences(docs, budget=budget, n_shards=8).collect()
+    assert len(out) == docs.count()  # every doc exactly once
+    assert len({r.doc_id for r in out}) == len(out)
+    bins: dict[int, list] = {}
+    for r in out:
+        bins.setdefault(r.bin_id, []).append(r)
+    for members in bins.values():
+        fill = sum(r.n_tokens for r in members)
+        assert all(r.bin_fill == fill for r in members)  # exact accounting
+        if len(members) > 1:
+            assert fill <= budget  # only singletons may exceed
+    # FFD should beat one-doc-per-bin substantially
+    assert len(bins) < len(out) * 0.8
+
+
+def test_pack_sequences_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, packing.pack_sequences(docs, budget=512).collect()))
+    b = sorted(
+        map(tuple, packing.pack_sequences(docs.repartition(7), budget=512).collect())
+    )
+    assert a == b  # partitioning-independent
+
+
+def test_quantize_embeddings_range_and_scale(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    for r in out[:50]:
+        qs = [int(x) for x in r.q_csv.split(",")]
+        assert len(qs) == r.n_dims
+        assert all(-127 <= q <= 127 for q in qs)
+        assert max(abs(q) for q in qs) == 127  # max element maps to full scale
+        assert r.scale > 0
