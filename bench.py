@@ -60,6 +60,10 @@ HEADLINE = [
     "p02_contamination",
     "p03_pack_sequences",
     "s04_embed_quantize",
+    "q31_percentiles",
+    "e06_resample_ffill",
+    "t09_tfidf_rank",
+    "s05_label_centroids",
 ]
 
 

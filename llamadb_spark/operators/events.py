@@ -143,3 +143,45 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("event_seq"),
     )
+
+
+def resample_ffill(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Time-series resampling to an hourly grid with forward fill:
+    per user, average the value per hour, generate the user's full
+    hour range (sequence + explode — JVM-side, bounded by span), and
+    carry the last observation forward across gap hours
+    (last(ignorenulls) over an unbounded-preceding window).
+
+    Scale: everything partitions by user_id — one shuffle for the
+    per-hour agg, one for the span, one window sort; the grid explode
+    multiplies rows only by the user's span (bounded, known), never
+    by table size.
+
+    Output: (user_id, hour, hourly_avg, filled_avg) — hourly_avg is
+    NULL on gap hours, filled_avg carries forward (NULL only before a
+    user's first observation).
+    """
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", col("ts")).alias("hour")
+    ).agg(F.round(F.avg(value_col), 6).alias("hourly_avg"))
+    span = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("_h0"),
+        F.date_trunc("hour", F.max("ts")).alias("_h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(col("_h0"), col("_h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "hourly_avg",
+        F.last("hourly_avg", ignorenulls=True).over(w).alias("filled_avg"),
+    )

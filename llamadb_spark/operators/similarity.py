@@ -370,3 +370,29 @@ def quantize_embeddings(
         scale.alias("scale"),
         F.array_join(q, ",").alias("q_csv"),
     )
+
+
+def label_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the seed step of
+    IVF training and prototype classifiers), in long form: one row
+    per (label, dimension).
+
+    posexplode → groupBy(label, dim) avg: the shuffle key (label,
+    dim) has cardinality |labels|·|dims| regardless of corpus size,
+    and partial aggregation collapses each partition's contribution
+    map-side — the scan dominates at 100 TB, not the shuffle.
+
+    Output: (label, dim, centroid).
+    """
+    exploded = emb.select(
+        col(label_col).alias("label"),
+        F.posexplode(as_double(col(vec_col))).alias("dim", "x"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        .withColumn("dim", col("dim").cast("long"))
+    )

@@ -290,3 +290,47 @@ def repetition_ratio(
         .otherwise(lit(0.0))
         .alias("rep_ratio"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF relevance ranking for a bag-of-words query — the
+    no-embedding retrieval baseline. score(d) = Σ_t tf(t,d) ·
+    ln((N+1)/(df_t+1)) over the query terms present in d; top-k with
+    a deterministic (score desc, id asc) tiebreak.
+
+    Scale: tokens are filtered to the query set BEFORE the explode's
+    groupBy, so the shuffle carries only query-term hits; df and N
+    are one-row/tiny aggregates broadcast to the scorer; top-k is
+    TakeOrderedAndProject.
+
+    Output: (id, n_terms, score).
+    """
+    from pyspark.sql.functions import broadcast
+
+    from llamadb_spark.functions.text import with_tokens
+
+    toks = with_tokens(docs, id_col, text_col).select(
+        col(id_col), F.explode("_toks").alias("token")
+    )
+    hits = toks.filter(col("token").isin(query_tokens))
+    tf = hits.groupBy(id_col, "token").agg(F.count(lit(1)).alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count(lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(lit(1)).alias("n_docs"))
+    return (
+        tf.join(broadcast(df_tab), "token")
+        .crossJoin(broadcast(n_docs))
+        .withColumn("idf", F.log((col("n_docs") + 1) / (col("df") + 1)))
+        .groupBy(id_col)
+        .agg(
+            F.count(lit(1)).alias("n_terms"),
+            F.round(F.sum(col("tf") * col("idf")), 6).alias("score"),
+        )
+        .orderBy(col("score").desc(), col(id_col))
+        .limit(k)
+    )

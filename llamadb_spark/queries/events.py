@@ -120,12 +120,38 @@ FROM events
 """
 
 
+def e06_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.resample_ffill(_events(spark, sf_dir))
+
+
+ORACLE_E06 = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         round(avg(value), 6) AS hourly_avg
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', min(ts)),
+                                date_trunc('hour', max(ts)),
+                                INTERVAL '1 hour')) AS hour
+  FROM events GROUP BY user_id
+)
+SELECT g.user_id, g.hour, h.hourly_avg,
+       last_value(h.hourly_avg IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.hour
+               ROWS UNBOUNDED PRECEDING) AS filled_avg
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
     "e03_event_topk": e03_event_topk,
     "e04_sliding_window": e04_sliding_window,
     "e05_running_totals": e05_running_totals,
+    "e06_resample_ffill": e06_resample_ffill,
 }
 
 ORACLES = {
@@ -134,4 +160,5 @@ ORACLES = {
     "e03_event_topk": ORACLE_E03,
     "e04_sliding_window": ORACLE_E04,
     "e05_running_totals": ORACLE_E05,
+    "e06_resample_ffill": ORACLE_E06,
 }

@@ -163,12 +163,74 @@ GROUP BY band_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact percentiles (percentile_cont semantics): one-pass per-group
+# sort + interpolation. Complement to a02's approximate t-digest —
+# exact answers where group sizes allow, sketches where they don't.
+# ---------------------------------------------------------------------------
+def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        F.round(F.percentile("l_discount", 0.5), 6).alias("med_disc"),
+    )
+
+
+ORACLE_Q31 = """
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(quantile_cont(l_discount, 0.5), 6) AS med_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: corr / covar / stddev / variance — the
+# profiling pass over a fact table. All are one-pass merged-moment
+# aggregates (map-side partials). Stats are computed over O(1)-scale
+# columns (corr is normalized; discount/tax are small) so the 6dp
+# round absorbs partial-merge vs serial summation ULP drift.
+# ---------------------------------------------------------------------------
+def q32_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # `+ 0.0` normalizes IEEE negative zero (round can yield -0.0,
+    # whose repr differs between engines even though the value ties)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.stddev_samp("l_discount"), 6) + 0.0).alias("sd_disc"),
+        (F.round(F.var_samp("l_discount"), 6) + 0.0).alias("var_disc"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("cov_disc_tax"),
+        F.count(lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_Q32 = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       round(stddev_samp(l_discount), 6) + 0.0 AS sd_disc,
+       round(var_samp(l_discount), 6) + 0.0 AS var_disc,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q19_rollup": q19_rollup,
     "q20_pivot": q20_pivot,
     "a01_asof_join": a01_asof_join,
     "a02_approx_stats": a02_approx_stats,
     "r01_range_join": r01_range_join,
+    "q31_percentiles": q31_percentiles,
+    "q32_stats_agg": q32_stats_agg,
 }
 
 ORACLES = {
@@ -176,4 +238,6 @@ ORACLES = {
     "q20_pivot": ORACLE_Q20,
     "a01_asof_join": ORACLE_A01,
     "r01_range_join": ORACLE_R01,
+    "q31_percentiles": ORACLE_Q31,
+    "q32_stats_agg": ORACLE_Q32,
 }

@@ -460,6 +460,53 @@ FROM s
 """
 
 
+#: Query terms for the TF-IDF retrieval baseline — mid-frequency
+#: corpus vocabulary so scores spread meaningfully.
+TFIDF_QUERY = ["data", "join", "stream", "filter"]
+TFIDF_K = 20
+
+
+def t09_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.tfidf_topk(_docs(spark, sf_dir), TFIDF_QUERY, k=TFIDF_K)
+
+
+ORACLE_T09 = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({", ".join(repr(t) for t in TFIDF_QUERY)})
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, count(*) AS n_terms,
+       round(sum(tf * ln((n_docs + 1) / (df + 1.0))), 6) AS score
+FROM tf JOIN df USING (token), n
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {TFIDF_K}
+"""
+
+
+def s05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
+ORACLE_S05 = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(x), 6) AS centroid
+FROM (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY 1, 2
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +579,8 @@ QUERIES = {
     "p02_contamination": p02_contamination,
     "p03_pack_sequences": p03_pack_sequences,
     "s04_embed_quantize": s04_embed_quantize,
+    "t09_tfidf_rank": t09_tfidf_rank,
+    "s05_label_centroids": s05_label_centroids,
 }
 
 ORACLES = {
@@ -553,4 +602,6 @@ ORACLES = {
     "p01_stratified_sample": ORACLE_P01,
     "p02_contamination": ORACLE_P02,
     "s04_embed_quantize": ORACLE_S04,
+    "t09_tfidf_rank": ORACLE_T09,
+    "s05_label_centroids": ORACLE_S05,
 }

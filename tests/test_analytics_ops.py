@@ -1,0 +1,66 @@
+"""Tests for the analytics additions: time-series resample+ffill,
+TF-IDF ranking, label centroids, exact percentiles/stats."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+
+from llamadb_spark.operators import events as ev
+from llamadb_spark.operators import similarity, textops
+
+
+def test_resample_ffill_fills_gaps(spark):
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (2, 1, datetime(2024, 1, 1, 0, 50), 20.0),
+        (3, 1, datetime(2024, 1, 1, 3, 5), 40.0),  # 2-hour gap before
+        (4, 2, datetime(2024, 1, 1, 5, 0), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {(r.user_id, r.hour.hour): r for r in ev.resample_ffill(df).collect()}
+    assert len(out) == 5  # user 1: hours 0..3 (4 rows); user 2: hour 5
+    assert out[(1, 0)].hourly_avg == 15.0  # avg(10, 20)
+    assert out[(1, 1)].hourly_avg is None and out[(1, 1)].filled_avg == 15.0
+    assert out[(1, 2)].filled_avg == 15.0  # carried across the gap
+    assert out[(1, 3)].hourly_avg == 40.0 and out[(1, 3)].filled_avg == 40.0
+    assert out[(2, 5)].filled_avg == 7.0
+
+
+def test_tfidf_ranks_planted_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "data join stream filter data join data"),  # dense in query terms
+            (2, "data and some other words entirely unrelated"),
+            (3, "nothing relevant whatsoever in here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.tfidf_topk(docs, ["data", "join", "stream", "filter"], k=3).collect()
+    assert out[0].doc_id == 1 and out[0].n_terms == 4
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 has no hits -> absent
+    assert out[0].score > out[1].score > 0
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.label, r.dim): r.centroid
+        for r in similarity.label_centroids(emb).collect()
+    }
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mean = np.mean(np.stack(grp["embedding"].to_list()).astype("float64"), axis=0)
+        for d in (0, 1, len(mean) - 1):
+            assert abs(got[(label, d)] - round(float(mean[d]), 6)) < 1e-5
+
+
+def test_percentiles_ordering(spark, sf_dir):
+    from llamadb_spark.queries.olap import q31_percentiles
+
+    for r in q31_percentiles(spark, sf_dir).collect():
+        assert r.p25_price <= r.p90_price
+        assert 0 <= r.med_disc <= 0.1
