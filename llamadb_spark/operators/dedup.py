@@ -259,9 +259,12 @@ def connected_components(
 
     Output: (node, cluster_id) for every node appearing in pairs.
     """
-    sym = pairs.select(col(a_col).alias("u"), col(b_col).alias("v")).unionAll(
-        pairs.select(col(b_col).alias("u"), col(a_col).alias("v"))
-    )
+    # Materialize the (tiny) pair list FIRST: the union below
+    # references `pairs` twice, and without this the whole upstream
+    # pair-generation pipeline appears in both branches (ReusedExchange
+    # recovers some but not all of it).
+    pairs = pairs.select(col(a_col).alias("u"), col(b_col).alias("v")).localCheckpoint()
+    sym = pairs.unionAll(pairs.select(col("v").alias("u"), col("u").alias("v")))
     sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().withColumn("label", col("u"))
     for _ in range(max_iter):
