@@ -68,8 +68,19 @@ def jaccard_ngram_pairs(
         F.explode("shingles").alias("shingle"),
     ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
 
-    a = sh.select(col(id_col).alias("a_id"), "sh", col("n_sh").alias("n_a"))
-    b = sh.select(col(id_col).alias("b_id"), "sh", col("n_sh").alias("n_b"))
+    # Never broadcast a side of this join: both sides are the full
+    # exploded shingle index (corpus-sized, not dim-sized) — at scale
+    # a broadcast here is fatal, and locally the stats mislead Spark
+    # into choosing one. shuffle_hash on both sides instead; the two
+    # shuffles canonicalize identically, so the second one becomes a
+    # ReusedExchange and the shingle pipeline (regex split + 3-gram
+    # transform, the CPU-heavy part) runs ONCE, not twice.
+    a = sh.select(col(id_col).alias("a_id"), "sh", col("n_sh").alias("n_a")).hint(
+        "shuffle_hash"
+    )
+    b = sh.select(col(id_col).alias("b_id"), "sh", col("n_sh").alias("n_b")).hint(
+        "shuffle_hash"
+    )
     inter = (
         a.join(b, "sh")
         .filter(col("a_id") < col("b_id"))
@@ -146,7 +157,14 @@ def minhash_lsh_pairs(
     has no DuckDB twin).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    # The signature table is referenced FOUR times below (two banded
+    # self-join sides + two verification join-backs); without an
+    # explicit materialization Spark re-runs the whole shingle+minhash
+    # pipeline (the CPU-dominant stage) for each reference. At cluster
+    # scale this would be a checkpoint/staged table; locally,
+    # localCheckpoint. Size is tiny relative to the corpus: k×8 bytes
+    # per doc vs the full text.
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes).localCheckpoint()
     # Band rows carry ONLY (id, band_id, bucket) — 8 banded copies of
     # the 256-byte signature through the shuffle would dominate the
     # join payload; sigs rejoin onto the (much smaller) candidate set
@@ -168,8 +186,14 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(col(id_col), "band.band_id", "band.bucket")
 
-    a = banded.select(col(id_col).alias("a_id"), "band_id", "bucket")
-    b = banded.select(col(id_col).alias("b_id"), "band_id", "bucket")
+    # Corpus-sized on both sides — never broadcastable (see d02 note);
+    # shuffle_hash also lets the second shuffle reuse the first.
+    a = banded.select(col(id_col).alias("a_id"), "band_id", "bucket").hint(
+        "shuffle_hash"
+    )
+    b = banded.select(col(id_col).alias("b_id"), "band_id", "bucket").hint(
+        "shuffle_hash"
+    )
     pairs = (
         a.join(b, ["band_id", "bucket"])
         .filter(col("a_id") < col("b_id"))
