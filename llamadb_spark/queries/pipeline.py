@@ -101,6 +101,47 @@ FROM reach GROUP BY u
 """
 
 
+def d07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: pairs → clusters → filtered corpus. The
+    operation a production pipeline actually runs — keep each
+    cluster's min-doc_id representative, drop the rest, and report
+    the surviving corpus per source.
+
+    Scale: the drop-list (non-canonical cluster members) is tiny —
+    proportional to duplicates found, not corpus size — so the final
+    filter is an explicit broadcast LEFT ANTI join: one corpus pass,
+    no corpus shuffle. The per-source aggregate does map-side
+    partial agg on top.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast, col
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "a_id", "b_id"
+    )
+    cc = dedup.connected_components(pairs)
+    losers = cc.filter(col("node") != col("cluster_id")).select(
+        col("node").alias("doc_id")
+    )
+    survivors = docs.join(broadcast(losers), "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_D07 = f"""
+WITH cc AS ({ORACLE_D06})
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+GROUP BY source
+"""
+
+
 def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64 signatures have no DuckDB twin; recall vs
     # the exact d02 pairs is asserted in tests/test_dedup.py.
@@ -560,6 +601,7 @@ QUERIES = {
     "d02_jaccard_ngram": d02_jaccard_ngram,
     "d03_minhash_lsh": d03_minhash_lsh,
     "d06_dedup_clusters": d06_dedup_clusters,
+    "d07_dedup_apply": d07_dedup_apply,
     "d04_simhash": d04_simhash,
     "d05_embed_neardup": d05_embed_neardup,
     "s01_knn_bruteforce": s01_knn_bruteforce,
@@ -588,6 +630,7 @@ ORACLES = {
     "d02_jaccard_ngram": ORACLE_D02,
     "d05_embed_neardup": ORACLE_D05,
     "d06_dedup_clusters": ORACLE_D06,
+    "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,
     "t02_quality_score": ORACLE_T02,

@@ -94,3 +94,25 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_d07_dedup_apply_drops_only_nonrepresentatives(spark, sf_dir):
+    from llamadb_spark.queries.pipeline import (
+        JACCARD_THRESHOLD,
+        d07_dedup_apply,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = dedup.connected_components(pairs.select("a_id", "b_id"))
+    n_losers = cc.filter(F.col("node") != F.col("cluster_id")).count()
+
+    out = d07_dedup_apply(spark, sf_dir)
+    surviving = sum(r.n_docs for r in out.collect())
+    assert surviving == docs.count() - n_losers
+    # the corpus-side filter must be a broadcast anti join (drop-list
+    # is duplicate-sized, never corpus-sized)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
