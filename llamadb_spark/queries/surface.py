@@ -178,11 +178,57 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact decimal arithmetic. llamadb's integer types map to Spark
+# decimals at the wide end (U64→DECIMAL(20,0), SURVEY §3 / reference
+# `docs/Column Types.md`); this query is the money-sum shape where
+# decimals matter: fixed-point aggregation is EXACT and
+# order-insensitive, so no rounding discipline is needed on either
+# engine — unlike every double-summing query in this repo.
+#
+# Scale: decimal agg is still map-side partial (sum of unscaled
+# longs for precision ≤ 18, int128 above); exactness costs one
+# widening, not a shuffle. avg() is intentionally absent: Spark
+# keeps decimal avg in decimal, DuckDB returns double — derive
+# averages downstream as sum/count.
+# ---------------------------------------------------------------------------
+def q37_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    p = col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(col("o_orderpriority"), p.alias("p"))
+        .groupBy("o_orderpriority")
+        .agg(
+            # aggregation happens IN decimal (exact); the final cast
+            # to double is presentation only — applied identically in
+            # the oracle so both engines render the same exact value
+            # (duckdb→pandas degrades DECIMAL to float64 anyway)
+            F.sum("p").cast("double").alias("sum_price"),
+            F.min("p").cast("double").alias("min_price"),
+            F.max("p").cast("double").alias("max_price"),
+            F.count(lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q37 = """
+SELECT o_orderpriority,
+       CAST(sum(p) AS DOUBLE) AS sum_price,
+       CAST(min(p) AS DOUBLE) AS min_price,
+       CAST(max(p) AS DOUBLE) AS max_price,
+       count(*) AS n_orders
+FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q33_full_outer_join": q33_full_outer_join,
     "q34_explode_tokens": q34_explode_tokens,
     "q35_json_extract": q35_json_extract,
     "q36_regexp_extract": q36_regexp_extract,
+    "q37_decimal_exact": q37_decimal_exact,
 }
 
 ORACLES = {
@@ -190,4 +236,5 @@ ORACLES = {
     "q34_explode_tokens": ORACLE_Q34,
     "q35_json_extract": ORACLE_Q35,
     "q36_regexp_extract": ORACLE_Q36,
+    "q37_decimal_exact": ORACLE_Q37,
 }
