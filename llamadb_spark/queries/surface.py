@@ -223,12 +223,60 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-range window frames: per-user rolling 1-hour event-value sum
+# (RANGE BETWEEN INTERVAL ... PRECEDING). Complements q26's row-based
+# frames — range frames are what time-series rollups actually need
+# (a row-count frame is wrong under irregular event spacing).
+#
+# Spark's rangeBetween needs a numeric ordering key. events.ts is
+# TIMESTAMP(NANOS) parquet, which Spark surfaces as a nanos long
+# (see queries/events.py:_events); the frame runs over microseconds
+# (ts div 1000) — the exact precision of DuckDB's TIMESTAMP — so
+# both engines draw identical inclusive window bounds.
+#
+# Scale: one shuffle on user_id, then a per-partition sort; the
+# frame is evaluated with a sliding accumulator, not O(n²) rescans.
+# Top-level ordering keeps the driver compare deterministic without
+# constraining the window itself.
+# ---------------------------------------------------------------------------
+def q38_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts div 1000"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.filter(col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("rolling_1h_value"),
+        )
+    )
+
+
+ORACLE_Q38 = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_1h_value
+FROM events
+WHERE user_id < 200
+"""
+
+
 QUERIES = {
     "q33_full_outer_join": q33_full_outer_join,
     "q34_explode_tokens": q34_explode_tokens,
     "q35_json_extract": q35_json_extract,
     "q36_regexp_extract": q36_regexp_extract,
     "q37_decimal_exact": q37_decimal_exact,
+    "q38_range_frame": q38_range_frame,
 }
 
 ORACLES = {
@@ -237,4 +285,5 @@ ORACLES = {
     "q35_json_extract": ORACLE_Q35,
     "q36_regexp_extract": ORACLE_Q36,
     "q37_decimal_exact": ORACLE_Q37,
+    "q38_range_frame": ORACLE_Q38,
 }
