@@ -302,10 +302,18 @@ def lsh_ann_pairs(
     in tests instead).
     """
     v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
-    tables = []
-    for t in range(num_tables):
-        d = F.size(col("v"))
-        plane_dot = lambda p: F.aggregate(  # noqa: E731
+
+    # All num_tables bucket ids are computed in ONE projection over
+    # ONE scan (array-of-structs + explode), not num_tables separate
+    # scans unioned — same per-row compute, 1/num_tables the IO. The
+    # exploded rows carry only (_id, tbl, bucket): vectors must NOT
+    # ride through the bucket self-join (num_tables copies of every
+    # vector through the shuffle); they rejoin onto the candidate set
+    # below, which is bucket-bounded and tiny.
+    d = F.size(col("v"))
+
+    def plane_dot(t: int, p: int):
+        return F.aggregate(
             F.zip_with(
                 col("v"),
                 F.sequence(lit(0), d - 1),
@@ -318,33 +326,42 @@ def lsh_ann_pairs(
             lit(0.0),
             lambda acc, x: acc + x,
         )
+
+    def bucket_expr(t: int):
         bucket = lit(0)
         for p in range(num_planes):
             bucket = bucket.bitwiseOR(
-                F.when(plane_dot(p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
+                F.when(plane_dot(t, p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
             )
-        tables.append(v.select("_id", "v", lit(t).alias("tbl"), bucket.alias("bucket")))
-    banded = tables[0]
-    for other in tables[1:]:
-        banded = banded.unionAll(other)
+        return bucket
 
-    a = banded.select(
-        col("_id").alias("a_id"), col("v").alias("a_v"), "tbl", "bucket"
+    entries = F.array(
+        *[
+            F.struct(lit(t).alias("tbl"), bucket_expr(t).alias("bucket"))
+            for t in range(num_tables)
+        ]
     )
-    b = banded.select(
-        col("_id").alias("b_id"), col("v").alias("b_v"), "tbl", "bucket"
+    banded = v.select("_id", F.explode(entries).alias("e")).select(
+        "_id", col("e.tbl").alias("tbl"), col("e.bucket").alias("bucket")
     )
+
+    # Corpus-sized both sides — shuffle join, never broadcast (d02 note)
+    a = banded.select(col("_id").alias("a_id"), "tbl", "bucket").hint("shuffle_hash")
+    b = banded.select(col("_id").alias("b_id"), "tbl", "bucket").hint("shuffle_hash")
     cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v")
+        .select("a_id", "b_id")
         .distinct()
     )
-    return (
-        cand.withColumn("cos", F.round(cosine(col("a_v"), col("b_v")), 6))
-        .filter(col("cos") >= threshold)
-        .select("a_id", "b_id", "cos")
+    # Vector join-backs: cand is duplicate-candidate-sized → AQE
+    # broadcasts it against the corpus vector table (one pass each).
+    scored = (
+        cand.join(v.select(col("_id").alias("a_id"), col("v").alias("a_v")), "a_id")
+        .join(v.select(col("_id").alias("b_id"), col("v").alias("b_v")), "b_id")
+        .withColumn("cos", F.round(cosine(col("a_v"), col("b_v")), 6))
     )
+    return scored.filter(col("cos") >= threshold).select("a_id", "b_id", "cos")
 
 
 def quantize_embeddings(
