@@ -64,6 +64,11 @@ HEADLINE = [
     "e06_resample_ffill",
     "t09_tfidf_rank",
     "s05_label_centroids",
+    "q39_semi_join",
+    "q40_conditional_agg",
+    "q42_cte_top_supplier",
+    "q43_min_cost_supplier",
+    "q44_market_share",
 ]
 
 

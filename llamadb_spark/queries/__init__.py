@@ -4,9 +4,9 @@ DuckDB-runnable ANSI SQL). Keys match SURVEY.md §2."""
 
 from __future__ import annotations
 
-from llamadb_spark.queries import core, events, olap, pipeline, surface
+from llamadb_spark.queries import advanced, core, events, olap, pipeline, surface
 
-_MODULES = (core, pipeline, events, olap, surface)
+_MODULES = (core, pipeline, events, olap, surface, advanced)
 
 
 def all_queries():

@@ -1,0 +1,89 @@
+"""Surface-batch-3 tests: semi join / conditional agg / array HOFs /
+CTE / correlated-min / market share — semantics spot-checks plus the
+plan shapes that matter at scale (semi join physical op, broadcast
+dims, no Python, pruned scans)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from llamadb_spark.queries import advanced
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q39_semi_join_no_duplicates(spark, sf_dir):
+    df = advanced.q39_semi_join(spark, sf_dir)
+    # physical plan uses a semi join (EXISTS form), never inner+distinct
+    assert "LeftSemi" in plan(df)
+    rows = df.collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys)) > 0
+
+
+def test_q40_conditional_agg_one_scan(spark, sf_dir):
+    df = advanced.q40_conditional_agg(spark, sf_dir)
+    p = plan(df)
+    # customer is broadcast; orders scanned exactly once (one metric
+    # pass, not one scan per conditional metric)
+    assert "BroadcastHashJoin" in p
+    assert p.count("orders.parquet") == 1
+    rows = {r.c_mktsegment: r for r in df.collect()}
+    assert all(0 <= r.n_urgent <= r.n_orders for r in rows.values())
+    assert all(abs(r.urgent_share - r.n_urgent / r.n_orders) < 1e-5 for r in rows.values())
+
+
+def test_q41_array_hof_stays_codegen(spark, sf_dir):
+    df = advanced.q41_array_hof(spark, sf_dir)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    rows = df.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r.dim == 64 and 0 <= r.n_pos <= r.dim and r.l2_norm >= 0
+
+
+def test_q42_cte_single_winner_has_max_revenue(spark, sf_dir):
+    rows = advanced.q42_cte_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    # winner's revenue equals the global per-supplier max
+    from llamadb_spark.queries.advanced import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    mx = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+        .agg(F.round(F.max("r"), 2).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert all(abs(r.total_revenue - mx) < 1e-6 for r in rows)
+
+
+def test_q43_min_cost_rows_are_per_part_minima(spark, sf_dir):
+    df = advanced.q43_min_cost_supplier(spark, sf_dir).cache()
+    try:
+        assert "BroadcastHashJoin" in plan(df)
+        # every returned price equals the min over returned rows of
+        # that part (no sub-minimal row survives the equality join)
+        bad = (
+            df.groupBy("p_partkey")
+            .agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .count()
+        )
+        assert bad == 0 and df.count() > 0
+    finally:
+        df.unpersist()
+
+
+def test_q44_market_share_bounded(spark, sf_dir):
+    rows = advanced.q44_market_share(spark, sf_dir).collect()
+    assert len(rows) >= 5  # one row per order year
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+    years = [r.o_year for r in rows]
+    assert years == sorted(years)
