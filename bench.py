@@ -69,6 +69,9 @@ HEADLINE = [
     "q42_cte_top_supplier",
     "q43_min_cost_supplier",
     "q44_market_share",
+    "p04_profile",
+    "t10_token_entropy",
+    "s06_centroid_sim",
 ]
 
 

@@ -334,3 +334,36 @@ def tfidf_topk(
         .orderBy(col("score").desc(), col(id_col))
         .limit(k)
     )
+
+def token_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats)
+    — a repetition/quality signal: low entropy = template/boilerplate
+    text, high entropy = diverse vocabulary. Complements
+    `repetition_ratio` (which looks at shingles, not unigrams).
+
+    H = ln(n) - (Σ c·ln c)/n over per-doc token counts c — computed
+    with two map-side-combined aggregations, no window functions.
+
+    Scale: project to (id, carry, token) BEFORE exploding (the
+    explode multiplies rows ~100×; every extra byte carried is
+    multiplied too). Both groupBys partially aggregate before their
+    shuffle, so shuffle volume is per-doc-distinct-token bounded,
+    not corpus-token bounded. Entirely codegen'd built-ins.
+    """
+    tok = docs.select(
+        col(id_col), *[col(c) for c in carry_cols],
+        F.explode(tokens(col(text_col))).alias("token"),
+    ).filter(col("token") != "")
+    counts = tok.groupBy(id_col, *carry_cols, "token").agg(
+        F.count(lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    return counts.groupBy(id_col, *carry_cols).agg(
+        n.alias("n_tokens"),
+        (F.log(n) - F.sum(col("c") * F.log("c")) / n).alias("entropy"),
+    )

@@ -8,6 +8,7 @@ xxhash64, which DuckDB lacks → rows-only checks by design).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from llamadb_spark.operators import dedup, multimodal, similarity, textops
 from llamadb_spark.functions.text import STOPWORDS
@@ -548,6 +549,134 @@ GROUP BY 1, 2
 """
 
 
+def p04_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column census over documents (operators/
+    profiling.py): null counts, exact distinct cardinalities, native
+    min/max — the pre-training data-quality gate."""
+    from llamadb_spark.operators.profiling import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir), ["lang", "source", "n_chars"])
+
+
+ORACLE_P04 = """
+SELECT 'lang' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT lang) AS n_distinct,
+       CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
+def t10_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy profile: per-doc unigram Shannon entropy
+    (operators/textops.py token_entropy), rolled up per language.
+    Low-entropy languages flag template-heavy slices of the corpus."""
+    ent = textops.token_entropy(_docs(spark, sf_dir), carry_cols=("lang",))
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+        )
+    )
+
+
+ORACLE_T10 = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT doc_id, lang, token, count(*) AS c
+  FROM tok WHERE token <> ''
+  GROUP BY doc_id, lang, token
+), ent AS (
+  SELECT doc_id, lang,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+  FROM tc GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       round(min(entropy), 6) AS min_entropy,
+       round(max(entropy), 6) AS max_entropy
+FROM ent GROUP BY lang
+"""
+
+
+def s06_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix — which classes sit close
+    in embedding space (label-confusion structure, cluster-merge
+    candidates). Built on the dims-long centroid form: per-(label,
+    dim) means self-joined on dim, grouped per label pair.
+
+    Scale: the corpus pass is ONE map-side-combined aggregation to
+    k×d rows (tiny); the pairwise cosine works entirely on that k×d
+    table — a broadcast self-join on dim with k² output, independent
+    of corpus size. No collect, no UDF, all codegen'd."""
+    emb = _emb(spark, sf_dir)
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    a, b = dims.alias("a"), dims.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("a.m") * F.col("b.m"))
+                / (
+                    F.sqrt(F.sum(F.col("a.m") * F.col("a.m")))
+                    * F.sqrt(F.sum(F.col("b.m") * F.col("b.m")))
+                ),
+                6,
+            ).alias("cos")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+ORACLE_S06 = """
+WITH dims AS (
+  SELECT label, dim, avg(x) AS m
+  FROM (SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+  GROUP BY label, dim
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.m * b.m)
+             / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))), 6) AS cos
+FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,6 +752,9 @@ QUERIES = {
     "s04_embed_quantize": s04_embed_quantize,
     "t09_tfidf_rank": t09_tfidf_rank,
     "s05_label_centroids": s05_label_centroids,
+    "p04_profile": p04_profile,
+    "t10_token_entropy": t10_token_entropy,
+    "s06_centroid_sim": s06_centroid_sim,
 }
 
 ORACLES = {
@@ -647,4 +779,7 @@ ORACLES = {
     "s04_embed_quantize": ORACLE_S04,
     "t09_tfidf_rank": ORACLE_T09,
     "s05_label_centroids": ORACLE_S05,
+    "p04_profile": ORACLE_P04,
+    "t10_token_entropy": ORACLE_T10,
+    "s06_centroid_sim": ORACLE_S06,
 }
