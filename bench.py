@@ -72,6 +72,8 @@ HEADLINE = [
     "p04_profile",
     "t10_token_entropy",
     "s06_centroid_sim",
+    "e07_stream_enrich",
+    "e08_rate_anomaly",
 ]
 
 

@@ -185,3 +185,54 @@ def resample_ffill(events: DataFrame, value_col: str = "value") -> DataFrame:
         "hourly_avg",
         F.last("hourly_avg", ignorenulls=True).over(w).alias("filled_avg"),
     )
+
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    key_left: str = "user_id",
+    key_right: str = "c_custkey",
+) -> DataFrame:
+    """Dimension enrichment: per-(segment, event_type) rollup of the
+    event stream joined to a user dimension — the canonical
+    stream-static join (streaming twin: enriched_counts_stream).
+
+    Scale: the dimension is broadcast (users fit executor memory at
+    any SF where a broadcast dim makes sense; beyond that, pre-bucket
+    both sides). The join is map-side — the only shuffle is the tiny
+    grouped rollup, partially aggregated before it moves.
+    """
+    return (
+        events.join(F.broadcast(dim), col(key_left) == col(key_right))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def event_rate_zscore(events: DataFrame, bucket: str = "minute") -> DataFrame:
+    """Per-type event-rate anomaly signal: bucket counts per
+    (event_type, minute), then z-score each bucket against its type's
+    mean/stddev across all buckets.
+
+    Scale: the raw pass is one map-side-combined groupBy down to
+    (types × minutes) rows; the per-type stats run as a window over
+    that already-tiny table (per-type partitions, no second scan of
+    the events). Zero-variance types yield NULL z (nullif guard), not
+    a division blowup.
+
+    Output: (event_type, minute_start, n_events, z).
+    """
+    buckets = events.groupBy(
+        "event_type", F.date_trunc(bucket, col("ts")).alias("minute_start")
+    ).agg(F.count(lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp(col("n_events").cast("double")).over(w)
+    return buckets.select(
+        "event_type",
+        "minute_start",
+        "n_events",
+        F.round((col("n_events") - mean) / F.nullif(std, lit(0.0)), 6).alias("z"),
+    )

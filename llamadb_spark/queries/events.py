@@ -145,6 +145,43 @@ FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
 """
 
 
+def e07_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static dimension join (streaming twin
+    covered by the stream≡batch test): events enriched with the
+    customer segment, rolled up per (segment, event_type)."""
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return ev.enrich_events(_events(spark, sf_dir), dim)
+
+
+ORACLE_E07 = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def e08_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.event_rate_zscore(_events(spark, sf_dir))
+
+
+ORACLE_E08 = """
+WITH buckets AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute_start,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, minute_start, n_events,
+       round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+             / nullif(stddev_samp(CAST(n_events AS DOUBLE))
+                        OVER (PARTITION BY event_type), 0.0), 6) AS z
+FROM buckets
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -152,6 +189,8 @@ QUERIES = {
     "e04_sliding_window": e04_sliding_window,
     "e05_running_totals": e05_running_totals,
     "e06_resample_ffill": e06_resample_ffill,
+    "e07_stream_enrich": e07_stream_enrich,
+    "e08_rate_anomaly": e08_rate_anomaly,
 }
 
 ORACLES = {
@@ -161,4 +200,6 @@ ORACLES = {
     "e04_sliding_window": ORACLE_E04,
     "e05_running_totals": ORACLE_E05,
     "e06_resample_ffill": ORACLE_E06,
+    "e07_stream_enrich": ORACLE_E07,
+    "e08_rate_anomaly": ORACLE_E08,
 }

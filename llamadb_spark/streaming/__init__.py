@@ -2,6 +2,7 @@
 
 from llamadb_spark.streaming.streams import (
     dedup_stream,
+    enriched_counts_stream,
     purchases_with_recent_views_stream,
     read_events_stream,
     run_to_memory,
@@ -13,5 +14,6 @@ __all__ = [
     "windowed_counts_stream",
     "run_to_memory",
     "dedup_stream",
+    "enriched_counts_stream",
     "purchases_with_recent_views_stream",
 ]

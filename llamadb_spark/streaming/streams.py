@@ -151,3 +151,20 @@ def run_to_memory(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(name)
+
+def enriched_counts_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + rollup: the streaming twin of
+    operators/events.enrich_events. The static side is planned as a
+    broadcast against every micro-batch (re-resolved per batch, so a
+    slowly-changing dim picks up updates); no stream-side state is
+    needed for a stream-static inner join — only the downstream
+    aggregation holds state.
+    """
+    return (
+        events.join(F.broadcast(dim), col("user_id") == col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -128,3 +128,46 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     got_rows = {key(r): (r.n_events, r.total_value) for r in got.collect()}
     batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
     assert got_rows == batch_rows and len(got_rows) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static join twin: the enriched rollup computed over the
+    drained stream must equal the batch operator's result, and the
+    static side must plan as a broadcast against each micro-batch."""
+    from llamadb_spark.operators.events import enrich_events
+    from llamadb_spark.streaming import enriched_counts_stream
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = enriched_counts_stream(read_events_stream(spark, sf_dir), dim)
+    got = run_to_memory(stream, "enrich_test")
+    batch = enrich_events(_events(spark, sf_dir), dim)
+
+    key = lambda r: (r.c_mktsegment, r.event_type)  # noqa: E731
+    got_rows = {key(r): (r.n_events, r.total_value) for r in got.collect()}
+    batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got_rows == batch_rows and len(got_rows) > 0
+
+
+def test_rate_zscore_is_standardized(spark, sf_dir):
+    """Within each event_type the z-scores must have ~zero mean and
+    unit variance (they're a standardization of the bucket counts)."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.operators.events import event_rate_zscore
+
+    # hour buckets: at sf0.001 minute buckets are almost all count=1
+    # (zero variance -> no z); hours have real count spread
+    z = event_rate_zscore(_events(spark, sf_dir), bucket="hour")
+    stats = (
+        z.filter(F.col("z").isNotNull())
+        .groupBy("event_type")
+        .agg(F.avg("z").alias("mu"), F.stddev_samp("z").alias("sd"))
+        .collect()
+    )
+    # types with <2 buckets (or zero variance) legitimately have no
+    # z-scores; the populated ones must be standardized
+    assert len(stats) > 0
+    for r in stats:
+        assert abs(r.mu) < 1e-6 and abs(r.sd - 1.0) < 1e-3
