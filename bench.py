@@ -74,6 +74,10 @@ HEADLINE = [
     "s06_centroid_sim",
     "e07_stream_enrich",
     "e08_rate_anomaly",
+    "p05_tombstone_delete",
+    "t11_langid_confusion",
+    "q45_unpivot",
+    "q46_scd2_intervals",
 ]
 
 

@@ -18,16 +18,24 @@ from llamadb_spark.functions.text import (
 )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Stopword-marker language ID: count distinct stopword types per
     language, argmax with fixed priority en>de>fr>es, 'und'
     (undetermined) when no list hits.
 
-    Output: (id, hits_en, hits_de, hits_fr, hits_es, pred_lang).
+    Output: (id, *carry_cols, hits_en, hits_de, hits_fr, hits_es,
+    pred_lang). `carry_cols` ride along in the same scan so callers
+    never need a join back to the source.
     """
     toks = distinct_tokens(col(text_col))
     d = docs.select(
         col(id_col),
+        *[col(c) for c in carry_cols],
         *[
             stopword_hits(toks, lang).cast("long").alias(f"hits_{lang}")
             for lang in STOPWORDS

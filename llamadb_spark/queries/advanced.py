@@ -284,6 +284,91 @@ ORDER BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (the inverse of q20's PIVOT): a wide per-priority
+# metrics row turned long via `stack` — one row per (priority,
+# metric). Metrics are all cast to double so the long column is
+# uniformly typed.
+#
+# Scale: the unpivot is a zero-shuffle projection over an already-
+# aggregated 5-row table; the only real work is the one map-side-
+# combined aggregation producing the wide form.
+# ---------------------------------------------------------------------------
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+    return wide.select(
+        col("o_orderpriority"),
+        F.stack(
+            lit(3),
+            lit("n_orders"), col("n_orders"),
+            lit("sum_price"), col("sum_price"),
+            lit("avg_price"), col("avg_price"),
+        ).alias("metric", "value"),
+    )
+
+
+ORACLE_Q45 = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 4) AS sum_price,
+         round(avg(o_totalprice), 6) AS avg_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval construction (CDC modeling): each customer's order
+# history becomes validity intervals — valid_from = this order's
+# date, valid_to = the next order's date (NULL on the current row).
+# The lead() window is the whole trick: one shuffle on the business
+# key, one in-partition sort, no self-join.
+#
+# Scale: this is how a 100 TB change log becomes a point-in-time
+# dimension — per-key windows parallelize across keys; a hot key is
+# a bounded in-partition sort, never a cross-partition problem.
+# ---------------------------------------------------------------------------
+def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        )
+    )
+
+
+ORACLE_Q46 = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -291,6 +376,8 @@ QUERIES = {
     "q42_cte_top_supplier": q42_cte_top_supplier,
     "q43_min_cost_supplier": q43_min_cost_supplier,
     "q44_market_share": q44_market_share,
+    "q45_unpivot": q45_unpivot,
+    "q46_scd2_intervals": q46_scd2_intervals,
 }
 
 ORACLES = {
@@ -300,4 +387,6 @@ ORACLES = {
     "q42_cte_top_supplier": ORACLE_Q42,
     "q43_min_cost_supplier": ORACLE_Q43,
     "q44_market_share": ORACLE_Q44,
+    "q45_unpivot": ORACLE_Q45,
+    "q46_scd2_intervals": ORACLE_Q46,
 }

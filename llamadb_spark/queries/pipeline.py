@@ -677,6 +677,72 @@ ORDER BY label_a, label_b
 """
 
 
+def p05_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion (GDPR/takedown shape): remove every document
+    on a tombstone list from the corpus via broadcast LEFT ANTI join.
+
+    The tombstone list is deterministic here (doc_id % 97 == 0 stands
+    in for the request table). Scale: deletion lists are tiny relative
+    to the corpus → broadcast anti join, no corpus shuffle at all;
+    the corpus pass stays a single scan. This is the compliance twin
+    of d07's dedup-apply (same anti-join shape, different driver).
+    """
+    docs = _docs(spark, sf_dir)
+    tombstones = docs.filter((F.col("doc_id") % 97) == 0).select("doc_id")
+    return (
+        docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+ORACLE_P05 = """
+SELECT doc_id, lang, source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents t
+                  WHERE t.doc_id % 97 = 0 AND t.doc_id = d.doc_id)
+"""
+
+
+def t11_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix: actual corpus language vs
+    the stopword-heuristic prediction (t01), with per-actual-language
+    share. The standard quality-eval rollup a pipeline runs after any
+    heuristic labeler.
+
+    Scale: the prediction is computed per-row in the same scan as the
+    actual label (no join — language_id carries lang through), so the
+    only shuffle is the tiny (lang × pred_lang) aggregation.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    pred = textops.language_id(docs, id_col="doc_id", carry_cols=("lang",))
+    per_pair = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return per_pair.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("share_of_actual"),
+    )
+
+
+ORACLE_T11 = f"""
+WITH pred AS ({ORACLE_T01}),
+pairs AS (
+  SELECT d.lang, p.pred_lang, count(*) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY d.lang, p.pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE),
+             6) AS share_of_actual
+FROM pairs
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +821,8 @@ QUERIES = {
     "p04_profile": p04_profile,
     "t10_token_entropy": t10_token_entropy,
     "s06_centroid_sim": s06_centroid_sim,
+    "p05_tombstone_delete": p05_tombstone_delete,
+    "t11_langid_confusion": t11_langid_confusion,
 }
 
 ORACLES = {
@@ -782,4 +850,6 @@ ORACLES = {
     "p04_profile": ORACLE_P04,
     "t10_token_entropy": ORACLE_T10,
     "s06_centroid_sim": ORACLE_S06,
+    "p05_tombstone_delete": ORACLE_P05,
+    "t11_langid_confusion": ORACLE_T11,
 }

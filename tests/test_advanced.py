@@ -87,3 +87,29 @@ def test_q44_market_share_bounded(spark, sf_dir):
     assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
     years = [r.o_year for r in rows]
     assert years == sorted(years)
+
+
+def test_q45_unpivot_row_multiplication(spark, sf_dir):
+    df = advanced.q45_unpivot(spark, sf_dir)
+    rows = df.collect()
+    prios = {r.o_orderpriority for r in rows}
+    # 3 metric rows per priority, uniformly typed double values
+    assert len(rows) == 3 * len(prios)
+    assert {r.metric for r in rows} == {"n_orders", "sum_price", "avg_price"}
+    assert all(isinstance(r.value, float) for r in rows)
+
+
+def test_q46_scd2_intervals_chain(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    df = advanced.q46_scd2_intervals(spark, sf_dir).cache()
+    try:
+        # exactly one open (current) interval per customer
+        per_cust = df.groupBy("o_custkey").agg(
+            FF.sum(FF.col("is_current").cast("int")).alias("n_open")
+        )
+        assert per_cust.filter(FF.col("n_open") != 1).count() == 0
+        # intervals never invert
+        assert df.filter(FF.col("valid_to") < FF.col("valid_from")).count() == 0
+    finally:
+        df.unpersist()

@@ -67,3 +67,30 @@ def test_centroid_sim_symmetric_range(spark, sf_dir):
     assert len(rows) == n_labels * (n_labels - 1) // 2
     assert all(-1.0 <= r.cos <= 1.0 for r in rows)
     assert all(r.label_a < r.label_b for r in rows)
+
+
+def test_p05_tombstone_delete_removes_exactly_list(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from llamadb_spark.queries.pipeline import p05_tombstone_delete
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surv = p05_tombstone_delete(spark, sf_dir)
+    n_tomb = docs.filter((FF.col("doc_id") % 97) == 0).count()
+    assert surv.count() == docs.count() - n_tomb
+    assert surv.filter((FF.col("doc_id") % 97) == 0).count() == 0
+
+
+def test_t11_confusion_shares_sum_to_one(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from llamadb_spark.queries.pipeline import t11_langid_confusion
+
+    df = t11_langid_confusion(spark, sf_dir)
+    # no join back to the source: single scan of documents
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("documents.parquet") == 1
+    sums = df.groupBy("lang").agg(FF.sum("share_of_actual").alias("s")).collect()
+    assert sums and all(abs(r.s - 1.0) < 1e-4 for r in sums)
