@@ -78,6 +78,10 @@ HEADLINE = [
     "t11_langid_confusion",
     "q45_unpivot",
     "q46_scd2_intervals",
+    "h03_shipping_priority",
+    "h06_revenue_forecast",
+    "h07_volume_shipping",
+    "h10_returned_items",
 ]
 
 

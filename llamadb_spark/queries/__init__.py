@@ -4,9 +4,9 @@ DuckDB-runnable ANSI SQL). Keys match SURVEY.md §2."""
 
 from __future__ import annotations
 
-from llamadb_spark.queries import advanced, core, events, olap, pipeline, surface
+from llamadb_spark.queries import advanced, core, events, olap, pipeline, surface, tpch
 
-_MODULES = (core, pipeline, events, olap, surface, advanced)
+_MODULES = (core, pipeline, events, olap, surface, advanced, tpch)
 
 
 def all_queries():
