@@ -77,3 +77,38 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text ingestion, one row per line, with file provenance and
+    within-file line numbers — the first step of a corpus pipeline
+    over crawl/log dumps.
+
+    Provenance is computed with input_file_name() and a per-file
+    window row_number; at 100 TB the window shuffles on file name —
+    acceptable because line order within a file is only meaningful
+    per file (one partition per file ≈ how the scan splits anyway).
+    Callers that don't need line numbers should project them away
+    (Catalyst then drops the window entirely).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source_file").orderBy(F.monotonically_increasing_id())
+    return (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("line"),
+            F.input_file_name().alias("source_file"),
+        )
+        .withColumn("line_no", F.row_number().over(w).cast("long"))
+    )
+
+
+def read_text_whole(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file text ingestion: one row per file (document = file).
+    wholeTextFiles is the right tool for many-small-files corpora;
+    for huge single files prefer read_text_lines + reassembly.
+    """
+    rdd = spark.sparkContext.wholeTextFiles(path)
+    return rdd.toDF(["source_file", "text"])

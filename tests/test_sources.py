@@ -84,3 +84,24 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     # predicate pushdown reaches the ORC scan
     plan = formatted_plan(back.filter(F.col("n_regionkey") == 1))
     assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_read_text_lines_provenance(spark, tmp_path):
+    from llamadb_spark.sources.catalog import read_text_lines, read_text_whole
+
+    (tmp_path / "a.txt").write_text("alpha\nbeta\ngamma\n")
+    (tmp_path / "b.txt").write_text("delta\n")
+    df = read_text_lines(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 4
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], []).append(r)
+    assert {f for f in by_file} == {"a.txt", "b.txt"}
+    a = sorted(by_file["a.txt"], key=lambda r: r.line_no)
+    # line numbers are contiguous per file and order preserves content
+    assert [r.line_no for r in a] == [1, 2, 3]
+    assert [r.line for r in a] == ["alpha", "beta", "gamma"]
+
+    whole = read_text_whole(spark, str(tmp_path / "a.txt")).collect()
+    assert len(whole) == 1 and whole[0].text == "alpha\nbeta\ngamma\n"
