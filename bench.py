@@ -82,6 +82,8 @@ HEADLINE = [
     "h06_revenue_forecast",
     "h07_volume_shipping",
     "h10_returned_items",
+    "e09_funnel",
+    "q47_window_dist",
 ]
 
 

@@ -236,3 +236,43 @@ def event_rate_zscore(events: DataFrame, bucket: str = "minute") -> DataFrame:
         "n_events",
         F.round((col("n_events") - mean) / F.nullif(std, lit(0.0)), 6).alias("z"),
     )
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...] = ("signup", "view", "purchase")) -> DataFrame:
+    """Ordered funnel analysis: for each user, stage k counts only if
+    its first qualifying event is at/after the user's stage k-1 entry
+    time (first-touch semantics). Returns one row: per-stage user
+    counts + conversion rate from stage 1.
+
+    Scale: one filtered, map-side-combined min-ts aggregation per
+    stage (each shuffles on user_id — AQE reuses the exchange
+    partitioning), then left joins thread the stage times through.
+    No windows over the raw stream, no UDFs; state is per-user-per-
+    stage one timestamp.
+    """
+    assert len(stages) >= 2
+    cur = (
+        events.filter(col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    out = cur
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(col("event_type") == stage)
+            .join(out.select("user_id", col(f"t{i-1}")), "user_id")
+            .filter(col("ts") >= col(f"t{i-1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    aggs = [
+        F.count(col(f"t{i}")).alias(f"n_{stage}")
+        for i, stage in enumerate(stages)
+    ]
+    res = out.agg(*aggs)
+    first, last = f"n_{stages[0]}", f"n_{stages[-1]}"
+    return res.select(
+        *[col(f"n_{s}") for s in stages],
+        F.round(col(last) / col(first), 6).alias("conversion"),
+    )

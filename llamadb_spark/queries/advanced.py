@@ -369,6 +369,47 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Window-function family completion: percent_rank / cume_dist /
+# nth_value — the distribution-rank trio q26 doesn't cover. Per
+# nation, each supplier's account-balance percentile plus the
+# nation's 2nd-highest balance alongside every row.
+#
+# Scale: one shuffle on the partition key, one in-partition sort
+# shared by all four window expressions (same window spec → Catalyst
+# evaluates them in a single Window physical node).
+# ---------------------------------------------------------------------------
+def q47_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(
+        col("s_acctbal").desc(), col("s_suppkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("s_acctbal", 2).over(wf), 2).alias("second_highest"),
+    )
+
+
+ORACLE_Q47 = """
+SELECT s_suppkey, s_nationkey,
+       round(s_acctbal, 2) AS acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+             ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             2) AS second_highest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -378,6 +419,7 @@ QUERIES = {
     "q44_market_share": q44_market_share,
     "q45_unpivot": q45_unpivot,
     "q46_scd2_intervals": q46_scd2_intervals,
+    "q47_window_dist": q47_window_dist,
 }
 
 ORACLES = {
@@ -389,4 +431,5 @@ ORACLES = {
     "q44_market_share": ORACLE_Q44,
     "q45_unpivot": ORACLE_Q45,
     "q46_scd2_intervals": ORACLE_Q46,
+    "q47_window_dist": ORACLE_Q47,
 }

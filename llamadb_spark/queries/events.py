@@ -182,6 +182,39 @@ FROM buckets
 """
 
 
+def e09_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel with first-touch
+    semantics (operators/events.funnel)."""
+    return ev.funnel(_events(spark, sf_dir))
+
+
+ORACLE_E09 = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'view' AND e.ts >= s.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t1
+  GROUP BY e.user_id
+)
+SELECT count(s.t0) AS n_signup,
+       count(v.t1) AS n_view,
+       count(p.t2) AS n_purchase,
+       round(count(p.t2) / CAST(count(s.t0) AS DOUBLE), 6) AS conversion
+FROM s
+LEFT JOIN v ON s.user_id = v.user_id
+LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -191,6 +224,7 @@ QUERIES = {
     "e06_resample_ffill": e06_resample_ffill,
     "e07_stream_enrich": e07_stream_enrich,
     "e08_rate_anomaly": e08_rate_anomaly,
+    "e09_funnel": e09_funnel,
 }
 
 ORACLES = {
@@ -202,4 +236,5 @@ ORACLES = {
     "e06_resample_ffill": ORACLE_E06,
     "e07_stream_enrich": ORACLE_E07,
     "e08_rate_anomaly": ORACLE_E08,
+    "e09_funnel": ORACLE_E09,
 }

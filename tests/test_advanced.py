@@ -113,3 +113,29 @@ def test_q46_scd2_intervals_chain(spark, sf_dir):
         assert df.filter(FF.col("valid_to") < FF.col("valid_from")).count() == 0
     finally:
         df.unpersist()
+
+
+def test_q47_window_dist_bounds(spark, sf_dir):
+    df = advanced.q47_window_dist(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r.pct_rank <= 1.0 and 0.0 < r.cume <= 1.0 for r in rows)
+    # second_highest is constant within a nation and >= any lower balance
+    import collections
+
+    by_nation = collections.defaultdict(list)
+    for r in rows:
+        by_nation[r.s_nationkey].append(r)
+    for grp in by_nation.values():
+        if len(grp) >= 2:
+            assert len({r.second_highest for r in grp}) == 1
+            top2 = sorted((r.acctbal for r in grp), reverse=True)[1]
+            assert abs(grp[0].second_highest - top2) < 1e-9
+
+
+def test_e09_funnel_monotone(spark, sf_dir):
+    from llamadb_spark.queries.events import e09_funnel
+
+    row = e09_funnel(spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_purchase >= 0
+    assert 0.0 <= row.conversion <= 1.0
