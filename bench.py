@@ -84,6 +84,8 @@ HEADLINE = [
     "h10_returned_items",
     "e09_funnel",
     "q47_window_dist",
+    "q48_grouping_id",
+    "e10_retention",
 ]
 
 

@@ -410,6 +410,44 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# GROUPING() / GROUPING_ID() indicators over CUBE — the part of the
+# grouping-sets surface q19/q23 don't show: distinguishing "NULL
+# because subtotal" from "NULL because data", and labeling each
+# aggregation level. Consumers pivot on grouping_id to split grand
+# totals / margins / cells without re-aggregating.
+#
+# Scale: same single-Expand CUBE plan as q23 — indicators are
+# metadata bits carried by the Expand, zero extra cost.
+# ---------------------------------------------------------------------------
+def q48_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+ORACLE_Q48 = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -420,6 +458,7 @@ QUERIES = {
     "q45_unpivot": q45_unpivot,
     "q46_scd2_intervals": q46_scd2_intervals,
     "q47_window_dist": q47_window_dist,
+    "q48_grouping_id": q48_grouping_id,
 }
 
 ORACLES = {
@@ -432,4 +471,5 @@ ORACLES = {
     "q45_unpivot": ORACLE_Q45,
     "q46_scd2_intervals": ORACLE_Q46,
     "q47_window_dist": ORACLE_Q47,
+    "q48_grouping_id": ORACLE_Q48,
 }

@@ -215,6 +215,62 @@ LEFT JOIN p ON s.user_id = p.user_id
 """
 
 
+def e10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as retained in each later week they appear. The classic
+    (cohort_week, week_offset) → n_active matrix in long form.
+
+    Scale: two map-side-combined aggregations (per-user first week;
+    distinct user-weeks) + one join on user_id — no windows over the
+    raw stream, shuffle volume is user-bounded, not event-bounded.
+    Week offsets divide epoch seconds (week-truncated stamps differ
+    by exact multiples of 604800 in UTC), keeping everything integer.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("active_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+ORACLE_E10 = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST((epoch(active_week) - epoch(cohort_week)) / 604800 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active
+FROM activity JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -225,6 +281,7 @@ QUERIES = {
     "e07_stream_enrich": e07_stream_enrich,
     "e08_rate_anomaly": e08_rate_anomaly,
     "e09_funnel": e09_funnel,
+    "e10_retention": e10_retention,
 }
 
 ORACLES = {
@@ -237,4 +294,5 @@ ORACLES = {
     "e07_stream_enrich": ORACLE_E07,
     "e08_rate_anomaly": ORACLE_E08,
     "e09_funnel": ORACLE_E09,
+    "e10_retention": ORACLE_E10,
 }

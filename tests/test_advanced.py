@@ -139,3 +139,25 @@ def test_e09_funnel_monotone(spark, sf_dir):
     row = e09_funnel(spark, sf_dir).collect()[0]
     assert row.n_signup >= row.n_view >= row.n_purchase >= 0
     assert 0.0 <= row.conversion <= 1.0
+
+
+def test_q48_grouping_indicators(spark, sf_dir):
+    rows = advanced.q48_grouping_id(spark, sf_dir).collect()
+    # exactly one grand-total row, gid consistent with indicator bits
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    assert grand[0].o_orderstatus is None and grand[0].o_orderpriority is None
+    for r in rows:
+        assert r.gid == r.g_status * 2 + r.g_priority
+    total = sum(r.n_orders for r in rows if r.gid == 0)
+    assert total == grand[0].n_orders
+
+
+def test_e10_retention_week_zero_covers_all_users(spark, sf_dir):
+    from llamadb_spark.queries.events import _events, e10_retention
+
+    rows = e10_retention(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    n_users = _events(spark, sf_dir).select("user_id").distinct().count()
+    week0 = sum(r.n_active for r in rows if r.week_offset == 0)
+    assert week0 == n_users  # everyone is active in their cohort week
