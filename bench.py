@@ -86,6 +86,7 @@ HEADLINE = [
     "q47_window_dist",
     "q48_grouping_id",
     "e10_retention",
+    "t12_pmi_collocations",
 ]
 
 

@@ -375,3 +375,79 @@ def token_entropy(
         n.alias("n_tokens"),
         (F.log(n) - F.sum(col("c") * F.log("c")) / n).alias("entropy"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams ranked by pointwise
+    mutual information, PMI = ln(P(ab) / (P(a)·P(b))) — the standard
+    measure of "these words co-occur more than chance" (multi-word
+    expressions, named entities).
+
+    Construction: bigrams come from zipping each token array with its
+    own tail (JVM-side zip_with over two slices — no self-join of a
+    position table). Unigram and bigram counts are both map-side-
+    combined aggregations; the PMI join runs bigram-vocabulary ×
+    unigram-vocabulary (both corpus-size-independent), with the
+    unigram side broadcast twice (left word, right word).
+
+    min_count filters rare bigrams BEFORE the join (PMI of count-1
+    pairs is noise and would dominate the ranking).
+    """
+    toks = docs.select(tokens(col(text_col)).alias("t")).select(
+        F.filter(col("t"), lambda x: x != "").alias("t")
+    )
+    n = F.size("t")
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(col("t"), 1, n - 1),
+                F.slice(col("t"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(lit(1)).alias("c_w"))
+    )
+    bi = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(lit(1)).alias("c_ab"))
+        .filter(col("c_ab") >= min_count)
+    )
+    # scale anchor N = total token count, threaded in as a broadcast
+    # 1-row join (keeps the plan lazy — no driver collect)
+    total = uni.agg(F.sum("c_w").cast("double").alias("n_total"))
+    parts = bi.select(
+        "bigram",
+        "c_ab",
+        F.split(col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(col("bigram"), " ").getItem(1).alias("w2"),
+    )
+    u1 = uni.select(col("w").alias("w1"), col("c_w").alias("c_1"))
+    u2 = uni.select(col("w").alias("w2"), col("c_w").alias("c_2"))
+    return (
+        parts.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_1",
+            "c_2",
+            F.round(
+                F.log(col("c_ab").cast("double") * col("n_total"))
+                - F.log(col("c_1").cast("double") * col("c_2")),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(col("pmi").desc(), col("bigram"))
+        .limit(k)
+    )

@@ -743,6 +743,49 @@ FROM pairs
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_K = 20
+
+
+def t12_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI collocation ranking (operators/textops.py
+    pmi_collocations)."""
+    return textops.pmi_collocations(
+        _docs(spark, sf_dir), min_count=PMI_MIN_COUNT, k=PMI_K
+    )
+
+
+ORACLE_T12 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+bi AS (
+  SELECT a.w || ' ' || b.w AS bigram
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bic AS (
+  SELECT bigram, count(*) AS c_ab FROM bi
+  GROUP BY 1 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+uni AS (SELECT w, count(*) AS c_w FROM pos GROUP BY 1),
+tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n_total FROM uni)
+SELECT bigram, c_ab, u1.c_w AS c_1, u2.c_w AS c_2,
+       round(ln(c_ab * n_total)
+             - ln(CAST(u1.c_w AS DOUBLE) * u2.c_w), 6) AS pmi
+FROM bic, tot
+JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+ORDER BY pmi DESC, bigram
+LIMIT {PMI_K}
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,6 +866,7 @@ QUERIES = {
     "s06_centroid_sim": s06_centroid_sim,
     "p05_tombstone_delete": p05_tombstone_delete,
     "t11_langid_confusion": t11_langid_confusion,
+    "t12_pmi_collocations": t12_pmi_collocations,
 }
 
 ORACLES = {
@@ -852,4 +896,5 @@ ORACLES = {
     "s06_centroid_sim": ORACLE_S06,
     "p05_tombstone_delete": ORACLE_P05,
     "t11_langid_confusion": ORACLE_T11,
+    "t12_pmi_collocations": ORACLE_T12,
 }

@@ -49,3 +49,21 @@ def test_fingerprint_normalization(spark):
     assert out[1].fp_md5 == out[2].fp_md5
     assert out[1].fp64 == out[2].fp64
     assert out[1].fp_md5 != out[3].fp_md5
+
+
+def test_t12_pmi_no_cartesian_and_sane_values(spark, sf_dir):
+    from llamadb_spark.operators.textops import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = pmi_collocations(docs, min_count=2, k=10)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the 1-row scale anchor must join as a broadcast, never cartesian
+    assert "CartesianProduct" not in p
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.c_ab >= 2 and r.c_1 >= r.c_ab and r.c_2 >= r.c_ab
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
