@@ -87,6 +87,7 @@ HEADLINE = [
     "q48_grouping_id",
     "e10_retention",
     "t12_pmi_collocations",
+    "s07_centroid_classify",
 ]
 
 

@@ -420,3 +420,73 @@ def label_centroids(
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
         .withColumn("dim", col("dim").cast("long"))
     )
+
+
+def centroid_classify(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification eval: assign every
+    vector to its most-cosine-similar label centroid and report
+    per-true-label accuracy — the standard "are these embeddings
+    linearly separable by class" pipeline check.
+
+    Construction is fully declarative: per-(label, dim) centroid
+    means (one map-side-combined pass to a k×d table), then the
+    vectors exploded by dimension join the broadcast centroid dims —
+    an n×d×k narrow-row stream that partially aggregates back to
+    (vec, candidate) dot products before any shuffle. Argmax is a
+    per-vec window over k rows, deterministic via (rounded cos desc,
+    label). No UDFs, no driver collect.
+
+    Output: (label, n_vecs, n_correct, accuracy).
+    """
+    v = emb.select(
+        col(id_col).alias("_id"),
+        col(label_col).alias("_true"),
+        F.posexplode(col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    dims = (
+        emb.select(
+            col(label_col).alias("_cand"),
+            F.posexplode(col(vec_col).cast("array<double>")).alias("dim", "m"),
+        )
+        .groupBy("_cand", "dim")
+        .agg(F.avg("m").alias("m"))
+    )
+    scored = (
+        v.join(F.broadcast(dims), "dim")
+        .groupBy("_id", "_true", "_cand")
+        .agg(
+            F.sum(col("x") * col("m")).alias("dot"),
+            F.sqrt(F.sum(col("x") * col("x"))).alias("nv"),
+        )
+    )
+    cnorm = dims.groupBy("_cand").agg(F.sqrt(F.sum(col("m") * col("m"))).alias("nc"))
+    cos = scored.join(F.broadcast(cnorm), "_cand").select(
+        "_id",
+        "_true",
+        "_cand",
+        F.round(col("dot") / (col("nv") * col("nc")), 6).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(col("cos").desc(), col("_cand"))
+    best = cos.withColumn("rk", F.row_number().over(w)).filter(col("rk") == 1)
+    return (
+        best.groupBy(col("_true").alias("label"))
+        .agg(
+            F.count(lit(1)).alias("n_vecs"),
+            F.sum(F.when(col("_cand") == col("_true"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            F.round(col("n_correct") / col("n_vecs"), 6).alias("accuracy"),
+        )
+    )

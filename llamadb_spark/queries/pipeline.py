@@ -786,6 +786,59 @@ LIMIT {PMI_K}
 """
 
 
+def s07_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification accuracy per label
+    (operators/similarity.py centroid_classify)."""
+    return similarity.centroid_classify(_emb(spark, sf_dir))
+
+
+ORACLE_S07 = """
+WITH v AS (
+  SELECT vec_id AS _id, label AS _true,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+dims AS (
+  SELECT _cand, dim, avg(m) AS m
+  FROM (SELECT label AS _cand,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS m
+        FROM embeddings)
+  GROUP BY _cand, dim
+),
+scored AS (
+  SELECT v._id, v._true, d._cand,
+         sum(v.x * d.m) AS dot,
+         sqrt(sum(v.x * v.x)) AS nv
+  FROM v JOIN dims d ON v.dim = d.dim
+  GROUP BY v._id, v._true, d._cand
+),
+cnorm AS (
+  SELECT _cand, sqrt(sum(m * m)) AS nc FROM dims GROUP BY _cand
+),
+cos AS (
+  SELECT s._id, s._true, s._cand,
+         round(s.dot / (s.nv * c.nc), 6) AS cos
+  FROM scored s JOIN cnorm c ON s._cand = c._cand
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id
+                                 ORDER BY cos DESC, _cand) AS rk
+    FROM cos
+  ) WHERE rk = 1
+)
+SELECT _true AS label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN _cand = _true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN _cand = _true THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM best GROUP BY _true
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,6 +920,7 @@ QUERIES = {
     "p05_tombstone_delete": p05_tombstone_delete,
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
+    "s07_centroid_classify": s07_centroid_classify,
 }
 
 ORACLES = {
@@ -897,4 +951,5 @@ ORACLES = {
     "p05_tombstone_delete": ORACLE_P05,
     "t11_langid_confusion": ORACLE_T11,
     "t12_pmi_collocations": ORACLE_T12,
+    "s07_centroid_classify": ORACLE_S07,
 }

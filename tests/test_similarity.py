@@ -61,3 +61,22 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 cells on clustered data keeps most true neighbors
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_s07_centroid_classify_beats_chance(spark, sf_dir):
+    from llamadb_spark.operators.similarity import centroid_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = centroid_classify(emb)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    rows = df.collect()
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels
+    total = sum(r.n_vecs for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    assert total == emb.count()
+    # centroids built FROM these labels must classify far above chance
+    assert correct / total > 2.0 / n_labels
