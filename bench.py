@@ -88,6 +88,7 @@ HEADLINE = [
     "e10_retention",
     "t12_pmi_collocations",
     "s07_centroid_classify",
+    "p06_dataset_split",
 ]
 
 

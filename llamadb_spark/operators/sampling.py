@@ -49,3 +49,29 @@ def stratified_sample(
     default = lit(int(default_rate * 1000))
     thresh = default if thresh is None else thresh.otherwise(default)
     return df.filter(bucket_hash(col(key_col)) < thresh)
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket ranges
+    over the same multiplicative hash as stratified_sample, so a
+    document's split is a pure function of its key — stable across
+    re-runs, cluster sizes, and engine (SQL-expressible), and a
+    document can never leak between splits when the corpus regrows.
+
+    Zero shuffle: one codegen'd CASE over the hash bucket.
+    """
+    assert abs(sum(weights) - 1.0) < 1e-9 and len(weights) == len(names)
+    b = bucket_hash(col(key_col))
+    expr = None
+    acc = 0.0
+    for name, wgt in zip(names[:-1], weights[:-1]):
+        acc += wgt
+        arm = (b < lit(int(round(acc * 1000))), lit(name))
+        expr = F.when(*arm) if expr is None else expr.when(*arm)
+    expr = lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

@@ -839,6 +839,40 @@ FROM best GROUP BY _true
 """
 
 
+def p06_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split census: deterministic hash-range
+    assignment (operators/sampling.py dataset_split) rolled up per
+    (split, lang) with per-language shares."""
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.sampling import dataset_split
+
+    out = dataset_split(_docs(spark, sf_dir))
+    per = out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return per.select(
+        "split", "lang", "n_docs", F.round(F.col("n_docs") / total, 6).alias("share")
+    )
+
+
+ORACLE_P06 = """
+WITH labeled AS (
+  SELECT lang,
+         CASE WHEN ((doc_id % 100003) * 2654435761) % 1000 < 800 THEN 'train'
+              WHEN ((doc_id % 100003) * 2654435761) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per AS (
+  SELECT split, lang, count(*) AS n_docs FROM labeled GROUP BY 1, 2
+)
+SELECT split, lang, n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE),
+             6) AS share
+FROM per
+"""
+
+
 # --- multimodal ----------------------------------------------------------
 
 def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,6 +955,7 @@ QUERIES = {
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
     "s07_centroid_classify": s07_centroid_classify,
+    "p06_dataset_split": p06_dataset_split,
 }
 
 ORACLES = {
@@ -952,4 +987,5 @@ ORACLES = {
     "t11_langid_confusion": ORACLE_T11,
     "t12_pmi_collocations": ORACLE_T12,
     "s07_centroid_classify": ORACLE_S07,
+    "p06_dataset_split": ORACLE_P06,
 }

@@ -132,3 +132,25 @@ def test_quantize_embeddings_range_and_scale(spark, sf_dir):
         assert all(-127 <= q <= 127 for q in qs)
         assert max(abs(q) for q in qs) == 127  # max element maps to full scale
         assert r.scale > 0
+
+
+def test_dataset_split_partition_of_corpus(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.operators.sampling import dataset_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dataset_split(docs).cache()
+    try:
+        # every row gets exactly one split; union of splits = corpus
+        assert out.count() == docs.count()
+        counts = {r.split: r.c for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        n = docs.count()
+        assert 0.7 < counts["train"] / n < 0.9  # ~80% within hash noise
+        # determinism: same assignment on recompute
+        again = {r.doc_id: r.split for r in dataset_split(docs).select("doc_id", "split").collect()}
+        first = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+        assert first == again
+    finally:
+        out.unpersist()
