@@ -89,6 +89,7 @@ HEADLINE = [
     "t12_pmi_collocations",
     "s07_centroid_classify",
     "p06_dataset_split",
+    "m03_frame_sample",
 ]
 
 

@@ -124,3 +124,47 @@ def media_metadata(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         col("meta.n_bytes").alias("n_bytes"),
         col("meta.content_sha").alias("content_sha"),
     )
+
+
+def sample_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_frames: int = 16,
+) -> DataFrame:
+    """Video frame-sampling plumbing: derive a clip duration from the
+    payload hash (STUB for ffprobe — deterministic so the oracle can
+    replicate it), emit one row per sampled frame at 1 fps capped at
+    `max_frames`, each with its timestamp and a per-frame content key.
+
+    The row expansion is a bounded JVM-side sequence+explode (factor
+    <= max_frames, known up front) — the exact shape a real frame
+    sampler has, with the ffmpeg call swapped in as one more
+    mapInPandas stage consuming (payload, frame_ts_ms). Per-frame
+    keys are sha256(content_sha || ':' || idx) — pure codegen, so
+    the whole sampling plan stays Python-free.
+
+    Output: (id, duration_s, n_frames, frame_idx, frame_ts_ms,
+    frame_sha).
+    """
+    sha = F.sha2(col(text_col), 256)
+    duration = (F.conv(F.substring(sha, 9, 3), 16, 10).cast("int") % 120 + 1).alias(
+        "duration_s"
+    )
+    env = docs.select(col(id_col), sha.alias("content_sha"), duration)
+    n_frames = F.least(col("duration_s"), lit(max_frames))
+    return (
+        env.withColumn("n_frames", n_frames.cast("int"))
+        .withColumn("frame_idx", F.explode(F.sequence(lit(0), col("n_frames") - 1)))
+        .select(
+            col(id_col),
+            "duration_s",
+            "n_frames",
+            col("frame_idx").cast("int").alias("frame_idx"),
+            (col("frame_idx") * 1000).cast("long").alias("frame_ts_ms"),
+            F.sha2(
+                F.concat(col("content_sha"), lit(":"), col("frame_idx").cast("string")),
+                256,
+            ).alias("frame_sha"),
+        )
+    )

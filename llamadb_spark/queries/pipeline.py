@@ -921,6 +921,33 @@ FROM d
 """
 
 
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the media envelope
+    (operators/multimodal.py sample_frames)."""
+    return multimodal.sample_frames(_docs(spark, sf_dir))
+
+
+ORACLE_M03 = """
+WITH env AS (
+  SELECT doc_id, sha256(text) AS content_sha,
+         CAST(CAST(concat('0x', substr(sha256(text), 9, 3)) AS INT)
+              % 120 + 1 AS INT) AS duration_s
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, content_sha, duration_s,
+         CAST(least(duration_s, 16) AS INT) AS n_frames,
+         unnest(generate_series(0, least(duration_s, 16) - 1)) AS frame_idx
+  FROM env
+)
+SELECT doc_id, duration_s, n_frames,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms,
+       sha256(content_sha || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+FROM frames
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -956,6 +983,7 @@ QUERIES = {
     "t12_pmi_collocations": t12_pmi_collocations,
     "s07_centroid_classify": s07_centroid_classify,
     "p06_dataset_split": p06_dataset_split,
+    "m03_frame_sample": m03_frame_sample,
 }
 
 ORACLES = {
@@ -988,4 +1016,5 @@ ORACLES = {
     "t12_pmi_collocations": ORACLE_T12,
     "s07_centroid_classify": ORACLE_S07,
     "p06_dataset_split": ORACLE_P06,
+    "m03_frame_sample": ORACLE_M03,
 }

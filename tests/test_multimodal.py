@@ -34,3 +34,35 @@ def test_decode_media_stub(spark, sf_dir):
     # determinism: second run produces identical dims
     again = {r.doc_id: (r.width, r.height) for r in decoded.collect()}
     assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_m03_frame_sample_bounded_and_python_free(spark, sf_dir):
+    import pyspark.sql.functions as FF
+
+    from llamadb_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = sample_frames(docs, max_frames=16).cache()
+    try:
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the sampling plan itself is codegen-only (the real decoder
+        # slots in as a later mapInPandas stage)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # per-doc frame count == min(duration, cap), idx contiguous
+        per = df.groupBy("doc_id", "duration_s", "n_frames").agg(
+            FF.count(FF.lit(1)).alias("c"),
+            FF.min("frame_idx").alias("mn"),
+            FF.max("frame_idx").alias("mx"),
+        )
+        bad = per.filter(
+            (FF.col("c") != FF.col("n_frames"))
+            | (FF.col("n_frames") != FF.least(FF.col("duration_s"), FF.lit(16)))
+            | (FF.col("mn") != 0)
+            | (FF.col("mx") != FF.col("c") - 1)
+        )
+        assert bad.count() == 0
+        assert df.select("frame_sha").distinct().count() == df.count()
+    finally:
+        df.unpersist()
