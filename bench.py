@@ -90,6 +90,9 @@ HEADLINE = [
     "s07_centroid_classify",
     "p06_dataset_split",
     "m03_frame_sample",
+    "q49_pagination",
+    "q51_string_agg",
+    "q52_histogram",
 ]
 
 

@@ -448,6 +448,146 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+# ---------------------------------------------------------------------------
+# Pagination: ORDER BY ... LIMIT k OFFSET n — the API-results shape.
+# Spark executes limit+offset as a single TakeOrderedAndProject of
+# the top (n+k) rows — no global sort materialization. The unique
+# o_orderkey tiebreak makes page boundaries engine-stable.
+# ---------------------------------------------------------------------------
+def q49_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(col("price").desc(), col("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+ORACLE_Q49 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY price DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULLS FIRST ordering. Engines disagree on default null
+# placement (Spark: nulls first on ASC; DuckDB: nulls last), so
+# portable sorts must spell it out — this query documents and tests
+# that dialect rule. Customers with no URGENT orders sort first
+# (their left-join count is NULL).
+# ---------------------------------------------------------------------------
+def q50_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(lit(1)).alias("n_urgent"))
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .select("c_custkey", "c_name", "n_urgent")
+        .orderBy(col("n_urgent").asc_nulls_first(), col("c_custkey"))
+        .limit(30)
+    )
+
+
+ORACLE_Q50 = """
+SELECT c_custkey, c_name, n_urgent
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n_urgent
+           FROM orders WHERE o_orderpriority = '1-URGENT'
+           GROUP BY o_custkey) u ON c_custkey = o_custkey
+ORDER BY n_urgent ASC NULLS FIRST, c_custkey
+LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# String aggregation (LISTAGG/STRING_AGG semantics): per nation, the
+# sorted comma-joined set of market segments its customers span.
+# Deterministic by construction: distinct -> sort -> join, so both
+# engines emit byte-identical strings.
+#
+# Scale: the distinct collapses to (nation × segment) before any
+# collect_list — the aggregated array is bounded by segment
+# cardinality, never customer count.
+# ---------------------------------------------------------------------------
+def q51_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count(lit(1)).alias("n_segments"),
+        )
+    )
+
+
+ORACLE_Q51 = """
+SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(*) AS n_segments
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (the OLAP viz primitive): bucket order
+# totals by floor division — portable bucketing both engines compute
+# identically on the raw doubles (no width_bucket dependency).
+#
+# Scale: one map-side-combined aggregation to (n_buckets) rows; the
+# bucket expression is codegen'd scan-side.
+# ---------------------------------------------------------------------------
+HIST_WIDTH = 25_000
+
+
+def q52_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(col("o_totalprice") / HIST_WIDTH).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(
+            "bucket",
+            (col("bucket") * HIST_WIDTH).cast("double").alias("bucket_start"),
+            "n_orders",
+            "lo",
+            "hi",
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q52 = f"""
+SELECT bucket,
+       CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS bucket_start,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (SELECT CAST(floor(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+             o_totalprice
+      FROM orders)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -459,6 +599,10 @@ QUERIES = {
     "q46_scd2_intervals": q46_scd2_intervals,
     "q47_window_dist": q47_window_dist,
     "q48_grouping_id": q48_grouping_id,
+    "q49_pagination": q49_pagination,
+    "q50_nulls_order": q50_nulls_order,
+    "q51_string_agg": q51_string_agg,
+    "q52_histogram": q52_histogram,
 }
 
 ORACLES = {
@@ -472,4 +616,8 @@ ORACLES = {
     "q46_scd2_intervals": ORACLE_Q46,
     "q47_window_dist": ORACLE_Q47,
     "q48_grouping_id": ORACLE_Q48,
+    "q49_pagination": ORACLE_Q49,
+    "q50_nulls_order": ORACLE_Q50,
+    "q51_string_agg": ORACLE_Q51,
+    "q52_histogram": ORACLE_Q52,
 }

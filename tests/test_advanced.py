@@ -161,3 +161,46 @@ def test_e10_retention_week_zero_covers_all_users(spark, sf_dir):
     n_users = _events(spark, sf_dir).select("user_id").distinct().count()
     week0 = sum(r.n_active for r in rows if r.week_offset == 0)
     assert week0 == n_users  # everyone is active in their cohort week
+
+
+def test_q49_pagination_is_page_three(spark, sf_dir):
+    # page = rows 41-60 of the global ordering
+    import pyspark.sql.functions as F
+
+    top60 = (
+        advanced._t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+        .limit(60)
+        .collect()
+    )
+    page = advanced.q49_pagination(spark, sf_dir).collect()
+    assert [(r.o_orderkey, r.price) for r in page] == [
+        (r.o_orderkey, r.price) for r in top60[40:60]
+    ]
+
+
+def test_q50_nulls_sort_first(spark, sf_dir):
+    rows = advanced.q50_nulls_order(spark, sf_dir).collect()
+    vals = [r.n_urgent for r in rows]
+    # all NULLs precede all non-nulls; non-null prefix is ascending
+    first_non_null = next((i for i, v in enumerate(vals) if v is not None), len(vals))
+    assert all(v is None for v in vals[:first_non_null])
+    tail = [v for v in vals[first_non_null:]]
+    assert tail == sorted(tail)
+
+
+def test_q51_string_agg_sorted_members(spark, sf_dir):
+    rows = advanced.q51_string_agg(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        parts = r.segments.split(",")
+        assert parts == sorted(parts) and len(parts) == r.n_segments
+
+
+def test_q52_histogram_covers_all_orders(spark, sf_dir):
+    rows = advanced.q52_histogram(spark, sf_dir).collect()
+    n = advanced._t(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n
+    for r in rows:
+        assert r.bucket_start <= r.lo <= r.hi < r.bucket_start + 25_000
