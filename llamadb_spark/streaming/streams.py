@@ -168,3 +168,68 @@ def enriched_counts_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+def topk_users_stream_foreachbatch(
+    events: DataFrame, name: str, k: int = 5, timeout_s: int = 120
+) -> DataFrame:
+    """Streaming top-k via foreachBatch — the standard pattern for
+    sinks/logic Structured Streaming can't express declaratively
+    (ranked truncation, MERGE upserts, multi-table writes).
+
+    The stream maintains per-(event_type, user) totals in update
+    mode; each micro-batch's updated rows flow into foreachBatch,
+    which re-ranks against a driver-registered running-state view and
+    overwrites the top-k table. State stays bounded: the streaming agg
+    holds (type × user) totals, the batch hook only ever sees deltas
+    plus the k-row leaderboard.
+
+    Returns the final top-k DataFrame after draining (availableNow).
+    """
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    spark = events.sparkSession
+    state_tbl = f"{name}_state"
+    spark.sql(f"DROP VIEW IF EXISTS {state_tbl}")
+
+    def _rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        s = batch_df.sparkSession
+        if s.catalog.tableExists(state_tbl):
+            # updated rows replace their key's previous totals
+            prev = s.table(state_tbl)
+            merged = (
+                prev.join(
+                    batch_df.select("event_type", "user_id"),
+                    ["event_type", "user_id"],
+                    "left_anti",
+                )
+                .unionByName(batch_df)
+            )
+        else:
+            merged = batch_df
+        merged.cache().createOrReplaceTempView(state_tbl)
+        w = Window.partitionBy("event_type").orderBy(
+            col("total_value").desc(), col("user_id")
+        )
+        (
+            merged.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .write.mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(_rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

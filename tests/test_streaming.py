@@ -171,3 +171,19 @@ def test_rate_zscore_is_standardized(spark, sf_dir):
     assert len(stats) > 0
     for r in stats:
         assert abs(r.mu) < 1e-6 and abs(r.sd - 1.0) < 1e-3
+
+
+def test_foreachbatch_topk_matches_batch(spark, sf_dir):
+    """foreachBatch top-k over the drained stream must equal the
+    batch top_users_per_type result."""
+    from llamadb_spark.operators.events import top_users_per_type
+    from llamadb_spark.streaming.streams import topk_users_stream_foreachbatch
+
+    got = topk_users_stream_foreachbatch(
+        read_events_stream(spark, sf_dir), name="topk_fb_test", k=5
+    )
+    batch = top_users_per_type(_events(spark, sf_dir), k=5)
+    key = lambda r: (r.event_type, r.rank)  # noqa: E731
+    got_rows = {key(r): (r.user_id, r.total_value) for r in got.collect()}
+    batch_rows = {key(r): (r.user_id, r.total_value) for r in batch.collect()}
+    assert got_rows == batch_rows and len(got_rows) > 0
