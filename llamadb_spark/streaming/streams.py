@@ -192,6 +192,14 @@ def topk_users_stream_foreachbatch(
     spark = events.sparkSession
     state_tbl = f"{name}_state"
     spark.sql(f"DROP VIEW IF EXISTS {state_tbl}")
+    # with the in-memory catalog a previous session's managed-table
+    # directory can outlive its catalog entry (same cleanup as
+    # sources.catalog.write_bucketed_table)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
 
     def _rank_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
