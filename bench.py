@@ -93,6 +93,7 @@ HEADLINE = [
     "q49_pagination",
     "q51_string_agg",
     "q52_histogram",
+    "d08_semantic_dedup_apply",
 ]
 
 

@@ -173,6 +173,71 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def d08_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup: embedding near-dup pairs (d05) →
+    connected components → keep each cluster's min-vec_id
+    representative → surviving corpus per label. The embedding-space
+    twin of d07's lexical dedup-apply — the two run back-to-back in a
+    real curation pipeline (lexical first, semantic second).
+
+    Scale: identical join discipline to d07 — the drop list is
+    duplicate-bounded, so the final filter is a broadcast LEFT ANTI
+    join over one corpus pass; pair generation goes through d05's
+    blocked similarity operator, never O(n²) row pairs.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embed_neardup_pairs(
+        emb, threshold=EMBED_NEARDUP_THRESHOLD
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    losers = cc.filter(col("node") != col("cluster_id")).select(
+        col("node").alias("vec_id")
+    )
+    survivors = emb.join(broadcast(losers), "vec_id", "left_anti")
+    return survivors.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.sqrt(F.aggregate(
+                col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ))),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
+ORACLE_D08 = f"""
+WITH RECURSIVE pairs AS (
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.v, b.v), 6) >= {{thr}}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS node, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x)))), 6) AS avg_norm
+FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+GROUP BY label
+""".replace("{thr}", str(EMBED_NEARDUP_THRESHOLD))
+
+
 # --- similarity search ---------------------------------------------------
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -984,6 +1049,7 @@ QUERIES = {
     "s07_centroid_classify": s07_centroid_classify,
     "p06_dataset_split": p06_dataset_split,
     "m03_frame_sample": m03_frame_sample,
+    "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
 }
 
 ORACLES = {
@@ -1017,4 +1083,5 @@ ORACLES = {
     "s07_centroid_classify": ORACLE_S07,
     "p06_dataset_split": ORACLE_P06,
     "m03_frame_sample": ORACLE_M03,
+    "d08_semantic_dedup_apply": ORACLE_D08,
 }

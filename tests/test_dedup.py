@@ -116,3 +116,24 @@ def test_d07_dedup_apply_drops_only_nonrepresentatives(spark, sf_dir):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_d08_semantic_dedup_keeps_representatives(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.operators import dedup, similarity
+    from llamadb_spark.queries.pipeline import (
+        EMBED_NEARDUP_THRESHOLD,
+        d08_semantic_dedup_apply,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = d08_semantic_dedup_apply(spark, sf_dir)
+    survived = sum(r.n_vecs for r in out.collect())
+    pairs = similarity.embed_neardup_pairs(
+        emb, threshold=EMBED_NEARDUP_THRESHOLD
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    n_losers = cc.filter(F.col("node") != F.col("cluster_id")).count()
+    assert survived == emb.count() - n_losers
+    assert all(r.avg_norm > 0 for r in out.collect())
