@@ -1,4 +1,4 @@
-"""Event-stream operators in their batch form (SURVEY §2 #41-43).
+"""Event-stream operators in their batch form (SURVEY §2 e-rows).
 
 The same logic runs under Structured Streaming in
 llamadb_spark/streaming/ (readStream + watermark); batch form here

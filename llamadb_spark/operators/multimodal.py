@@ -1,4 +1,4 @@
-"""Multimodal column plumbing (SURVEY §2 #40).
+"""Multimodal column plumbing (SURVEY §2 m-rows).
 
 Images/audio/video are opaque `binary` payloads + a typed metadata
 struct. The container has no decode libraries, so the decode step is

@@ -1,5 +1,5 @@
-"""Text analysis operators (SURVEY §2 #36-39): language ID, quality
-scoring, token counting, fingerprinting. All built-in functions —
+"""Text analysis operators (SURVEY §2 t-rows): language ID, quality
+scoring, token counting, fingerprinting, entropy, PMI. Built-ins —
 these run per-row inside whole-stage codegen with zero shuffles.
 """
 

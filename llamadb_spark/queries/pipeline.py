@@ -1,4 +1,4 @@
-"""Training-data pipeline queries (SURVEY §2 #29-40): dedup,
+"""Training-data pipeline queries (SURVEY §2 d/s/t/m/p rows): dedup,
 similarity search, text analysis, multimodal metadata — each wired
 to the operator implementations with a DuckDB oracle where the
 semantics are SQL-expressible (minhash/simhash/hyperplane-LSH use
