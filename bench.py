@@ -94,6 +94,8 @@ HEADLINE = [
     "q51_string_agg",
     "q52_histogram",
     "d08_semantic_dedup_apply",
+    "h16_supplier_counts",
+    "h18_large_orders",
 ]
 
 

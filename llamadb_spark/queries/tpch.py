@@ -256,6 +256,96 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+# --- Q16: parts/supplier relationship (count distinct + NOT IN) ---------
+def h16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, size) for small parts,
+    excluding distressed suppliers (negative balance) via NOT IN —
+    the count-distinct-with-exclusion shape of TPC-H Q16 (complaint
+    filter adapted to s_acctbal < 0).
+
+    Scale: the exclusion list is tiny → broadcast anti join before
+    counting; count(DISTINCT supplier) per group is one Expand pass."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(col("p_size") <= 10)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    distressed = (
+        _t(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(broadcast(distressed), "l_suppkey", "left_anti")
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc(), col("p_brand"), col("p_size"))
+    )
+
+
+ORACLE_H16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 10
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# --- Q18: large-volume customers (agg-filtered IN on the fact) -----------
+H18_QTY = 250
+
+
+def h18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with any order above the quantity threshold — the
+    TPC-H Q18 shape: an aggregate-HAVING subquery over the fact
+    drives an IN filter, then the survivors re-join for reporting.
+
+    Scale: the heavy work is one map-side-combined sum per orderkey;
+    the HAVING survivors are few → broadcast semi join on orders,
+    then dims broadcast for the report columns."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(col("sum_qty") > H18_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(col("sum_qty").desc(), col("o_orderkey"))
+    )
+
+
+ORACLE_H18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > {H18_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
 QUERIES = {
     "h03_shipping_priority": h03_shipping_priority,
     "h04_priority_checking": h04_priority_checking,
@@ -263,6 +353,8 @@ QUERIES = {
     "h07_volume_shipping": h07_volume_shipping,
     "h10_returned_items": h10_returned_items,
     "h14_promo_effect": h14_promo_effect,
+    "h16_supplier_counts": h16_supplier_counts,
+    "h18_large_orders": h18_large_orders,
 }
 
 ORACLES = {
@@ -272,4 +364,6 @@ ORACLES = {
     "h07_volume_shipping": ORACLE_H07,
     "h10_returned_items": ORACLE_H10,
     "h14_promo_effect": ORACLE_H14,
+    "h16_supplier_counts": ORACLE_H16,
+    "h18_large_orders": ORACLE_H18,
 }

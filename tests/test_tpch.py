@@ -57,3 +57,27 @@ def test_h10_and_h14_broadcast_dims(spark, sf_dir):
     assert "BroadcastHashJoin" in plan(df)
     row = df.collect()[0]
     assert 0.0 <= row.promo_revenue_pct <= 100.0
+
+
+def test_h16_excludes_distressed_suppliers(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = tpch.h16_supplier_counts(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0 and all(r.supplier_cnt > 0 for r in rows)
+    # counts are bounded by the non-distressed supplier population
+    ok_supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") >= 0)
+        .count()
+    )
+    assert all(r.supplier_cnt <= ok_supp for r in rows)
+
+
+def test_h18_every_row_exceeds_threshold(spark, sf_dir):
+    rows = tpch.h18_large_orders(spark, sf_dir).collect()
+    assert all(r.sum_qty > 250 for r in rows)
+    qtys = [r.sum_qty for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+    # sf0.01 definitely has qualifying orders
+    assert len(tpch.h18_large_orders(spark, "/root/testdata/sf0.01").take(1)) == 1
