@@ -19,16 +19,30 @@ def embed_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    num_blocks: int = 8,
+    strategy: str = "blocked",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """All vector pairs with cosine ≥ threshold (exact).
 
-    Strategy: broadcast the normalized corpus matrix (one collect of
-    N×d doubles) and stream the same corpus through Arrow-batched
-    mapInPandas doing a block matrix multiply per batch — one corpus
-    pass, zero pairwise shuffle, BLAS-vectorized. This is the exact
-    algorithm's 100 TB shape whenever ONE side fits in executor
-    memory (N×d×8 bytes; ~50 GB for 100M×64) — beyond that, the LSH
-    path (lsh_ann_pairs) replaces the broadcast with bucket joins.
+    Default strategy "blocked": block-pair partitioned all-pairs.
+    Each vector gets a deterministic hash block b ∈ [0, B); it is
+    replicated to the B groups {(min(b,o), max(b,o)) : o ∈ [0, B)}
+    and each group computes its cross-block (or intra-block, when
+    x == y) cosine matmul in one Arrow-batched applyInPandas task.
+    Every pair lands in exactly one group, so the result is exact.
+    No driver-side corpus materialization anywhere: the shuffle moves
+    N·B vector copies and each task holds ≤ 2N/B vectors — pick B so
+    a group fits executor memory (B ~ N·d·16/exec_mem). Exact
+    all-pairs is inherently O(N²) compute; at 100 TB the approximate
+    LSH path (lsh_ann_pairs) is the default pair generator and this
+    operator is its exact-verify twin on bounded candidate sets.
+
+    Strategy "broadcast" is an opt-in fast path for sub-memory
+    corpora: collect ≤ max_broadcast_rows ids+vectors (hard error
+    beyond the cap — never a silent corpus-sized driver collect),
+    broadcast the normalized matrix, and stream the corpus once
+    through mapInPandas doing a block matmul per batch.
 
     Output: (a_id, b_id, cos) with cos rounded to 6dp, a_id < b_id.
     """
@@ -37,32 +51,92 @@ def embed_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    pdf = emb.select(col(id_col).alias("_id"), col(vec_col).alias("_v")).toPandas()
-    ids = pdf["_id"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    def _to_mat(series) -> "np.ndarray":
+        m = np.array([np.asarray(t, dtype=np.float64) for t in series])
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
 
-    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat = bc.value
-        for batch in batches:
-            b_ids = batch["_id"].to_numpy()
-            b_mat = np.array([np.asarray(v, dtype=np.float64) for v in batch["_v"]])
-            b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-            sims = np.round(b_mat @ c_mat.T, 6)
-            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
-            ai, cj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_id": b_ids[ai],
-                    "b_id": c_ids[cj],
-                    "cos": sims[ai, cj],
-                }
+    if strategy == "broadcast":
+        rows = (
+            emb.select(col(id_col).alias("_id"), col(vec_col).alias("_v"))
+            .limit(max_broadcast_rows + 1)
+            .collect()
+        )
+        if len(rows) > max_broadcast_rows:
+            raise ValueError(
+                f"broadcast strategy capped at {max_broadcast_rows} rows; "
+                "use strategy='blocked' for larger corpora"
             )
+        c_ids = np.array([r._id for r in rows], dtype=np.int64)
+        c_mat = _to_mat([r._v for r in rows])
+        bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
 
-    return emb.select(col(id_col).alias("_id"), col(vec_col).alias("_v")).mapInPandas(
-        _block, "a_id long, b_id long, cos double"
+        def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, mat = bc.value
+            for batch in batches:
+                b_ids = batch["_id"].to_numpy()
+                b_mat = _to_mat(batch["_v"])
+                sims = np.round(b_mat @ mat.T, 6)
+                keep = (sims >= threshold) & (b_ids[:, None] < ids[None, :])
+                ai, cj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"a_id": b_ids[ai], "b_id": ids[cj], "cos": sims[ai, cj]}
+                )
+
+        return emb.select(
+            col(id_col).alias("_id"), col(vec_col).alias("_v")
+        ).mapInPandas(_block, "a_id long, b_id long, cos double")
+
+    if strategy != "blocked":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    grouped = (
+        emb.select(
+            col(id_col).alias("_id"),
+            col(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(col(id_col)), lit(num_blocks)).cast("int").alias("_blk"),
+        )
+        .select(
+            "_id",
+            "_v",
+            "_blk",
+            F.explode(F.sequence(lit(0), lit(num_blocks - 1))).alias("_o"),
+        )
+        .select(
+            "_id",
+            "_v",
+            "_blk",
+            F.least(col("_blk"), col("_o")).alias("_gx"),
+            F.greatest(col("_blk"), col("_o")).alias("_gy"),
+        )
+    )
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = key
+        ids = pdf["_id"].to_numpy()
+        mat = _to_mat(pdf["_v"])
+        if x == y:
+            sims = np.round(mat @ mat.T, 6)
+            keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(keep)
+            a, b, c = ids[ai], ids[bj], sims[ai, bj]
+        else:
+            left = pdf["_blk"].to_numpy() == x
+            ia, ib = ids[left], ids[~left]
+            sims = np.round(mat[left] @ mat[~left].T, 6)
+            ai, bj = np.nonzero(sims >= threshold)
+            a = np.minimum(ia[ai], ib[bj])
+            b = np.maximum(ia[ai], ib[bj])
+            c = sims[ai, bj]
+        return pd.DataFrame(
+            {
+                "a_id": a.astype(np.int64),
+                "b_id": b.astype(np.int64),
+                "cos": c.astype(np.float64),
+            }
+        )
+
+    return grouped.groupBy("_gx", "_gy").applyInPandas(
+        _pairs, "a_id long, b_id long, cos double"
     )
 
 

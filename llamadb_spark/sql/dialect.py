@@ -39,6 +39,11 @@ class ColumnSpec:
     #: insert time like the reference's byte-layout enforcement
     #: (types/mod.rs:96-105 is_valid_length).
     bounds: tuple[int, int] | None = None
+    #: byte[N] fixed length — the reference rejects values whose byte
+    #: length differs from N (types/mod.rs:96-105 is_valid_length's
+    #: ByteFixed arm); Spark's BINARY is unbounded, so enforced at
+    #: insert time.
+    fixed_len: int | None = None
 
 
 @dataclass
@@ -98,18 +103,59 @@ def translate_type(type_name: str, array_size: str | None = None) -> tuple[T.Dat
     raise LlamaError(f"unknown type: {type_name}")
 
 
+_IDENT = r'(?:"[^"]+"|[A-Za-z_][\w]*)'
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*\((.*)\)\s*;?\s*$",
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(" + _IDENT + r")\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COLDEF_RE = re.compile(
-    r"^\s*([A-Za-z_][\w]*)\s+([A-Za-z_]\w*)\s*(?:\[\s*(\d*)\s*\])?\s*(.*?)\s*$",
+    r"^\s*(" + _IDENT + r")\s+([A-Za-z_]\w*)\s*(?:\[\s*(\d*)\s*\])?\s*(.*?)\s*$",
     re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)\s*;?\s*$",
+    r"^\s*INSERT\s+INTO\s+(" + _IDENT + r")\s*(?:\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _unquote(ident: str) -> str:
+    """Normalize an (optionally double-quoted) identifier to the
+    lowercase catalog name, as the reference's lexer does for its
+    case-insensitive idents."""
+    ident = ident.strip()
+    if ident.startswith('"') and ident.endswith('"'):
+        return ident[1:-1].lower()
+    return ident.lower()
+
+
+def _strip_comments(sql: str) -> str:
+    """Remove `-- …` line comments outside string literals. The
+    reference lexer drops comments at tokenize time (Usage.md DDL
+    carries inline comments); doing it up-front keeps the regex
+    front end and the top-level splitter comment-agnostic."""
+    out: list[str] = []
+    i, n, in_str = 0, len(sql), False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append(sql[i + 1])
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -161,17 +207,29 @@ class LlamaSession:
 
     # -- statement dispatch ------------------------------------------------
     def execute(self, sql: str) -> DataFrame | None:
+        sql = _strip_comments(sql)
         stripped = sql.strip().rstrip(";").strip()
         head = stripped.split(None, 1)[0].upper() if stripped else ""
         if head == "CREATE":
-            return self._create(sql)
+            return self._create(stripped)
         if head == "INSERT":
-            return self._insert(sql)
+            return self._insert(stripped)
         if head == "EXPLAIN":
             raise LlamaError("use explain() for EXPLAIN output")
         if head == "SELECT":
             return self.spark.sql(stripped)
         raise LlamaError(f"unsupported statement: {head or '<empty>'}")
+
+    def execute_script(self, script: str) -> int:
+        """Run a multi-statement `;`-separated script (the reference's
+        `testdata` command replays cli/src/testdata.sql this way).
+        Returns the number of statements executed."""
+        count = 0
+        for stmt in _split_top_level(_strip_comments(script), ";"):
+            if stmt.strip():
+                self.execute(stmt)
+                count += 1
+        return count
 
     def explain(self, sql: str) -> str:
         """Lisp-style plan for an (EXPLAIN) SELECT, parity with
@@ -188,25 +246,26 @@ class LlamaSession:
         m = _CREATE_RE.match(sql)
         if not m:
             raise LlamaError(f"cannot parse CREATE TABLE: {sql!r}")
-        name, cols_src = m.group(1).lower(), m.group(2)
+        name, cols_src = _unquote(m.group(1)), m.group(2)
         if name in self.tables:
             raise LlamaError(f"table exists: {name}")
         spec = TableSpec(name)
         for coldef in _split_top_level(cols_src):
-            coldef = re.sub(r"--[^\n]*", "", coldef).strip()
+            coldef = coldef.strip()
             if not coldef:
                 continue
             cm = _COLDEF_RE.match(coldef)
             if not cm:
                 raise LlamaError(f"cannot parse column def: {coldef!r}")
             cname, tname, asize, constraints = cm.groups()
-            array_size = asize if asize is not None else None
-            dtype, bounds = translate_type(
-                tname, array_size if "[" in coldef.split(cname, 1)[1] else None
-            )
+            is_array = "[" in coldef.split(cname, 1)[1]
+            dtype, bounds = translate_type(tname, asize if is_array else None)
+            fixed_len = int(asize) if is_array and asize else None
             # llamadb: NOT NULL unless a NULL constraint is present
             nullable = bool(re.search(r"\bNULL\b", constraints or "", re.IGNORECASE))
-            spec.columns.append(ColumnSpec(cname.lower(), dtype, nullable, bounds))
+            spec.columns.append(
+                ColumnSpec(_unquote(cname), dtype, nullable, bounds, fixed_len)
+            )
         self.tables[name] = spec
         empty = self.spark.createDataFrame([], spec.schema)
         self._data[name] = empty

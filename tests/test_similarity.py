@@ -39,6 +39,36 @@ def test_lsh_ann_subset_of_exact(spark, sf_dir):
         assert len(approx) / len(exact) >= 0.15  # recall floor at 6 planes
 
 
+def test_blocked_pairs_match_broadcast_fast_path(spark, sf_dir):
+    """The default block-pair partitioned all-pairs (no driver
+    materialization) must produce the identical pair set and cosines
+    as the opt-in broadcast matmul fast path — both are exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    blocked = {
+        (r.a_id, r.b_id): r.cos
+        for r in similarity.embed_neardup_pairs(
+            emb, threshold=0.3, num_blocks=4
+        ).collect()
+    }
+    bcast = {
+        (r.a_id, r.b_id): r.cos
+        for r in similarity.embed_neardup_pairs(
+            emb, threshold=0.3, strategy="broadcast"
+        ).collect()
+    }
+    assert blocked == bcast and len(blocked) > 0
+
+
+def test_broadcast_fast_path_caps_driver_collect(spark, sf_dir):
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="capped"):
+        similarity.embed_neardup_pairs(
+            emb, strategy="broadcast", max_broadcast_rows=10
+        ).collect()
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from llamadb_spark.operators.similarity import ivf_topk, knn_bruteforce
     from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS
