@@ -11,16 +11,28 @@ from llamadb_spark.operators import events as ev
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it
-    as long (nanosAsLong) — convert with integer division (float
-    division would lose precision above 2^53 ns) to match DuckDB's
-    nanos→micros truncation."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    """Load events.parquet with ``ts`` normalized to a session-local
+    TIMESTAMP regardless of how the file encodes it:
 
+    - TIMESTAMP(NANOS) read as long under ``nanosAsLong`` → integer
+      division to micros (float division would lose precision above
+      2^53 ns), matching DuckDB's nanos→micros truncation;
+    - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) → cast to LTZ.
+      Spark 4 forbids a direct NTZ→BIGINT cast, so every epoch-based
+      operator (sessionize gap math, resample) needs this up-front;
+      with the session zone pinned to UTC the wall-clock reading is
+      identical to DuckDB's naive interpretation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

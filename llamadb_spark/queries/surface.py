@@ -230,10 +230,10 @@ GROUP BY o_orderpriority
 # (a row-count frame is wrong under irregular event spacing).
 #
 # Spark's rangeBetween needs a numeric ordering key. events.ts is
-# TIMESTAMP(NANOS) parquet, which Spark surfaces as a nanos long
-# (see queries/events.py:_events); the frame runs over microseconds
-# (ts div 1000) — the exact precision of DuckDB's TIMESTAMP — so
-# both engines draw identical inclusive window bounds.
+# normalized to a TIMESTAMP by queries/events.py:_events (the file
+# has shipped as both nanos-long and TIMESTAMP_NTZ); the frame runs
+# over unix_micros(ts) — the exact precision of DuckDB's TIMESTAMP —
+# so both engines draw identical inclusive window bounds.
 #
 # Scale: one shuffle on user_id, then a per-partition sort; the
 # frame is evaluated with a sliding accumulator, not O(n²) rescans.
@@ -243,10 +243,12 @@ GROUP BY o_orderpriority
 def q38_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = _t(spark, sf_dir, "events")
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.expr("ts div 1000"))
+        .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

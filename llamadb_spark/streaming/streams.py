@@ -13,27 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-#: Schema of events.parquet as Spark reads it (ts = raw nanos; see
-#: queries/events.py on the NANOS timestamp workaround).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. In production this
@@ -43,18 +22,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource requires a directory (a drop-dir of arriving
     files); the test fixture is a single parquet file, so stage a
     temp dir with a symlink to it.
+
+    The stream schema must be declared up front (no inference on a
+    file stream), and the dataset's ts encoding has two variants
+    (TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ micros) — so take the
+    schema from a one-off batch read of the same file (footer-only,
+    no data scan) and normalize ts exactly like queries/events.py.
     """
     import os
     import tempfile
 
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     drop_dir = tempfile.mkdtemp(prefix="llamadb_events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{drop_dir}/events-00000.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(drop_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts_stream(
