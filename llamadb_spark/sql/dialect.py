@@ -103,7 +103,7 @@ def translate_type(type_name: str, array_size: str | None = None) -> tuple[T.Dat
     raise LlamaError(f"unknown type: {type_name}")
 
 
-_IDENT = r'(?:"[^"]+"|[A-Za-z_][\w]*)'
+_IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][\w]*)'
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(" + _IDENT + r")\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -119,34 +119,38 @@ _INSERT_RE = re.compile(
 
 
 def _unquote(ident: str) -> str:
-    """Normalize an (optionally double-quoted) identifier to the
-    lowercase catalog name, as the reference's lexer does for its
-    case-insensitive idents."""
+    """Normalize an identifier to its catalog name. Mirrors the
+    reference lexer (sqlsyntax/lexer.rs): bare identifiers are
+    case-insensitive (lowered); backtick-quoted identifiers are
+    emitted verbatim (the lexer's Backtick state preserves case).
+    Double quotes are accepted as an extension with the same
+    verbatim semantics."""
     ident = ident.strip()
-    if ident.startswith('"') and ident.endswith('"'):
-        return ident[1:-1].lower()
+    if len(ident) >= 2 and ident[0] == ident[-1] and ident[0] in ('"', "`"):
+        return ident[1:-1]
     return ident.lower()
 
 
 def _strip_comments(sql: str) -> str:
-    """Remove `-- …` line comments outside string literals. The
-    reference lexer drops comments at tokenize time (Usage.md DDL
-    carries inline comments); doing it up-front keeps the regex
+    """Remove `-- …` line comments outside string literals and
+    quoted identifiers (``"a--b"`` / ``` `a--b` ``` must survive).
+    The reference lexer drops comments at tokenize time (Usage.md
+    DDL carries inline comments); doing it up-front keeps the regex
     front end and the top-level splitter comment-agnostic."""
     out: list[str] = []
-    i, n, in_str = 0, len(sql), False
+    i, n, quote = 0, len(sql), None
     while i < n:
         ch = sql[i]
-        if in_str:
+        if quote is not None:
             out.append(ch)
-            if ch == "'":
-                if i + 1 < n and sql[i + 1] == "'":
+            if ch == quote:
+                if quote == "'" and i + 1 < n and sql[i + 1] == "'":
                     out.append(sql[i + 1])
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
             out.append(ch)
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
@@ -159,21 +163,22 @@ def _strip_comments(sql: str) -> str:
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on sep outside parens/quotes."""
-    parts, depth, cur, in_str = [], 0, [], False
+    """Split on sep outside parens, string literals, and quoted
+    identifiers (double-quote / backtick)."""
+    parts, depth, cur, quote = [], 0, [], None
     i = 0
     while i < len(s):
         ch = s[i]
-        if in_str:
+        if quote is not None:
             cur.append(ch)
-            if ch == "'":
-                if i + 1 < len(s) and s[i + 1] == "'":
+            if ch == quote:
+                if quote == "'" and i + 1 < len(s) and s[i + 1] == "'":
                     cur.append(s[i + 1])
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
             cur.append(ch)
         elif ch == "(":
             depth += 1
@@ -190,6 +195,43 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     if cur:
         parts.append("".join(cur))
     return parts
+
+
+def _requote_idents(sql: str) -> str:
+    """Rewrite double-quoted identifiers to backticks before handing
+    a SELECT to Spark SQL, where ``"x"`` parses as a string literal
+    by default — so ``SELECT "name" FROM t`` would silently return
+    the literal string instead of the column. Single-quoted string
+    literals pass through untouched; backticks (the reference
+    lexer's own quoting form) already mean identifier to Spark."""
+    out: list[str] = []
+    i, n, quote = 0, len(sql), None
+    while i < n:
+        ch = sql[i]
+        if quote == "'":
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append(sql[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif quote == '"':
+            if ch == '"':
+                out.append("`")
+                quote = None
+            else:
+                out.append(ch)
+        elif ch == "'":
+            quote = ch
+            out.append(ch)
+        elif ch == '"':
+            quote = ch
+            out.append("`")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 class LlamaSession:
@@ -217,7 +259,7 @@ class LlamaSession:
         if head == "EXPLAIN":
             raise LlamaError("use explain() for EXPLAIN output")
         if head == "SELECT":
-            return self.spark.sql(stripped)
+            return self.spark.sql(_requote_idents(stripped))
         raise LlamaError(f"unsupported statement: {head or '<empty>'}")
 
     def execute_script(self, script: str) -> int:
@@ -239,7 +281,7 @@ class LlamaSession:
         stripped = sql.strip().rstrip(";").strip()
         if stripped.upper().startswith("EXPLAIN"):
             stripped = stripped[len("EXPLAIN"):].strip()
-        return lisp_plan(self.spark.sql(stripped))
+        return lisp_plan(self.spark.sql(_requote_idents(stripped)))
 
     # -- CREATE TABLE ------------------------------------------------------
     def _create(self, sql: str) -> None:
@@ -276,12 +318,12 @@ class LlamaSession:
         m = _INSERT_RE.match(sql)
         if not m:
             raise LlamaError(f"cannot parse INSERT: {sql!r}")
-        name = m.group(1).lower()
+        name = _unquote(m.group(1))
         if name not in self.tables:
             raise LlamaError(f"no such table: {name}")
         spec = self.tables[name]
         into_cols = (
-            [c.strip().lower() for c in m.group(2).split(",")] if m.group(2) else None
+            [_unquote(c) for c in m.group(2).split(",")] if m.group(2) else None
         )
         body = m.group(3)
 
@@ -312,12 +354,22 @@ class LlamaSession:
 
     def _validate(self, df: DataFrame, spec: TableSpec) -> None:
         """Enforce llamadb semantics the Spark schema can't: implicit
-        NOT NULL and exact integer widths."""
+        NOT NULL, exact integer widths, and byte[N] fixed lengths
+        (types/mod.rs:96-105 is_valid_length rejects a value whose
+        byte count differs from the declared N)."""
         checks = []
         for c in spec.columns:
             if not c.nullable:
                 checks.append(
                     F.sum(F.col(c.name).isNull().cast("int")).alias(f"null__{c.name}")
+                )
+            if c.fixed_len is not None:
+                checks.append(
+                    F.sum(
+                        (F.octet_length(F.col(c.name)) != F.lit(c.fixed_len)).cast(
+                            "int"
+                        )
+                    ).alias(f"len__{c.name}")
                 )
             if c.bounds is not None:
                 lo, hi = c.bounds
@@ -341,8 +393,20 @@ class LlamaSession:
                         f"column '{cname}' is NOT NULL (llamadb default; "
                         "add a NULL constraint to allow nulls)"
                     )
+                if kind == "len":
+                    fl = next(
+                        c.fixed_len for c in spec.columns if c.name == cname
+                    )
+                    raise LlamaError(
+                        f"value length differs from byte[{fl}] for column "
+                        f"'{cname}'"
+                    )
                 raise LlamaError(f"value out of range for column '{cname}'")
 
     # -- helpers -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
+        # exact match first (quoted identifiers preserve case), then
+        # the bare-identifier lowercase fold.
+        if name in self._data:
+            return self._data[name]
         return self._data[name.lower()]

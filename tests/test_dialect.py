@@ -139,3 +139,50 @@ def test_duplicate_create_rejected(db):
     db.execute("CREATE TABLE dup1 (id U32)")
     with pytest.raises(LlamaError, match="exists"):
         db.execute("CREATE TABLE dup1 (id U32)")
+
+
+def test_quoted_insert_matches_quoted_create(db):
+    # INSERT must unquote identifiers the same way CREATE does
+    # (reference lexer: quoted idents are one token either place).
+    db.execute('CREATE TABLE "qt" (id U32, name STRING NULL)')
+    db.execute('INSERT INTO "qt" ("id", "name") VALUES (1, \'x\')')
+    assert db.table("qt").count() == 1
+
+
+def test_backtick_identifiers_preserve_case(db):
+    # Backtick is the reference lexer's quoting form (lexer.rs
+    # Backtick state emits the buffer verbatim, case preserved).
+    db.execute("CREATE TABLE `CamelTable` (id U32, `Name` STRING)")
+    db.execute("INSERT INTO `CamelTable` VALUES (7, 'x')")
+    rows = db.execute("SELECT `Name` FROM `CamelTable`").collect()
+    assert [r[0] for r in rows] == ["x"]
+    assert db.table("CamelTable").columns == ["id", "Name"]
+
+
+def test_double_quoted_select_means_column_not_literal(db):
+    # SELECT "name" must return the column, not the string 'name'
+    # (Spark parses "x" as a literal by default; the dialect rewrites
+    # double-quoted identifiers to backticks first).
+    db.execute("CREATE TABLE qsel (id U32, name STRING)")
+    db.execute("INSERT INTO qsel VALUES (1, 'alice')")
+    rows = db.execute('SELECT "name" FROM qsel').collect()
+    assert [r[0] for r in rows] == ["alice"]
+
+
+def test_comment_marker_inside_quoted_ident_survives(db):
+    # '--' inside a quoted identifier is not a comment start.
+    db.execute('CREATE TABLE "a--b" (id U32)')
+    db.execute('INSERT INTO "a--b" VALUES (3)')
+    assert db.table("a--b").count() == 1
+
+
+def test_byte_fixed_length_enforced(db):
+    # byte[N] rejects wrong-length values (types/mod.rs:96-105
+    # is_valid_length, ByteFixed arm).
+    db.execute("CREATE TABLE blobs (id U32, tag byte[4])")
+    db.execute("INSERT INTO blobs VALUES (1, X'DEADBEEF')")
+    assert db.table("blobs").count() == 1
+    with pytest.raises(LlamaError, match=r"byte\[4\]"):
+        db.execute("INSERT INTO blobs VALUES (2, X'ABCD')")
+    with pytest.raises(LlamaError, match=r"byte\[4\]"):
+        db.execute("INSERT INTO blobs VALUES (3, X'DEADBEEF00')")
