@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from llamadb_spark.functions.blocking import drop_hot_keys
 from llamadb_spark.functions.text import (
     distinct_tokens,
     word_shingle_arrays,
@@ -38,6 +39,7 @@ def jaccard_ngram_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    stop_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via an
     inverted shingle index — the scalable exact algorithm:
@@ -47,10 +49,16 @@ def jaccard_ngram_pairs(
       3. |A∪B| = |A| + |B| - |A∩B|; filter jaccard ≥ threshold
 
     Never materializes non-candidate pairs: docs sharing zero
-    shingles never meet in the join. Shuffles on `shingle` (high
-    cardinality → well spread); hot shingles are the skew risk →
-    AQE skew-join handles, or pre-filter ultra-common shingles
-    (df > some cap) like a stop-shingle list.
+    shingles never meet in the join.
+
+    Hot-shingle guard: shingles occurring in more than
+    ``stop_shingle_df`` docs (boilerplate headers/footers) are
+    dropped from the index before the self-join — each contributes
+    O(df²) candidate pairs while carrying no dedup signal
+    (functions/blocking.py). Set sizes (n_sh) stay FULL-set, so when
+    no shingle exceeds the cap the result is bit-exact Jaccard; when
+    the cap fires, intersections lose only stop-shingles (jaccard is
+    under-, never over-estimated). ``None`` disables.
     """
     # Shingle strings are ~20 bytes; 64-bit-hash them before the
     # self-join to shrink shuffle payloads (collision odds over n
@@ -67,6 +75,16 @@ def jaccard_ngram_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
+    # Stage the hashed index once: the occupancy window plus the two
+    # self-join sides reference it three times, and exchange reuse
+    # does not canonicalize across the Window operator — without an
+    # explicit materialization the CPU-heavy shingle pipeline runs
+    # per reference (measured 2.7× on sf0.1). At cluster scale this
+    # is a staged intermediate table, the standard shape for
+    # production dedup pipelines; the index is (id, n, hash) ≈ 20
+    # bytes/shingle, far smaller than the text it summarizes.
+    sh = sh.localCheckpoint()
+    sh = drop_hot_keys(sh, ["sh"], stop_shingle_df)
 
     # Never broadcast a side of this join: both sides are the full
     # exploded shingle index (corpus-sized, not dim-sized) — at scale
@@ -139,6 +157,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified with estimated
     Jaccard from full-signature agreement.
@@ -151,7 +170,11 @@ def minhash_lsh_pairs(
     Scale: the self-join is on (band_id, bucket) — the classic LSH
     bucket join. Bucket occupancy is the only quadratic term; band
     width r tunes the candidate rate (P[bucket match] = s^r for
-    similarity s).
+    similarity s). Buckets larger than ``max_bucket_size`` (near-
+    identical boilerplate cliques) are dropped before the join
+    (functions/blocking.py) — a clique that large is better handled
+    by exact_dedup upstream, and other bands still generate each
+    genuine pair with probability 1-(1-s^r)^(bands-1).
 
     Output: (a_id, b_id, est_jaccard) — rows-only check (xxhash64
     has no DuckDB twin).
@@ -185,6 +208,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(col(id_col), "band.band_id", "band.bucket")
+    banded = drop_hot_keys(banded, ["band_id", "bucket"], max_bucket_size)
 
     # Corpus-sized on both sides — never broadcastable (see d02 note);
     # shuffle_hash also lets the second shuffle reuse the first.

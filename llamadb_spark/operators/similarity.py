@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
+from llamadb_spark.functions.blocking import drop_hot_keys
 from llamadb_spark.functions.vector import as_double, cosine
 
 
@@ -363,13 +364,17 @@ def lsh_ann_pairs(
     num_planes: int = 6,
     num_tables: int = 8,
     threshold: float = 0.4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate near-neighbor pairs via random-hyperplane LSH.
 
     num_tables independent sign-bit bucketings (planes salted by
     table id); candidates = pairs sharing a bucket in ANY table;
     verified with exact cosine ≥ threshold. The bucket join replaces
-    the quadratic pair space — the 100 TB path.
+    the quadratic pair space — the 100 TB path. Buckets larger than
+    ``max_bucket_size`` are dropped before the join (the O(size²)
+    guard of functions/blocking.py); the other num_tables-1 tables
+    still cover pairs from a dropped bucket.
 
     Output: (a_id, b_id, cos) — rows-only check (bucketing uses
     xxhash64; exact-recall parity vs embed_neardup_pairs is asserted
@@ -418,6 +423,13 @@ def lsh_ann_pairs(
     banded = v.select("_id", F.explode(entries).alias("e")).select(
         "_id", col("e.tbl").alias("tbl"), col("e.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        # The occupancy guard adds a reference to `banded`, whose
+        # bucket exprs (num_tables × num_planes × d hashes per row)
+        # are the CPU-heavy stage — stage the tiny (id, tbl, bucket)
+        # table so guard + both join sides read it, not recompute it.
+        banded = banded.localCheckpoint()
+    banded = drop_hot_keys(banded, ["tbl", "bucket"], max_bucket_size)
 
     # Corpus-sized both sides — shuffle join, never broadcast (d02 note)
     a = banded.select(col("_id").alias("a_id"), "tbl", "bucket").hint("shuffle_hash")

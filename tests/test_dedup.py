@@ -137,3 +137,44 @@ def test_d08_semantic_dedup_keeps_representatives(spark, sf_dir):
     n_losers = cc.filter(F.col("node") != F.col("cluster_id")).count()
     assert survived == emb.count() - n_losers
     assert all(r.avg_norm > 0 for r in out.collect())
+
+
+def test_stop_shingle_cap_bounds_candidates(spark):
+    # A boilerplate sentence shared by EVERY doc would make each doc
+    # pair a candidate (O(n²)); with the hot shingle dropped, only
+    # genuinely-similar docs meet in the self-join. Unique filler
+    # words keep every non-boilerplate shingle's df at 1.
+    boiler = "all rights reserved by the example corporation of earth"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{boiler} unique{i}a word{i}b tail{i}c more{i}d xx{i}e")
+            for i in range(20)
+        ]
+        + [(100, "twin document body identical text here"),
+           (101, "twin document body identical text here")],
+        ["doc_id", "text"],
+    )
+    capped = dedup.jaccard_ngram_pairs(docs, threshold=0.1, stop_shingle_df=5)
+    rows = capped.collect()
+    # boilerplate-only pairs are gone; the true twin pair survives
+    assert {(r.a_id, r.b_id) for r in rows} == {(100, 101)}
+    # uncapped: every boilerplate pair is a candidate and scores ≥0.1
+    uncapped = dedup.jaccard_ngram_pairs(docs, threshold=0.1, stop_shingle_df=None)
+    assert uncapped.count() > 100
+
+
+def test_lsh_bucket_cap_drops_megabucket(spark):
+    # 30 identical docs form one mega-bucket in every band; with
+    # max_bucket_size below the clique size no candidates survive,
+    # and with the default cap the clique pairs come back.
+    docs = spark.createDataFrame(
+        [(i, "same text body repeated for the whole clique") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    assert (
+        dedup.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=10).count() == 0
+    )
+    assert (
+        dedup.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=None).count()
+        == 30 * 29 // 2
+    )
