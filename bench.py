@@ -96,6 +96,11 @@ HEADLINE = [
     "d08_semantic_dedup_apply",
     "h16_supplier_counts",
     "h18_large_orders",
+    "h05_local_supplier_volume",
+    "h09_product_type_profit",
+    "h19_discounted_revenue",
+    "h20_potential_promotion",
+    "h21_waiting_suppliers",
 ]
 
 

@@ -1,7 +1,8 @@
 """Interactive SQL REPL — parity with the reference CLI
 (/root/reference/cli/src/main.rs): a `llamadb> ` prompt that accepts
-llamadb-dialect SQL, plus the `testdata` command (reference loads
-Chinook; here it registers the driver's TPC-H-ish parquet tables).
+llamadb-dialect SQL, plus the `testdata` command (loads the Chinook
+subset like the reference, and registers the driver's TPC-H-ish
+parquet tables as a bonus).
 
 Usage:  python cli.py [sf_dir]    (default /root/testdata/sf0.001)
 """
@@ -38,8 +39,14 @@ def main() -> None:
             buf = []
             continue
         if joined.lower() == "testdata":
+            from llamadb_spark.sql.testdata import load_chinook
+
+            n = load_chinook(db)
             register_views(spark, sf_dir)
-            print(f"registered TPC-H-ish views from {sf_dir}")
+            print(
+                f"loaded Chinook subset ({n} statements); "
+                f"registered TPC-H-ish views from {sf_dir}"
+            )
             buf = []
             continue
         if not joined.endswith(";") and not joined.lower().startswith("explain"):

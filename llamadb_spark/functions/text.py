@@ -43,39 +43,38 @@ def stopword_hits(text_tokens: Column, lang: str) -> Column:
     )
 
 
+def _check_shingle_n(n: int) -> None:
+    if not 1 <= n <= 8:
+        raise ValueError(f"shingle width n must be in 1..8, got {n}")
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    posexplode + positional self-joins — identical semantics to the
-    unnest/generate_subscripts SQL the oracles use. Scale: one
+    posexplode + n-1 positional self-joins — identical semantics to
+    the unnest/generate_subscripts SQL the oracles use. Scale: one
     narrow explode, no UDF; downstream consumers join on `shingle`
     (the inverted-index pattern), never on doc pairs.
     """
+    _check_shingle_n(n)
     toks = df.select(
         F.col(id_col).alias("_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
     )
-    t1, t2, t3 = toks.alias("t1"), toks.alias("t2"), toks.alias("t3")
-    shingled = (
-        t1.join(
-            t2,
-            (F.col("t1._id") == F.col("t2._id")) & (F.col("t2.pos") == F.col("t1.pos") + 1),
+    joined = toks.alias("t1")
+    for k in range(2, n + 1):
+        joined = joined.join(
+            toks.alias(f"t{k}"),
+            (F.col("t1._id") == F.col(f"t{k}._id"))
+            & (F.col(f"t{k}.pos") == F.col("t1.pos") + (k - 1)),
         )
-        .join(
-            t3,
-            (F.col("t1._id") == F.col("t3._id")) & (F.col("t3.pos") == F.col("t1.pos") + 2),
-        )
-        .select(
-            F.col("t1._id").alias(id_col),
-            F.concat_ws(" ", "t1.w", "t2.w", "t3.w").alias("shingle"),
-        )
-    )
-    if n != 3:
-        raise NotImplementedError("word_shingles currently fixed at n=3")
-    return shingled.distinct()
+    return joined.select(
+        F.col("t1._id").alias(id_col),
+        F.concat_ws(" ", *[f"t{k}.w" for k in range(1, n + 1)]).alias("shingle"),
+    ).distinct()
 
 
-def shingle_array_expr() -> Column:
-    """Distinct word 3-gram shingle array over a `_toks` column, as
+def shingle_array_expr(n: int = 3) -> Column:
+    """Distinct word n-gram shingle array over a `_toks` column, as
     one higher-order expression.
 
     MUST stay an inline expression wherever it feeds explode():
@@ -86,18 +85,17 @@ def shingle_array_expr() -> Column:
     12× slowdown at sf0.1). The inference guard skips complex
     generator expressions, so inline form avoids the trap entirely.
     """
-    # Guard: sequence(0, n) runs DESCENDING when n < 0, so short docs
+    # Guard: sequence(0, k) runs DESCENDING when k < 0, so short docs
     # must short-circuit to an empty array, not sequence(0, -1).
+    _check_shingle_n(n)
     return F.when(
-        F.size("_toks") >= 3,
+        F.size("_toks") >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - 3),
+                F.sequence(F.lit(0), F.size("_toks") - n),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at("_toks", i + 1),
-                    F.element_at("_toks", i + 2),
-                    F.element_at("_toks", i + 3),
+                    *[F.element_at("_toks", i + j + 1) for j in range(n)],
                 ),
             )
         ),
@@ -110,19 +108,23 @@ def with_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), toks_col.alias("_toks"))
 
 
-def word_shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct word 3-gram shingles per doc as ONE array column
+def word_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc as ONE array column
     (id, shingles array<string>) — no self-joins, no shuffle."""
     return with_tokens(df, id_col, text_col).select(
-        F.col(id_col), shingle_array_expr().alias("shingles")
+        F.col(id_col), shingle_array_expr(n).alias("shingles")
     )
 
 
-def word_shingles_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def word_shingles_fast(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
     """Same output as word_shingles but via one narrow explode of the
     inline shingle expression (see shingle_array_expr on why inline).
     Preferred at scale; word_shingles kept as the SQL-parity
     construction."""
     return with_tokens(df, id_col, text_col).select(
-        F.col(id_col), F.explode(shingle_array_expr()).alias("shingle")
+        F.col(id_col), F.explode(shingle_array_expr(n)).alias("shingle")
     )

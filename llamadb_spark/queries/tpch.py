@@ -346,15 +346,284 @@ ORDER BY sum_qty DESC, o_orderkey
 """
 
 
+# --- Q5: local supplier volume (customer and supplier co-national) -------
+def h05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the customer bought from a
+    supplier in their own nation, per nation of one region and one
+    order-year. Join graph: region→nation broadcast down into
+    supplier; lineitem joins orders (fact-fact, shuffle on orderkey)
+    then supplier+customer with the co-nationality equi-condition
+    folded into the join — no post-filter, Catalyst prunes
+    non-matching nations before the shuffle."""
+    region = (
+        _t(spark, sf_dir, "region").filter(col("r_name") == "ASIA").select("r_regionkey")
+    )
+    nation = _t(spark, sf_dir, "nation").join(
+        broadcast(region), col("n_regionkey") == col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        broadcast(nation), col("s_nationkey") == col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        & (col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(col("revenue").desc())
+    )
+
+
+ORACLE_H05 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# --- Q9: product-type profit by nation and year --------------------------
+def h09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted: testdata has no partsupp.ps_supplycost, so
+    profit uses 0.5 * p_retailprice * l_quantity as the supply-cost
+    term (same amount expression shape: revenue minus quantity-scaled
+    cost). Name filter keeps the mid-query dimension filter that Q9
+    pushes into the part scan."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = col("l_extendedprice") * (1 - col("l_discount")) - lit(0.5) * col(
+        "p_retailprice"
+    ) * col("l_quantity")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("nation", col("o_year").desc())
+    )
+
+
+ORACLE_H09 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q19: discounted revenue (disjunctive brand/size/qty predicates) -----
+def h19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no p_container/l_shipmode in testdata): the
+    signature OR-of-ANDs predicate across join columns. The p_size
+    legs are pushed to the part scan as a single range filter
+    (p_size ≤ 25 covers all three legs); the qty×brand disjunction
+    evaluates post-join — the same split the reference plan makes."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    leg = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (col("p_brand") == brand)
+        & col("p_size").between(1, size_hi)
+        & col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            leg("Brand#12", 15, 1, 20)
+            | leg("Brand#23", 20, 10, 30)
+            | leg("Brand#34", 25, 20, 40)
+        )
+        .agg(
+            F.round(
+                F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_H19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- Q20: potential part promotion (semi-join on an agg subquery) --------
+def h20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: partsupp.ps_availqty doesn't exist, so the
+    inner threshold is on total shipped quantity of the name-matched
+    parts in the window — same shape: supplier semi-join against a
+    grouped-HAVING subquery over lineitem×part."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        & (col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(col("qty") > 400)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(broadcast(qualified), supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_H20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 400)
+ORDER BY s_name
+"""
+
+
+# --- Q21: suppliers who kept orders waiting ------------------------------
+def h21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no receipt/commit dates): suppliers with a
+    returned line (l_returnflag = 'R') in a finished multi-supplier
+    order where NO other supplier's line was returned — the classic
+    EXISTS + NOT-EXISTS double correlation. Spark formulation
+    replaces both correlated subqueries with ONE per-order aggregate
+    (distinct suppliers, distinct returned-suppliers) joined back:
+    two corpus passes over lineitem total, no correlated re-scans per
+    row; the oracle keeps the textbook EXISTS form, so the parity
+    check proves the rewrite."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(col("l_returnflag") == "R", col("l_suppkey"))
+        ).alias("nret"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # Every qualifying l1 ROW counts (a supplier with two returned
+    # lines in one order waits twice in the oracle's join) — no
+    # row-collapsing distinct here.
+    offenders = (
+        li.filter(col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.filter((col("nsupp") > 1) & (col("nret") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        offenders.join(broadcast(supp), offenders.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(lit(1)).alias("numwait"))
+        .orderBy(col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_H21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "h03_shipping_priority": h03_shipping_priority,
     "h04_priority_checking": h04_priority_checking,
     "h06_revenue_forecast": h06_revenue_forecast,
     "h07_volume_shipping": h07_volume_shipping,
     "h10_returned_items": h10_returned_items,
+    "h05_local_supplier_volume": h05_local_supplier_volume,
+    "h09_product_type_profit": h09_product_type_profit,
     "h14_promo_effect": h14_promo_effect,
     "h16_supplier_counts": h16_supplier_counts,
     "h18_large_orders": h18_large_orders,
+    "h19_discounted_revenue": h19_discounted_revenue,
+    "h20_potential_promotion": h20_potential_promotion,
+    "h21_waiting_suppliers": h21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -363,7 +632,12 @@ ORACLES = {
     "h06_revenue_forecast": ORACLE_H06,
     "h07_volume_shipping": ORACLE_H07,
     "h10_returned_items": ORACLE_H10,
+    "h05_local_supplier_volume": ORACLE_H05,
+    "h09_product_type_profit": ORACLE_H09,
     "h14_promo_effect": ORACLE_H14,
     "h16_supplier_counts": ORACLE_H16,
     "h18_large_orders": ORACLE_H18,
+    "h19_discounted_revenue": ORACLE_H19,
+    "h20_potential_promotion": ORACLE_H20,
+    "h21_waiting_suppliers": ORACLE_H21,
 }

@@ -178,3 +178,39 @@ def test_lsh_bucket_cap_drops_megabucket(spark):
         dedup.minhash_lsh_pairs(docs, threshold=0.1, max_bucket_size=None).count()
         == 30 * 29 // 2
     )
+
+
+def test_star_cc_matches_minlabel_and_log_rounds(spark):
+    import math
+    import random
+
+    from llamadb_spark.operators.dedup import _star_rounds
+
+    # chain 0-1-2-...-63: min-label needs O(n) rounds; the star
+    # alternation must settle in ~log2(n) rounds.
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
+    )
+    edges, rounds = _star_rounds(chain, "a_id", "b_id", max_iter=30)
+    assert rounds <= int(math.log2(n)) + 2
+    got = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components_star(chain).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+    # random graph: star CC must agree with min-label CC exactly
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["a_id", "b_id"])
+    star = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components_star(df).collect()
+    }
+    label = {
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components(df).collect()
+    }
+    assert star == label

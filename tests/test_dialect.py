@@ -186,3 +186,38 @@ def test_byte_fixed_length_enforced(db):
         db.execute("INSERT INTO blobs VALUES (2, X'ABCD')")
     with pytest.raises(LlamaError, match=r"byte\[4\]"):
         db.execute("INSERT INTO blobs VALUES (3, X'DEADBEEF00')")
+
+
+def test_usage_md_transcript_replays(db):
+    # The Usage.md example session (Usage.md:84-120) against the
+    # bundled Chinook subset: testdata → album/artist join → genre
+    # correlated-subquery aggregate → EXPLAIN.
+    from llamadb_spark.sql.testdata import load_chinook
+
+    n = load_chinook(db)
+    assert n == 10  # 5 CREATEs + 5 INSERTs
+
+    rows = db.execute(
+        "SELECT title AS album, name AS artist "
+        "FROM album, artist WHERE album.artistid = artist.artistid"
+    ).collect()
+    assert len(rows) == 7
+    pairs = {(r.album, r.artist) for r in rows}
+    assert ("For Those About To Rock We Salute You", "AC/DC") in pairs
+    assert ("Facelift", "Alice In Chains") in pairs
+
+    # dialect delta (documented): the bare correlated scalar subquery
+    # in a grouped SELECT needs first() under Spark's analyzer.
+    agg = db.execute(
+        "SELECT first((SELECT genre.name FROM genre "
+        "WHERE genre.genreid = track.genreid)) AS genre, "
+        "count(*) AS num_tracks, avg(milliseconds) / 1000 AS avg_seconds "
+        "FROM track GROUP BY genreid"
+    ).collect()
+    got = {r.genre: r.num_tracks for r in agg}
+    assert got == {"Rock": 7, "Alternative & Punk": 1, "Metal": 2}
+
+    plan = db.explain(
+        "EXPLAIN SELECT title FROM album WHERE artistid = 1"
+    )
+    assert plan.count("(") == plan.count(")") and "album" in plan

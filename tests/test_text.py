@@ -67,3 +67,40 @@ def test_t12_pmi_no_cartesian_and_sane_values(spark, sf_dir):
         assert r.c_ab >= 2 and r.c_1 >= r.c_ab and r.c_2 >= r.c_ab
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_word_shingle_widths(spark):
+    from llamadb_spark.functions.text import (
+        word_shingle_arrays,
+        word_shingles,
+        word_shingles_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "solo")], ["doc_id", "text"]
+    )
+
+    def got(df):
+        return {(r[0], r[1]) for r in df.collect()}
+
+    for n, expected_doc1 in [
+        (2, {"a b", "b c", "c d", "d e"}),
+        (3, {"a b c", "b c d", "c d e"}),
+        (5, {"a b c d e"}),
+    ]:
+        fast = got(word_shingles_fast(docs, "doc_id", "text", n=n))
+        joins = got(word_shingles(docs, "doc_id", "text", n=n))
+        assert fast == joins
+        assert {s for d, s in fast if d == 1} == expected_doc1
+    # n=2: doc 2 contributes its single bigram, doc 3 nothing
+    n2 = got(word_shingles_fast(docs, "doc_id", "text", n=2))
+    assert (2, "x y") in n2 and not any(d == 3 for d, _ in n2)
+    # arrays agree with the exploded form
+    arr = word_shingle_arrays(docs, "doc_id", "text", n=2).collect()
+    flat = {(r["doc_id"], s) for r in arr for s in r["shingles"]}
+    assert flat == n2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        word_shingles_fast(docs, "doc_id", "text", n=0)
