@@ -164,26 +164,34 @@ def resample_ffill(events: DataFrame, value_col: str = "value") -> DataFrame:
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", col("ts")).alias("hour")
     ).agg(F.round(F.avg(value_col), 6).alias("hourly_avg"))
-    span = events.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("_h0"),
-        F.date_trunc("hour", F.max("ts")).alias("_h1"),
-    )
-    grid = span.select(
+    # Gap synthesis WITHOUT a span table or a grid join: each observed
+    # hour owns the gap up to (not including) the user's next observed
+    # hour, so lead() bounds an explode that emits the observation row
+    # plus its trailing gap rows — the forward-fill value is, by
+    # construction, the generating row's average. One agg shuffle, one
+    # window sort on the (small) hourly table, zero joins; the old
+    # span-agg + left-join formulation cost a second corpus scan and a
+    # corpus-keyed join for the same output.
+    w = Window.partitionBy("user_id").orderBy("hour")
+    with_next = hourly.withColumn("_next", F.lead("hour").over(w))
+    return with_next.select(
         "user_id",
+        col("hourly_avg").alias("_obs"),
+        col("hour").alias("_obs_hour"),
         F.explode(
-            F.sequence(col("_h0"), col("_h1"), F.expr("interval 1 hour"))
+            F.sequence(
+                col("hour"),
+                F.coalesce(
+                    col("_next") - F.expr("interval 1 hour"), col("hour")
+                ),
+                F.expr("interval 1 hour"),
+            )
         ).alias("hour"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return grid.join(hourly, ["user_id", "hour"], "left").select(
+    ).select(
         "user_id",
         "hour",
-        "hourly_avg",
-        F.last("hourly_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        F.when(col("hour") == col("_obs_hour"), col("_obs")).alias("hourly_avg"),
+        col("_obs").alias("filled_avg"),
     )
 
 def enrich_events(

@@ -327,7 +327,15 @@ def tfidf_topk(
         col(id_col), F.explode("_toks").alias("token")
     )
     hits = toks.filter(col("token").isin(query_tokens))
-    tf = hits.groupBy(id_col, "token").agg(F.count(lit(1)).alias("tf"))
+    # tf is referenced twice (scorer input + df derivation); stage it
+    # so the tokenize+explode corpus pass runs once. It holds only
+    # query-term hits — |docs| × |query| rows at most — so the
+    # materialization is trivially small.
+    tf = (
+        hits.groupBy(id_col, "token")
+        .agg(F.count(lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_tab = tf.groupBy("token").agg(F.count(lit(1)).alias("df"))
     n_docs = docs.agg(F.count(lit(1)).alias("n_docs"))
     return (
