@@ -72,6 +72,40 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via Spark's NATIVE session window
+    (F.session_window) — the engine-managed merging-interval form of
+    what ``sessionize`` builds from lag + cumsum. Kept alongside it
+    because the two scale differently: session_window is the only
+    form Structured Streaming can run incrementally with watermarked
+    state eviction (see streaming/streams.py session twin), while the
+    lag/cumsum form exposes the session_seq ordinal the reference
+    pipelines key on.
+
+    Boundary semantics: a session's end is last-event + gap and an
+    event landing exactly at the previous window's end starts a NEW
+    session (window intervals are half-open) — the oracle mirrors
+    this with a >= gap test.
+
+    Output: (user_id, session_start, session_end, n_events,
+    total_value); session_end = max(ts) + gap.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            col("sw.start").alias("session_start"),
+            col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def top_users_per_type(events: DataFrame, k: int = 5) -> DataFrame:
     """Top-k users by total value within each event_type: partial
     agg → single shuffle on (event_type, user_id) → tiny window.

@@ -283,6 +283,37 @@ GROUP BY 1, 2
 """
 
 
+def e11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_window_agg(_events(spark, sf_dir), gap="30 minutes")
+
+
+# Gap-islands twin of Spark's native session_window: new session at
+# gap >= 1800 s (session_window intervals are half-open, so an event
+# exactly at the previous window's end opens a new one); session_end
+# is last event + gap.
+ORACLE_E11 = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, seq
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -294,6 +325,7 @@ QUERIES = {
     "e08_rate_anomaly": e08_rate_anomaly,
     "e09_funnel": e09_funnel,
     "e10_retention": e10_retention,
+    "e11_session_window": e11_session_window,
 }
 
 ORACLES = {
@@ -307,4 +339,5 @@ ORACLES = {
     "e08_rate_anomaly": ORACLE_E08,
     "e09_funnel": ORACLE_E09,
     "e10_retention": ORACLE_E10,
+    "e11_session_window": ORACLE_E11,
 }

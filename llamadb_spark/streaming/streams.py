@@ -78,6 +78,31 @@ def windowed_counts_stream(
     )
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked NATIVE session-window aggregate — the streaming
+    twin of operators/events session_window_agg. Session windows
+    merge as events arrive; a session finalizes (and its state is
+    evicted) once the watermark passes its end, so state is bounded
+    by active sessions per key, not stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            col("sw.start").alias("session_start"),
+            col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

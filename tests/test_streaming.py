@@ -187,3 +187,40 @@ def test_foreachbatch_topk_matches_batch(spark, sf_dir):
     got_rows = {key(r): (r.user_id, r.total_value) for r in got.collect()}
     batch_rows = {key(r): (r.user_id, r.total_value) for r in batch.collect()}
     assert got_rows == batch_rows and len(got_rows) > 0
+
+
+def test_native_session_window_stream_matches_batch(spark, sf_dir):
+    """Native session_window streaming twin: sessions the stream
+    finalizes (watermark passed) must agree with the batch
+    session_window_agg; each user's last session may stay open, so
+    compare on the closed prefix."""
+    from llamadb_spark.operators.events import session_window_agg
+    from llamadb_spark.streaming.streams import (
+        read_events_stream,
+        session_window_stream,
+    )
+
+    stream = session_window_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "native_sessions_test", output_mode="append")
+    batch = session_window_agg(_events(spark, sf_dir))
+
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    got_rows = {key(r): (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+
+    # append mode emits a session once the watermark passes its end;
+    # the final watermark is max(event time) - 2h, so any session
+    # ending inside that trailing horizon stays open — not only each
+    # user's last.
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    max_ts = _events(spark, sf_dir).agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=2)
+    expected = {
+        key(r): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+        if r.session_end <= wm
+    }
+    assert len(got_rows) > 0
+    assert got_rows == expected
