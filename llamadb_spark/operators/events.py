@@ -72,6 +72,35 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def cdc_apply(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Apply a change-data-capture log to produce the current
+    snapshot: last-writer-wins per key by the sequence columns, keys
+    whose final operation is the delete op are tombstoned out. The
+    parquet-only stand-in for MERGE INTO / Delta CDF apply.
+
+    Scale: ONE shuffle on the key (row_number window), filter, done.
+    The alternative max-seq self-join costs the same shuffle twice.
+    Ties on the full seq tuple are broken deterministically by the
+    window's internal ordering only if the seq is unique — pass a
+    tiebreaker column (e.g. a log offset) in ``seq_cols``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[col(c).desc() for c in seq_cols]
+    )
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") == 1)
+        .filter(col(op_col) != delete_op)
+        .drop("_rn")
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Sessionization via Spark's NATIVE session window
     (F.session_window) — the engine-managed merging-interval form of

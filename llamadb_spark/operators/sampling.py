@@ -51,6 +51,47 @@ def stratified_sample(
     return df.filter(bucket_hash(col(key_col)) < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    target_counts: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a corpus toward per-stratum TARGET COUNTS — the
+    corpus-mixing step of a training-data build ("cap English at 1M
+    docs, keep all Basque"). Per stratum: keep rate =
+    min(1, target/available), applied with the same deterministic
+    key hash as stratified_sample, so the draw is reproducible and
+    engine-portable.
+
+    Fully distributed: the per-stratum thresholds come from one
+    small count aggregate broadcast back onto the corpus — no
+    driver-side rate math, no RNG, one corpus pass. Strata absent
+    from ``target_counts`` pass through unchanged.
+
+    Output: input rows surviving the draw (approximately the target
+    count per stratum — Bernoulli, not exact-k).
+    """
+    targets = F.create_map(
+        *[x for k, v in target_counts.items() for x in (lit(k), lit(int(v)))]
+    )
+    counts = df.groupBy(strata_col).agg(F.count(lit(1)).alias("_n"))
+    thresholds = counts.select(
+        strata_col,
+        F.least(
+            lit(1000),
+            F.floor(lit(1000) * targets[col(strata_col)] / col("_n")),
+        ).alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col, "left")
+        .filter(
+            col("_thresh").isNull() | (bucket_hash(col(key_col)) < col("_thresh"))
+        )
+        .drop("_thresh")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str = "doc_id",

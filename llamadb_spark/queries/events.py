@@ -314,6 +314,43 @@ GROUP BY user_id, seq
 """
 
 
+def e12_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply snapshot (operators/events.py cdc_apply): the event
+    stream read as a changelog keyed by user — last writer wins by
+    (ts, event_id), users whose final op is 'purchase' (the demo's
+    terminal op) are tombstoned out. One row_number shuffle."""
+    snap = ev.cdc_apply(
+        _events(spark, sf_dir),
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="purchase",
+    )
+    from pyspark.sql.functions import col
+
+    return snap.select(
+        "user_id",
+        col("event_id").alias("last_event_id"),
+        col("ts").alias("last_ts"),
+        col("event_type").alias("last_op"),
+        col("value").alias("last_value"),
+    )
+
+
+ORACLE_E12 = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_op, value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'purchase'
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -326,6 +363,7 @@ QUERIES = {
     "e09_funnel": e09_funnel,
     "e10_retention": e10_retention,
     "e11_session_window": e11_session_window,
+    "e12_cdc_snapshot": e12_cdc_snapshot,
 }
 
 ORACLES = {
@@ -340,4 +378,5 @@ ORACLES = {
     "e09_funnel": ORACLE_E09,
     "e10_retention": ORACLE_E10,
     "e11_session_window": ORACLE_E11,
+    "e12_cdc_snapshot": ORACLE_E12,
 }

@@ -1013,6 +1013,41 @@ FROM frames
 """
 
 
+#: Corpus-mixing targets: cap the overrepresented languages, keep
+#: everything else (de's target exceeds its count → keep-all arm).
+MIXTURE_TARGETS = {"en": 100, "zh": 50, "de": 1000}
+
+
+def p07_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (operators/sampling.py mixture_sample):
+    per-language keep thresholds derived from one count aggregate,
+    broadcast back onto the corpus, applied with the deterministic
+    key hash — reproducible at any cluster size, one corpus pass."""
+    from llamadb_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        target_counts=MIXTURE_TARGETS,
+    )
+
+
+ORACLE_P07 = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+thresh AS (
+  SELECT lang,
+         least(1000, floor(1000.0 * CASE lang
+             WHEN 'en' THEN {MIXTURE_TARGETS['en']}
+             WHEN 'zh' THEN {MIXTURE_TARGETS['zh']}
+             WHEN 'de' THEN {MIXTURE_TARGETS['de']}
+             END / n)) AS t
+  FROM counts
+)
+SELECT doc_id, d.lang AS lang
+FROM documents d LEFT JOIN thresh USING (lang)
+WHERE t IS NULL OR ((doc_id % 100003) * 2654435761) % 1000 < t
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -1048,6 +1083,7 @@ QUERIES = {
     "t12_pmi_collocations": t12_pmi_collocations,
     "s07_centroid_classify": s07_centroid_classify,
     "p06_dataset_split": p06_dataset_split,
+    "p07_mixture_sample": p07_mixture_sample,
     "m03_frame_sample": m03_frame_sample,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
 }
@@ -1082,6 +1118,7 @@ ORACLES = {
     "t12_pmi_collocations": ORACLE_T12,
     "s07_centroid_classify": ORACLE_S07,
     "p06_dataset_split": ORACLE_P06,
+    "p07_mixture_sample": ORACLE_P07,
     "m03_frame_sample": ORACLE_M03,
     "d08_semantic_dedup_apply": ORACLE_D08,
 }

@@ -64,3 +64,52 @@ def test_percentiles_ordering(spark, sf_dir):
     for r in q31_percentiles(spark, sf_dir).collect():
         assert r.p25_price <= r.p90_price
         assert 0 <= r.med_disc <= 0.1
+
+
+def test_mixture_sample_hits_targets(spark, sf_dir):
+    from llamadb_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    out = mixture_sample(docs, target_counts={"en": 20, "zh": 10, "de": 10**6})
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # capped strata shrink toward targets (Bernoulli ≈, generous 2x)
+    assert after["en"] <= max(2 * 20, 40) and after["en"] < before["en"]
+    assert after["zh"] < before["zh"]
+    # target above availability → keep all; absent strata untouched
+    assert after["de"] == before["de"]
+    assert after["fr"] == before["fr"] and after["es"] == before["es"]
+    # deterministic: same draw twice
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in mixture_sample(
+            docs, target_counts={"en": 20, "zh": 10, "de": 10**6}
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_cdc_apply_last_writer_and_tombstone(spark):
+    from llamadb_spark.operators.events import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "upsert", 10.0),
+            (1, 2, "upsert", 11.0),   # latest for key 1 → survives
+            (2, 1, "upsert", 20.0),
+            (2, 3, "delete", 0.0),    # latest for key 2 → tombstoned
+            (3, 5, "delete", 0.0),
+            (3, 6, "upsert", 30.0),   # delete then re-insert → survives
+        ],
+        ["k", "seq", "op", "val"],
+    )
+    out = {
+        (r.k, r.seq, r.val)
+        for r in cdc_apply(log, ["k"], ["seq"], "op", "delete").collect()
+    }
+    assert out == {(1, 2, 11.0), (3, 6, 30.0)}
