@@ -450,6 +450,68 @@ def lsh_ann_pairs(
     return scored.filter(col("cos") >= threshold).select("a_id", "b_id", "cos")
 
 
+def embed_dim_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension health check over an embedding column: mean,
+    population variance, min, max for each coordinate — the first
+    thing to look at when a similarity index misbehaves (dead dims,
+    scale blowouts, truncation artifacts).
+
+    posexplode → one groupBy(dim) shuffle of (dim, value) pairs; at
+    100 TB the map-side partial aggregation reduces each partition to
+    d rows before the exchange, so the shuffle is O(partitions × d),
+    not O(rows × d).
+
+    Output: (dim, mean, var, lo, hi), one row per coordinate.
+    """
+    exploded = emb.select(
+        F.posexplode(as_double(col(vec_col))).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.var_pop("x"), 6).alias("var"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .withColumn("dim", col("dim").cast("long"))
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA dimensionality reduction of the embedding column via Spark
+    ML's distributed PCA (covariance accumulated across executors,
+    eigendecomposition of the d×d Gramian on the driver — d² scalars,
+    never the corpus). The standard pre-step before ANN indexing when
+    d is large: projecting 768→64 dims cuts index memory and distance
+    compute ~12× at small recall cost.
+
+    Sign convention: eigenvector signs are implementation-defined, so
+    downstream comparisons must be sign-invariant (tests check
+    variance/orthogonality, not raw coordinates). Rows-only — no SQL
+    oracle can express the eigendecomposition.
+
+    Output: (id, pc array<double> length k).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        col(id_col), array_to_vector(as_double(col(vec_col))).alias("_v")
+    )
+    model = PCA(k=k, inputCol="_v", outputCol="_pc").fit(vecs)
+    return model.transform(vecs).select(
+        col(id_col), vector_to_array(col("_pc")).alias("pc")
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1013,6 +1013,28 @@ FROM frames
 """
 
 
+def s08_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embed_dim_stats(_emb(spark, sf_dir))
+
+
+ORACLE_S08 = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT CAST(k - 1 AS BIGINT) AS dim, v[k] AS x
+  FROM (SELECT v, unnest(generate_series(1, len(v))) AS k FROM e)
+)
+SELECT dim, round(avg(x), 6) AS mean, round(var_pop(x), 6) AS var,
+       round(min(x), 6) AS lo, round(max(x), 6) AS hi
+FROM x GROUP BY dim
+"""
+
+
+def s09_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: eigendecomposition has no SQL twin; variance /
+    # orthogonality invariants are asserted in tests/test_similarity.py.
+    return similarity.pca_project(_emb(spark, sf_dir), k=8)
+
+
 #: Corpus-mixing targets: cap the overrepresented languages, keep
 #: everything else (de's target exceeds its count → keep-all arm).
 MIXTURE_TARGETS = {"en": 100, "zh": 50, "de": 1000}
@@ -1082,6 +1104,8 @@ QUERIES = {
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
     "s07_centroid_classify": s07_centroid_classify,
+    "s08_embed_dim_stats": s08_embed_dim_stats,
+    "s09_pca_project": s09_pca_project,
     "p06_dataset_split": p06_dataset_split,
     "p07_mixture_sample": p07_mixture_sample,
     "m03_frame_sample": m03_frame_sample,
@@ -1117,6 +1141,7 @@ ORACLES = {
     "t11_langid_confusion": ORACLE_T11,
     "t12_pmi_collocations": ORACLE_T12,
     "s07_centroid_classify": ORACLE_S07,
+    "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,
     "p07_mixture_sample": ORACLE_P07,
     "m03_frame_sample": ORACLE_M03,

@@ -32,6 +32,89 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.schema(schema).json(path)
 
 
+def read_json_quarantine(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingestion with malformed-record quarantine: PERMISSIVE
+    mode routes unparseable lines into a capture column instead of
+    failing the job (at 100 TB there is ALWAYS a corrupt line; a
+    FAILFAST pipeline never finishes, and silent DROPMALFORMED loses
+    auditability). Returns (clean rows, quarantined raw lines) — the
+    quarantine side is what gets written to a dead-letter path.
+
+    One scan serves both sides: Spark refuses to evaluate a query
+    that references ONLY the corrupt-record capture column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the raw read is cached and
+    both filters carve it — which is also the efficient shape (one
+    pass populates both outputs).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    schema_with_capture = schema.add("_corrupt_record", "string")
+    raw = (
+        spark.read.schema(schema_with_capture)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    clean = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, bad
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 512,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target_mb. Streaming sinks and per-partition writers leave
+    thousands of KB-sized files; at 100 TB the file-listing and
+    per-file open overhead dominates scan time (the classic
+    small-files problem). Sizing uses the dataset's on-disk bytes —
+    metadata only, no data pass — then one repartition write.
+
+    Returns the output file count.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src_path)
+    paths = [urlparse(p).path for p in df.inputFiles()]
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p)) or 1
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def write_range_layout(
+    df: DataFrame, path: str, sort_cols: list[str], num_files: int | None = None
+) -> None:
+    """Range-partitioned, sorted parquet layout: repartitionByRange
+    on the sort keys then sortWithinPartitions before writing — every
+    output file covers a DISJOINT key range, so the parquet min/max
+    row-group statistics become selective and a point/range filter
+    skips whole files (verified against footer metadata in
+    tests/test_sources.py). The single-column analog of Z-ordering:
+    the right layout when one key dominates the filter workload.
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC reader — columnar like parquet (self-describing schema,
     vectorized scan, predicate pushdown); the interchange format when

@@ -110,3 +110,24 @@ def test_s07_centroid_classify_beats_chance(spark, sf_dir):
     assert total == emb.count()
     # centroids built FROM these labels must classify far above chance
     assert correct / total > 2.0 / n_labels
+
+
+def test_pca_project_variance_and_orthogonality(spark, sf_dir):
+    import numpy as np
+
+    from llamadb_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pca_project(emb, k=8)
+    mat = np.array([r.pc for r in out.collect()])
+    assert mat.shape[1] == 8
+    # principal components are uncorrelated: covariance of the
+    # projection is diagonal (off-diagonal ≈ 0)
+    cov = np.cov(mat, rowvar=False)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6 * max(1.0, np.abs(cov).max()) + 1e-8
+    # explained variance is sorted descending along components
+    d = np.diag(cov)
+    assert all(d[i] >= d[i + 1] - 1e-12 for i in range(len(d) - 1))
+    # projection preserves row count and is deterministic in shape
+    assert mat.shape[0] == emb.count()

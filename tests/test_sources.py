@@ -105,3 +105,58 @@ def test_read_text_lines_provenance(spark, tmp_path):
 
     whole = read_text_whole(spark, str(tmp_path / "a.txt")).collect()
     assert len(whole) == 1 and whole[0].text == "alpha\nbeta\ngamma\n"
+
+
+def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    from llamadb_spark.sources.catalog import read_json_quarantine
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        "this is not json at all\n"
+        '{"id": broken\n'
+    )
+    clean, bad = read_json_quarantine(spark, str(p), "id long, name string")
+    assert {(r.id, r.name) for r in clean.collect()} == {(1, "ok"), (2, "also ok")}
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["this is not json at all", '{"id": broken']
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from llamadb_spark.sources.catalog import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_mb=512)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_range_layout_files_cover_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from llamadb_spark.sources.catalog import write_range_layout
+
+    dst = str(tmp_path / "ranged")
+    df = spark.range(100_000).withColumnRenamed("id", "user_id")
+    write_range_layout(df, dst, ["user_id"], num_files=8)
+    spans = []
+    for f in glob.glob(f"{dst}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) == 8
+    # disjoint: every file's max < next file's min ⇒ a point filter
+    # matches exactly one file's stats window
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    assert spark.read.parquet(dst).count() == 100_000
