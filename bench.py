@@ -101,6 +101,10 @@ HEADLINE = [
     "h19_discounted_revenue",
     "h20_potential_promotion",
     "h21_waiting_suppliers",
+    "e11_session_window",
+    "e12_cdc_snapshot",
+    "p07_mixture_sample",
+    "s08_embed_dim_stats",
 ]
 
 

@@ -121,6 +121,43 @@ def jaccard_ngram_pairs(
     )
 
 
+def shared_ngram_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    stop_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Exact long-run dedup: doc pairs sharing at least ``min_shared``
+    distinct word n-grams for a LONG n (default 8). With n this long a
+    single shared run is near-certain copying — the inverted-index
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring matching; a distributed suffix array is the exact form,
+    the long-shingle index is the join-friendly one).
+
+    Same scale shape as jaccard_ngram_pairs: index → hot-key guard →
+    self-join; no thresholding math, just shared-run counts.
+
+    Output: (a_id, b_id, n_shared).
+    """
+    sh = word_shingles_fast(docs, id_col, text_col, n=n)
+    idx = sh.select(
+        col(id_col), F.xxhash64("shingle").alias("sh")
+    ).localCheckpoint()
+    idx = drop_hot_keys(idx, ["sh"], stop_shingle_df)
+    a = idx.select(col(id_col).alias("a_id"), "sh").hint("shuffle_hash")
+    b = idx.select(col(id_col).alias("b_id"), "sh").hint("shuffle_hash")
+    return (
+        a.join(b, "sh")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(lit(1)).alias("n_shared"))
+        .filter(col("n_shared") >= min_shared)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

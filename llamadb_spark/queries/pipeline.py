@@ -1013,6 +1013,38 @@ FROM frames
 """
 
 
+#: Long-run width for exact substring-style dedup: 8 consecutive
+#: shared words ≈ verbatim copying in the synthetic corpus (6 and 8
+#: find the same 25 exact-dup pairs; 4 starts catching boilerplate).
+LONGRUN_N = 8
+
+
+def d09_shared_longrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shared_ngram_pairs(_docs(spark, sf_dir), n=LONGRUN_N)
+
+
+ORACLE_D09 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, k, k + {LONGRUN_N - 1}), ' ') AS shingle
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, len(tk) - {LONGRUN_N - 1})) AS k
+    FROM toks WHERE len(tk) >= {LONGRUN_N}
+  )
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def s08_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_dim_stats(_emb(spark, sf_dir))
 
@@ -1110,6 +1142,7 @@ QUERIES = {
     "p07_mixture_sample": p07_mixture_sample,
     "m03_frame_sample": m03_frame_sample,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
+    "d09_shared_longrun": d09_shared_longrun,
 }
 
 ORACLES = {
@@ -1146,4 +1179,5 @@ ORACLES = {
     "p07_mixture_sample": ORACLE_P07,
     "m03_frame_sample": ORACLE_M03,
     "d08_semantic_dedup_apply": ORACLE_D08,
+    "d09_shared_longrun": ORACLE_D09,
 }
