@@ -351,6 +351,34 @@ def tfidf_topk(
         .limit(k)
     )
 
+def heavy_hitter_tokens(
+    docs: DataFrame,
+    support: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch-based frequent-token detection: single pass, O(1/support)
+    memory per partition (Karp/misra-gries style summaries merged on
+    the driver via DataFrame.stat.freqItems) — the 100 TB path when
+    an exact token count (t05's groupBy) would shuffle the full
+    vocabulary. Guarantee is one-sided: every token with frequency >
+    support IS returned; some below-support tokens may ride along, so
+    results verify against the exact counter in tests rather than a
+    SQL oracle.
+
+    Output: (token) — the candidate heavy-hitter set.
+    """
+    from llamadb_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(col(text_col))).alias("token")).filter(
+        col("token") != ""
+    )
+    freq = tok.stat.freqItems(["token"], support)
+    return freq.select(
+        F.explode(col("token_freqItems")).alias("token")
+    )
+
+
 def token_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1013,6 +1013,13 @@ FROM frames
 """
 
 
+def t13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the sketch's one-sided guarantee (no false negatives,
+    # possible false positives) is asserted against the exact counter
+    # in tests/test_pipeline_ops.py, not a SQL oracle.
+    return textops.heavy_hitter_tokens(_docs(spark, sf_dir), support=0.02)
+
+
 #: Long-run width for exact substring-style dedup: 8 consecutive
 #: shared words ≈ verbatim copying in the synthetic corpus (6 and 8
 #: find the same 25 exact-dup pairs; 4 starts catching boilerplate).
@@ -1135,6 +1142,7 @@ QUERIES = {
     "p05_tombstone_delete": p05_tombstone_delete,
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
+    "t13_heavy_hitters": t13_heavy_hitters,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,

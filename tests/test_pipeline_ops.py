@@ -154,3 +154,30 @@ def test_dataset_split_partition_of_corpus(spark, sf_dir):
         assert first == again
     finally:
         out.unpersist()
+
+
+def test_heavy_hitters_superset_of_exact(spark, sf_dir):
+    """freqItems guarantee: every token with frequency > support must
+    appear in the sketch output (false positives allowed)."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.functions.text import tokens
+    from llamadb_spark.operators.textops import heavy_hitter_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    support = 0.02
+    got = {r.token for r in heavy_hitter_tokens(docs, support).collect()}
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    total = tok.count()
+    exact = {
+        r.token
+        for r in tok.groupBy("token")
+        .count()
+        .filter(F.col("count") > support * total)
+        .collect()
+    }
+    assert exact, "support chosen so the corpus has heavy hitters"
+    assert exact <= got

@@ -160,3 +160,50 @@ def test_range_layout_files_cover_disjoint_ranges(spark, tmp_path):
     # matches exactly one file's stats window
     assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
     assert spark.read.parquet(dst).count() == 100_000
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from llamadb_spark.sources.catalog import write_zorder_layout
+
+    dst = str(tmp_path / "zordered")
+    grid = spark.sql(
+        "SELECT x, y FROM (SELECT explode(sequence(0, 255)) AS x) "
+        "CROSS JOIN (SELECT explode(sequence(0, 255)) AS y)"
+    )
+    write_zorder_layout(grid, dst, "x", "y", num_files=16, bits=8)
+
+    def file_spans(f):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        spans = {}
+        for c, name in enumerate(names):
+            lo = min(md.row_group(i).column(c).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(c).statistics.max for i in range(md.num_row_groups))
+            spans[name] = hi - lo
+        return spans
+
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == 16
+    spans = [file_spans(f) for f in files]
+    # Z-order: files cover compact rectangles — on AVERAGE both dims
+    # sit far below the global 0..255 span (a file straddling a
+    # quadrant boundary can still span wide, so the mean is the
+    # stable statistic). A lexicographic (x, y) sort would pin every
+    # file's y-span at 255.
+    mean = lambda dim: sum(s[dim] for s in spans) / len(spans)  # noqa: E731
+    assert mean("x") <= 120
+    assert mean("y") <= 120
+    assert spark.read.parquet(dst).count() == 256 * 256
+
+    # lexicographic baseline: tight x, full-width y — the failure
+    # mode z-ordering exists to fix
+    lex = str(tmp_path / "lex")
+    grid.repartitionByRange(16, "x", "y").sortWithinPartitions(
+        "x", "y"
+    ).write.mode("overwrite").parquet(lex)
+    lex_spans = [file_spans(f) for f in glob.glob(f"{lex}/*.parquet")]
+    assert sum(s["y"] for s in lex_spans) / len(lex_spans) > 200
