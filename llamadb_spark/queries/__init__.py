@@ -40,21 +40,30 @@ _DRIVER_CHECKED_R01R02 = frozenset(
 )
 
 
-def _rotated(merged):
-    unchecked = {k: v for k, v in merged.items() if k not in _DRIVER_CHECKED_R01R02}
-    checked = {k: v for k, v in merged.items() if k in _DRIVER_CHECKED_R01R02}
-    return {**unchecked, **checked}
+def _rotated(merged, oracled: frozenset):
+    """Order: never-checked oracled keys (full hash compare) first,
+    then never-checked rows-only keys, then already-checked keys —
+    maximizes new official hash-match rows per bounded driver run."""
+
+    def rank(k):
+        return (k in _DRIVER_CHECKED_R01R02, k not in oracled)
+
+    return {k: merged[k] for k in sorted(merged, key=lambda k: (rank(k),))}
+
+
+def _oracle_keys() -> frozenset:
+    return frozenset(k for mod in _MODULES for k in mod.ORACLES)
 
 
 def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return _rotated(out)
+    return _rotated(out, _oracle_keys())
 
 
 def all_oracles():
     out = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return _rotated(out)
+    return _rotated(out, _oracle_keys())
