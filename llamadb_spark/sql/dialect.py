@@ -384,7 +384,20 @@ class LlamaSession:
                 )
         if not checks:
             return
-        bad = df.agg(*checks).collect()[0].asDict()
+        try:
+            bad = df.agg(*checks).collect()[0].asDict()
+        except Exception as exc:  # noqa: BLE001
+            # ANSI-mode cast overflow fires during the scan, before
+            # the decimal range comparison can run (e.g. -129 into an
+            # I8's TINYINT) — same violation, earlier detection;
+            # surface it as the dialect's own insert-time error like
+            # the reference does.
+            msg = str(exc)
+            if "CAST_OVERFLOW" in msg or "ArithmeticException" in type(exc).__name__:
+                raise LlamaError(
+                    "value out of range for declared column type"
+                ) from None
+            raise
         for key, cnt in bad.items():
             kind, cname = key.split("__", 1)
             if cnt and cnt > 0:

@@ -156,3 +156,83 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+_COLTYPES = {
+    "U8": st.integers(0, 255),
+    "I8": st.integers(-128, 127),
+    "U16": st.integers(0, 2**16 - 1),
+    "I32": st.integers(-(2**31), 2**31 - 1),
+    "I64": st.integers(-(2**63), 2**63 - 1),
+    "U64": st.integers(0, 2**64 - 1),
+    "STRING": st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz 0123456789", min_size=0, max_size=12
+    ),
+    "F64": st.integers(-(10**6), 10**6).map(lambda i: i / 4.0),
+}
+
+_table_counter = [0]
+
+
+@given(
+    cols=st.lists(
+        st.sampled_from(sorted(_COLTYPES)), min_size=1, max_size=4
+    ),
+    data=st.data(),
+)
+@_SPARK_SETTINGS
+def test_dialect_create_insert_select_roundtrip(spark, cols, data):
+    """Fuzz the dialect end-to-end: any CREATE with reference types,
+    any in-bounds values must insert and read back exactly (the
+    reference's tempdb roundtrip invariant, randomized)."""
+    from llamadb_spark.sql import LlamaSession
+
+    db = LlamaSession(spark)
+    _table_counter[0] += 1
+    name = f"fuzz_{_table_counter[0]}"
+    coldefs = ", ".join(f"c{i} {t} NULL" for i, t in enumerate(cols))
+    db.execute(f"CREATE TABLE {name} ({coldefs})")
+
+    n_rows = data.draw(st.integers(1, 3))
+    rows = [
+        tuple(data.draw(_COLTYPES[t]) for t in cols) for _ in range(n_rows)
+    ]
+
+    def sql_lit(t, v):
+        if t == "STRING":
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    tuples = ", ".join(
+        "(" + ", ".join(sql_lit(t, v) for t, v in zip(cols, row)) + ")"
+        for row in rows
+    )
+    db.execute(f"INSERT INTO {name} VALUES {tuples}")
+    got = sorted(
+        tuple(
+            int(v) if cols[i] == "U64" else v for i, v in enumerate(r)
+        )
+        for r in db.execute(f"SELECT * FROM {name}").collect()
+    )
+    assert got == sorted(rows)
+
+
+@given(
+    t=st.sampled_from(["U8", "I8", "U16", "I32"]),
+    above=st.booleans(),
+)
+@_SPARK_SETTINGS
+def test_dialect_out_of_bounds_always_rejected(spark, t, above):
+    from llamadb_spark.sql import LlamaSession
+
+    db = LlamaSession(spark)
+    _table_counter[0] += 1
+    name = f"fuzzb_{_table_counter[0]}"
+    db.execute(f"CREATE TABLE {name} (c0 {t})")
+    _, (lo, hi) = translate_type(t)
+    bad = hi + 1 if above else lo - 1
+    try:
+        db.execute(f"INSERT INTO {name} VALUES ({bad})")
+    except LlamaError:
+        return
+    raise AssertionError(f"{t} accepted out-of-range {bad}")
