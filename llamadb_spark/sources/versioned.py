@@ -1,0 +1,113 @@
+"""Versioned parquet tables: snapshot writes, time travel, version
+diff — a minimal manifest-based implementation of the pattern Delta
+Lake / Iceberg formalize (validity of a snapshot is decided by a
+manifest pointer, never by directory listing).
+
+Layout:  <table>/v=N/part-*.parquet   (immutable snapshot N)
+         <table>/_latest              (text manifest: the committed N)
+
+Writer protocol: write the new snapshot directory FULLY, then flip
+the one-line manifest — readers resolving "latest" see either the old
+or the new version, never a half-written directory (the same
+last-writer-wins commit rule as Delta's _last_checkpoint, minus
+multi-writer arbitration, which needs a real transaction log).
+
+At 100 TB the snapshot write is the same cost as any partitioned
+write; time travel and diff read only the two snapshots involved.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+
+def _manifest(path: str) -> str:
+    return os.path.join(path, "_latest")
+
+
+def versions(path: str) -> list[int]:
+    """Committed snapshot numbers, ascending (directory scan bounded
+    by version count, not data size)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    latest = latest_version(path)
+    return sorted(v for v in out if latest is not None and v <= latest)
+
+
+def latest_version(path: str) -> int | None:
+    try:
+        with open(_manifest(path)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Commit a new immutable snapshot; returns its version number."""
+    cur = latest_version(path)
+    nxt = 0 if cur is None else cur + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={nxt}"))
+    tmp = _manifest(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.replace(tmp, _manifest(path))
+    return nxt
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: read snapshot ``version`` (default: the committed
+    latest)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def version_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Changelog between two snapshots — the inverse of
+    operators/events.cdc_apply: full outer join on the key, classify
+    each key as insert / delete / update (any non-key column
+    changed) / unchanged-dropped. One shuffle per side on the key.
+
+    Output: key columns + change ('insert' | 'delete' | 'update').
+    """
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.struct(*[col(c) for c in val_cols]).alias("_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        F.struct(*[col(c) for c in val_cols]).alias("_new"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(col("_in_old").isNull(), F.lit("insert"))
+        .when(col("_in_new").isNull(), F.lit("delete"))
+        .when(col("_old") != col("_new"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -207,3 +207,34 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     ).write.mode("overwrite").parquet(lex)
     lex_spans = [file_spans(f) for f in glob.glob(f"{lex}/*.parquet")]
     assert sum(s["y"] for s in lex_spans) / len(lex_spans) > 200
+
+
+def test_versioned_table_time_travel_and_diff(spark, tmp_path):
+    from llamadb_spark.sources.versioned import (
+        read_version,
+        version_diff,
+        versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "vtable")
+    v0_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+    )
+    assert write_version(v0_df, path) == 0
+    v1_df = spark.createDataFrame(
+        # id 2 updated, id 3 deleted, id 4 inserted
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], ["id", "name", "val"]
+    )
+    assert write_version(v1_df, path) == 1
+    assert versions(path) == [0, 1]
+
+    # time travel: both snapshots intact
+    assert {r.id for r in read_version(spark, path, 0).collect()} == {1, 2, 3}
+    assert {r.id for r in read_version(spark, path).collect()} == {1, 2, 4}
+
+    diff = {
+        (r.id, r.change)
+        for r in version_diff(spark, path, 0, 1, ["id"]).collect()
+    }
+    assert diff == {(2, "update"), (3, "delete"), (4, "insert")}
