@@ -103,6 +103,78 @@ def session_window_stream(
     )
 
 
+def user_totals_tws_stream(events: DataFrame) -> DataFrame:
+    """Per-user RUNNING totals via transformWithState (Spark 4's
+    arbitrary-stateful API, the successor to applyInPandasWithState):
+    a ValueState cell per user accumulates (n_events, total_value)
+    across micro-batches; each batch emits the updated running row.
+    Compared to applyInPandasWithState, state here is typed and
+    composable (value/list/map cells, timers) instead of one opaque
+    tuple — this operator is the minimal value-state pattern.
+
+    ENVIRONMENT NOTE: the transformWithState state protocol speaks
+    protobuf between the JVM and a Python driver worker; in a
+    container without google.protobuf the query fails at
+    initialization (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    The equivalence test skips in that case and
+    sessionize_stream's applyInPandasWithState remains the
+    exercised stateful path.
+
+    State is O(distinct users); at 100 TB you bound it with a timer
+    (handleExpiredTimer) or key TTL — omitted here because the test
+    corpus is finite.
+
+    Output (update mode): (user_id, n_events, total_value) — the
+    latest running totals for users seen in each micro-batch.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_value double"
+            )
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),

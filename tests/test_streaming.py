@@ -224,3 +224,52 @@ def test_native_session_window_stream_matches_batch(spark, sf_dir):
     }
     assert len(got_rows) > 0
     assert got_rows == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state protocol needs google.protobuf, "
+    "absent from this container (applyInPandasWithState covers the "
+    "stateful path; see streams.py docstring)",
+)
+def test_transform_with_state_totals_match_batch(spark, sf_dir):
+    """transformWithState running totals: after the availableNow run
+    drains every micro-batch, the LAST update per user must equal the
+    batch aggregate over the same file."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.streaming.streams import (
+        read_events_stream,
+        user_totals_tws_stream,
+    )
+
+    stream = user_totals_tws_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "tws_totals_test", output_mode="update")
+    # update mode emits one row per user per micro-batch; the single
+    # input file means exactly one batch → already final
+    got_rows = {
+        r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("tv"),
+        )
+    )
+    batch_rows = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
+    assert len(got_rows) > 0
+    assert got_rows == batch_rows
