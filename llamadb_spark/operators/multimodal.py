@@ -55,6 +55,39 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def chunk_payload(
+    media: DataFrame, chunk_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split each binary payload into fixed-size byte windows — the
+    REAL (no-codec) half of audio/video preprocessing: framing a PCM
+    stream into windows, slicing a blob for ranged upload, sharding
+    oversized payloads to per-chunk rows. Pure JVM expressions
+    (sequence → transform → substring on BINARY → posexplode), so
+    payload bytes never cross into Python; row growth is bounded by
+    ceil(n_bytes / chunk_bytes) per payload.
+
+    Output: (id, chunk_idx, chunk bytes, chunk_len, chunk_sha);
+    concatenating chunks in chunk_idx order reconstructs the payload
+    (asserted in tests).
+    """
+    n_chunks = F.ceil(F.octet_length(col("payload")) / F.lit(chunk_bytes))
+    chunks = F.transform(
+        F.sequence(lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.substring(col("payload"), i * chunk_bytes + 1, chunk_bytes),
+    )
+    return (
+        media.filter(F.octet_length(col("payload")) > 0)
+        .select(col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            col(id_col),
+            col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk",
+            F.octet_length("chunk").cast("long").alias("chunk_len"),
+            F.sha2("chunk", 256).alias("chunk_sha"),
+        )
+    )
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """'Decode' payloads via Arrow-batched mapInPandas.
 

@@ -1013,6 +1013,38 @@ FROM frames
 """
 
 
+CHUNK_BYTES = 512
+
+
+def m04_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window binary chunking (operators/multimodal.py
+    chunk_payload). DuckDB has no blob slicing, so the oracle checks
+    the framing — every (doc, chunk_idx, chunk_len) — arithmetically;
+    chunk CONTENT (sha + exact reconstruction) is byte-asserted in
+    tests/test_multimodal.py."""
+    env = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.chunk_payload(env, chunk_bytes=CHUNK_BYTES).select(
+        "doc_id", "chunk_idx", "chunk_len"
+    )
+
+
+ORACLE_M04 = f"""
+WITH env AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+),
+idx AS (
+  SELECT doc_id, n_bytes,
+         unnest(generate_series(0,
+             CAST(ceil(n_bytes / {CHUNK_BYTES}.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM env WHERE n_bytes > 0
+)
+SELECT doc_id, chunk_idx,
+       least(CAST({CHUNK_BYTES} AS BIGINT),
+             n_bytes - chunk_idx * {CHUNK_BYTES}) AS chunk_len
+FROM idx
+"""
+
+
 def t13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the sketch's one-sided guarantee (no false negatives,
     # possible false positives) is asserted against the exact counter
@@ -1149,6 +1181,7 @@ QUERIES = {
     "p06_dataset_split": p06_dataset_split,
     "p07_mixture_sample": p07_mixture_sample,
     "m03_frame_sample": m03_frame_sample,
+    "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d09_shared_longrun": d09_shared_longrun,
 }
@@ -1186,6 +1219,7 @@ ORACLES = {
     "p06_dataset_split": ORACLE_P06,
     "p07_mixture_sample": ORACLE_P07,
     "m03_frame_sample": ORACLE_M03,
+    "m04_payload_chunks": ORACLE_M04,
     "d08_semantic_dedup_apply": ORACLE_D08,
     "d09_shared_longrun": ORACLE_D09,
 }

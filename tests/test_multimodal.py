@@ -66,3 +66,30 @@ def test_m03_frame_sample_bounded_and_python_free(spark, sf_dir):
         assert df.select("frame_sha").distinct().count() == df.count()
     finally:
         df.unpersist()
+
+
+def test_chunk_payload_reconstructs_exactly(spark):
+    import hashlib
+
+    from llamadb_spark.operators.multimodal import attach_payload, chunk_payload
+
+    docs = spark.createDataFrame(
+        [(1, "hello world this is a chunked payload"), (2, "xy"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_payload(attach_payload(docs), chunk_bytes=8)
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, bytes(r.chunk), r.chunk_len, r.chunk_sha)
+        for r in out.collect()
+    )
+    # concatenation in chunk order reconstructs each non-empty payload
+    for doc_id, text in [(1, "hello world this is a chunked payload"), (2, "xy")]:
+        chunks = [c for d, i, c, ln, sh in rows if d == doc_id]
+        assert b"".join(chunks) == text.encode()
+    # empty payloads contribute zero chunks
+    assert not any(d == 3 for d, *_ in rows)
+    # every chunk's sha and length are self-consistent, full chunks
+    # are exactly chunk_bytes
+    for d, i, c, ln, sh in rows:
+        assert ln == len(c) and sh == hashlib.sha256(c).hexdigest()
+        assert ln == 8 or (d, i) == max((dd, ii) for dd, ii, *_ in rows if dd == d)
