@@ -1013,6 +1013,18 @@ FROM frames
 """
 
 
+def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as d06 (near-dup pairs → min-id component
+    labels) computed by the alternating large-star/small-star
+    algorithm instead of min-label propagation — hash-matching the
+    SAME recursive-CTE oracle proves the two distributed algorithms
+    agree on real data, not just unit graphs."""
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    return dedup.connected_components_star(pairs)
+
+
 CHUNK_BYTES = 512
 
 
@@ -1184,6 +1196,7 @@ QUERIES = {
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d09_shared_longrun": d09_shared_longrun,
+    "d10_dedup_clusters_star": d10_dedup_clusters_star,
 }
 
 ORACLES = {
@@ -1222,4 +1235,5 @@ ORACLES = {
     "m04_payload_chunks": ORACLE_M04,
     "d08_semantic_dedup_apply": ORACLE_D08,
     "d09_shared_longrun": ORACLE_D09,
+    "d10_dedup_clusters_star": ORACLE_D06,
 }
