@@ -351,6 +351,47 @@ WHERE rn = 1 AND event_type <> 'purchase'
 """
 
 
+def e13_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time completeness audit: hours in the stream's [min, max]
+    span with ZERO events — the freshness/completeness check a
+    pipeline runs before trusting a partition. One agg for the span
+    (two scalars), one hourly agg, one anti-join of the generated
+    hour grid against observed hours; grid size is span-bounded,
+    never data-bounded."""
+    from pyspark.sql.functions import broadcast
+
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_h0"),
+        F.date_trunc("hour", F.max("ts")).alias("_h1"),
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence("_h0", "_h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    observed = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    return grid.join(observed, "hour", "left_anti").orderBy("hour")
+
+
+ORACLE_E13 = """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1 FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+),
+observed AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events)
+SELECT g.hour
+FROM grid g LEFT JOIN observed o ON g.hour = o.hour
+WHERE o.hour IS NULL
+ORDER BY g.hour
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -364,6 +405,7 @@ QUERIES = {
     "e10_retention": e10_retention,
     "e11_session_window": e11_session_window,
     "e12_cdc_snapshot": e12_cdc_snapshot,
+    "e13_gap_detection": e13_gap_detection,
 }
 
 ORACLES = {
@@ -379,4 +421,5 @@ ORACLES = {
     "e10_retention": ORACLE_E10,
     "e11_session_window": ORACLE_E11,
     "e12_cdc_snapshot": ORACLE_E12,
+    "e13_gap_detection": ORACLE_E13,
 }

@@ -1013,6 +1013,77 @@ FROM frames
 """
 
 
+def p08_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the orders table (the
+    deequ/dbt-test pattern): each check is ONE conditional aggregate,
+    all checks ride a single table scan (one agg, no per-check jobs);
+    referential integrity adds one broadcast anti-join count. Output
+    one row per check so a pipeline can alert on n_violations > 0.
+
+    Checks: primary-key uniqueness, NOT NULL, value domain,
+    non-negativity, date bounds, referential integrity to customer.
+    """
+    from pyspark.sql.functions import broadcast, col, lit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    one_pass = orders.agg(
+        (F.count(lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "pk_duplicate_orderkeys"
+        ),
+        F.count_if(col("o_custkey").isNull()).alias("null_custkeys"),
+        F.count_if(
+            ~col("o_orderstatus").isin("F", "O", "P")
+        ).alias("bad_status_values"),
+        F.count_if(col("o_totalprice") <= 0).alias("nonpositive_totalprice"),
+        F.count_if(
+            (col("o_orderdate") < lit("1990-01-01").cast("timestamp"))
+            | (col("o_orderdate") > lit("2030-01-01").cast("timestamp"))
+        ).alias("out_of_range_orderdate"),
+    )
+    orphan = (
+        orders.join(
+            broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti"
+        )
+        .agg(F.count(lit(1)).alias("orphan_custkeys"))
+    )
+    wide = one_pass.crossJoin(orphan)
+    checks = [
+        "pk_duplicate_orderkeys",
+        "null_custkeys",
+        "bad_status_values",
+        "nonpositive_totalprice",
+        "out_of_range_orderdate",
+        "orphan_custkeys",
+    ]
+    stacked = ", ".join(f"'{c}', {c}" for c in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stacked}) AS (check_name, n_violations)"
+    )
+
+
+ORACLE_P08 = """
+SELECT 'pk_duplicate_orderkeys' AS check_name,
+       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'null_custkeys', count(*) FILTER (o_custkey IS NULL) FROM orders
+UNION ALL
+SELECT 'bad_status_values',
+       count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) FROM orders
+UNION ALL
+SELECT 'nonpositive_totalprice',
+       count(*) FILTER (o_totalprice <= 0) FROM orders
+UNION ALL
+SELECT 'out_of_range_orderdate',
+       count(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01'
+                        OR o_orderdate > TIMESTAMP '2030-01-01') FROM orders
+UNION ALL
+SELECT 'orphan_custkeys', count(*) FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+"""
+
+
 def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as d06 (near-dup pairs → min-id component
     labels) computed by the alternating large-star/small-star
@@ -1192,6 +1263,7 @@ QUERIES = {
     "s09_pca_project": s09_pca_project,
     "p06_dataset_split": p06_dataset_split,
     "p07_mixture_sample": p07_mixture_sample,
+    "p08_dq_report": p08_dq_report,
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
@@ -1231,6 +1303,7 @@ ORACLES = {
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,
     "p07_mixture_sample": ORACLE_P07,
+    "p08_dq_report": ORACLE_P08,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "d08_semantic_dedup_apply": ORACLE_D08,

@@ -454,6 +454,78 @@ ORDER BY nation, o_year DESC
 """
 
 
+# --- Q11: important stock (share-of-global-total HAVING) -----------------
+def h11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: no partsupp table, so "stock value" is each
+    supplier's shipped value sum(l_extendedprice * l_quantity); the
+    signature shape survives — a grouped aggregate filtered against a
+    scalar fraction of the GLOBAL total (correlated HAVING over a
+    one-row subquery, broadcast to the filter)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (col("l_extendedprice") * col("l_quantity")).alias("_v")
+    )
+    sv = li.groupBy("l_suppkey").agg(F.sum("_v").alias("val"))
+    total = sv.agg(F.sum("val").alias("_total"))
+    return (
+        sv.crossJoin(broadcast(total))
+        .filter(col("val") > lit(0.011) * col("_total"))
+        .select("l_suppkey", F.round("val", 4).alias("value"))
+        .orderBy(col("value").desc())
+    )
+
+
+ORACLE_H11 = """
+WITH sv AS (
+  SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS val
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, round(val, 4) AS value
+FROM sv
+WHERE val > (SELECT 0.011 * sum(val) FROM sv)
+ORDER BY value DESC
+"""
+
+
+# --- Q12: shipping class vs order priority -------------------------------
+def h12_ship_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: no l_shipmode/l_commitdate/l_receiptdate;
+    the mode dimension becomes a late/ontime shipping class (shipped
+    more than 30 days after ordering) and the payload keeps Q12's
+    high/low-priority conditional counts."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                col("l_shipdate") > col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                "late",
+            ).otherwise("ontime"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+ORACLE_H12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_class,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+ORDER BY ship_class
+"""
+
+
 # --- Q19: discounted revenue (disjunctive brand/size/qty predicates) -----
 def h19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 adapted (no p_container/l_shipmode in testdata): the
@@ -618,6 +690,8 @@ QUERIES = {
     "h10_returned_items": h10_returned_items,
     "h05_local_supplier_volume": h05_local_supplier_volume,
     "h09_product_type_profit": h09_product_type_profit,
+    "h11_important_stock": h11_important_stock,
+    "h12_ship_priority_class": h12_ship_priority_class,
     "h14_promo_effect": h14_promo_effect,
     "h16_supplier_counts": h16_supplier_counts,
     "h18_large_orders": h18_large_orders,
@@ -634,6 +708,8 @@ ORACLES = {
     "h10_returned_items": ORACLE_H10,
     "h05_local_supplier_volume": ORACLE_H05,
     "h09_product_type_profit": ORACLE_H09,
+    "h11_important_stock": ORACLE_H11,
+    "h12_ship_priority_class": ORACLE_H12,
     "h14_promo_effect": ORACLE_H14,
     "h16_supplier_counts": ORACLE_H16,
     "h18_large_orders": ORACLE_H18,
