@@ -105,6 +105,14 @@ HEADLINE = [
     "e12_cdc_snapshot",
     "p07_mixture_sample",
     "s08_embed_dim_stats",
+    "d09_shared_longrun",
+    "d10_dedup_clusters_star",
+    "h11_important_stock",
+    "h12_ship_priority_class",
+    "p08_dq_report",
+    "e13_gap_detection",
+    "m04_payload_chunks",
+    "t13_heavy_hitters",
 ]
 
 
