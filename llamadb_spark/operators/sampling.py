@@ -92,6 +92,32 @@ def mixture_sample(
     )
 
 
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-k per-stratum sample (vs the Bernoulli operators above,
+    which hit targets only in expectation): rank rows inside each
+    stratum by the deterministic key hash (key as tiebreak) and keep
+    rank ≤ k. Same reproducibility contract — the chosen set is a
+    pure function of the data — at the cost of one window sort per
+    stratum, which Bernoulli sampling avoids; use this when the
+    budget is a hard cap (eval sets, human-review batches).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket_hash(col(key_col), buckets=1_000_000_000), col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str = "doc_id",

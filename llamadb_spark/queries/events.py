@@ -392,6 +392,62 @@ ORDER BY g.hour
 """
 
 
+def e14_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency distribution: per converting
+    user the seconds from first signup to the first purchase AT OR
+    AFTER it, rolled up to count / avg / median / max. Two tiny
+    per-user aggregates and one join — the funnel's (e09) timing
+    companion."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.first("t0").alias("t0"))
+    )
+    # microsecond precision on both sides: DuckDB's epoch() keeps
+    # fractional seconds, so a whole-second cast would diverge
+    lat = p.select(
+        ((F.unix_micros("t1") - F.unix_micros("t0")) / F.lit(1e6)).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("sec"), 6).alias("avg_sec"),
+        F.round(F.median("sec"), 6).alias("median_sec"),
+        F.round(F.max("sec"), 6).alias("max_sec"),
+    )
+
+
+ORACLE_E14 = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t1, min(s.t0) AS t0
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT (epoch_us(t1) - epoch_us(t0)) / 1e6 AS sec FROM p
+)
+SELECT count(*) AS n_converted,
+       round(avg(sec), 6) AS avg_sec,
+       round(median(sec), 6) AS median_sec,
+       round(max(sec), 6) AS max_sec
+FROM lat
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -406,6 +462,7 @@ QUERIES = {
     "e11_session_window": e11_session_window,
     "e12_cdc_snapshot": e12_cdc_snapshot,
     "e13_gap_detection": e13_gap_detection,
+    "e14_conversion_latency": e14_conversion_latency,
 }
 
 ORACLES = {
@@ -422,4 +479,5 @@ ORACLES = {
     "e11_session_window": ORACLE_E11,
     "e12_cdc_snapshot": ORACLE_E12,
     "e13_gap_detection": ORACLE_E13,
+    "e14_conversion_latency": ORACLE_E14,
 }

@@ -1084,6 +1084,65 @@ WHERE c.c_custkey IS NULL
 """
 
 
+def p09_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.operators.sampling import exact_k_sample
+
+    return exact_k_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), k=25
+    )
+
+
+ORACLE_P09 = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY ((doc_id % 100003) * 2654435761) % 1000000000, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 25
+"""
+
+
+#: Candidate width for edit-distance dedup: long-run candidates are
+#: near-verbatim, so a small absolute edit budget separates true
+#: near-dups from coincidental run sharing.
+EDIT_DIST_MAX = 80
+
+
+def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with EXACT edit-distance verification: candidate
+    pairs from the shared long-run index (d09 — bounded, never
+    O(n²)), then levenshtein on the candidate pair's full texts via
+    one join-back. The candidate set is duplicate-bounded, so the
+    O(len²) edit-distance work runs on a tiny fraction of the corpus
+    — the standard sieve: cheap blocking first, exact verify second.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cand = dedup.shared_ngram_pairs(docs, n=LONGRUN_N).select("a_id", "b_id")
+    scored = (
+        cand.join(
+            broadcast(docs.select(col("doc_id").alias("a_id"), col("text").alias("_ta"))),
+            "a_id",
+        )
+        .join(
+            broadcast(docs.select(col("doc_id").alias("b_id"), col("text").alias("_tb"))),
+            "b_id",
+        )
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("long"))
+    )
+    return scored.filter(col("edit_dist") <= EDIT_DIST_MAX).select(
+        "a_id", "b_id", "edit_dist"
+    )
+
+
+# ORACLE_D11 is defined after ORACLE_D09 below (it embeds the d09
+# candidate SQL as a CTE).
+
+
 def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as d06 (near-dup pairs → min-id component
     labels) computed by the alternating large-star/small-star
@@ -1164,6 +1223,19 @@ sh AS (
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+ORACLE_D11 = rf"""
+WITH cand AS ({ORACLE_D09}),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+  FROM cand
+  JOIN documents da ON da.doc_id = a_id
+  JOIN documents db ON db.doc_id = b_id
+)
+SELECT a_id, b_id, edit_dist FROM scored WHERE edit_dist <= {EDIT_DIST_MAX}
 """
 
 
@@ -1264,11 +1336,13 @@ QUERIES = {
     "p06_dataset_split": p06_dataset_split,
     "p07_mixture_sample": p07_mixture_sample,
     "p08_dq_report": p08_dq_report,
+    "p09_exact_k_sample": p09_exact_k_sample,
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
+    "d11_editdist_pairs": d11_editdist_pairs,
 }
 
 ORACLES = {
@@ -1304,9 +1378,11 @@ ORACLES = {
     "p06_dataset_split": ORACLE_P06,
     "p07_mixture_sample": ORACLE_P07,
     "p08_dq_report": ORACLE_P08,
+    "p09_exact_k_sample": ORACLE_P09,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "d08_semantic_dedup_apply": ORACLE_D08,
     "d09_shared_longrun": ORACLE_D09,
     "d10_dedup_clusters_star": ORACLE_D06,
+    "d11_editdist_pairs": ORACLE_D11,
 }
