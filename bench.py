@@ -113,6 +113,11 @@ HEADLINE = [
     "e13_gap_detection",
     "m04_payload_chunks",
     "t13_heavy_hitters",
+    "t14_unigram_logprob",
+    "q53_mode_disc",
+    "p09_exact_k_sample",
+    "d11_editdist_pairs",
+    "e14_conversion_latency",
 ]
 
 

@@ -379,6 +379,45 @@ def heavy_hitter_tokens(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own empirical distribution — the degenerate (n=1) form of the
+    perplexity filtering step in training-data curation (docs whose
+    tokens are globally unusual score low and get reviewed/dropped).
+    With a real LM this becomes a Pandas-UDF scoring pass; the
+    unigram form keeps the whole computation in SQL expressions.
+
+    Two shuffles: token counts (map-side combined), then the per-doc
+    aggregate; the vocabulary table broadcasts onto the token stream
+    for the probability lookup.
+
+    Output: (id, n_tokens, avg_logprob) — avg_logprob ≤ 0, higher
+    (closer to 0) = more typical text.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from llamadb_spark.functions.text import tokens
+
+    toks = docs.select(
+        col(id_col), F.explode(tokens(col(text_col))).alias("token")
+    ).filter(col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    probs = counts.crossJoin(broadcast(total)).select(
+        "token", (col("c") / col("total")).alias("p")
+    )
+    return (
+        toks.join(broadcast(probs), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def token_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",

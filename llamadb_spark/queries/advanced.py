@@ -588,6 +588,37 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: mode() + discrete percentile. mode is a
+# hash-agg over (group, value) counts; the discrete percentile uses
+# percentile_approx at maximum accuracy, which degenerates to the
+# EXACT lower-median — bit-identical to DuckDB's quantile_disc
+# (unlike the interpolating percentile(), which q31 covers).
+# ---------------------------------------------------------------------------
+def q53_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.mode("l_quantity").alias("mode_qty"),
+            F.percentile_approx(
+                "l_extendedprice", 0.5, 2147483647
+            ).alias("p50_disc_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q53 = """
+SELECT l_returnflag,
+       mode(l_quantity) AS mode_qty,
+       quantile_disc(l_extendedprice, 0.5) AS p50_disc_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -603,6 +634,7 @@ QUERIES = {
     "q50_nulls_order": q50_nulls_order,
     "q51_string_agg": q51_string_agg,
     "q52_histogram": q52_histogram,
+    "q53_mode_disc": q53_mode_disc,
 }
 
 ORACLES = {
@@ -620,4 +652,5 @@ ORACLES = {
     "q50_nulls_order": ORACLE_Q50,
     "q51_string_agg": ORACLE_Q51,
     "q52_histogram": ORACLE_Q52,
+    "q53_mode_disc": ORACLE_Q53,
 }

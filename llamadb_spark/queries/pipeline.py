@@ -1187,6 +1187,29 @@ FROM idx
 """
 
 
+def t14_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.unigram_logprob(_docs(spark, sf_dir))
+
+
+ORACLE_T14 = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(tok)
+),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+probs AS (
+  SELECT token, c / CAST((SELECT sum(c) FROM counts) AS DOUBLE) AS p
+  FROM counts
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(p)), 6) AS avg_logprob
+FROM toks JOIN probs USING (token)
+GROUP BY doc_id
+"""
+
+
 def t13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the sketch's one-sided guarantee (no false negatives,
     # possible false positives) is asserted against the exact counter
@@ -1330,6 +1353,7 @@ QUERIES = {
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
     "t13_heavy_hitters": t13_heavy_hitters,
+    "t14_unigram_logprob": t14_unigram_logprob,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,
@@ -1373,6 +1397,7 @@ ORACLES = {
     "p05_tombstone_delete": ORACLE_P05,
     "t11_langid_confusion": ORACLE_T11,
     "t12_pmi_collocations": ORACLE_T12,
+    "t14_unigram_logprob": ORACLE_T14,
     "s07_centroid_classify": ORACLE_S07,
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,
