@@ -101,10 +101,13 @@ def version_diff(
         F.lit(True).alias("_in_new"),
     )
     j = o.join(n, key_cols, "full_outer")
+    # null-safe struct comparison: plain != yields NULL when a field
+    # is NULL on either side, which would silently classify a
+    # NULL↔value change as unchanged
     change = (
         F.when(col("_in_old").isNull(), F.lit("insert"))
         .when(col("_in_new").isNull(), F.lit("delete"))
-        .when(col("_old") != col("_new"), F.lit("update"))
+        .when(~col("_old").eqNullSafe(col("_new")), F.lit("update"))
     )
     return (
         j.withColumn("change", change)

@@ -238,3 +238,16 @@ def test_versioned_table_time_travel_and_diff(spark, tmp_path):
         for r in version_diff(spark, path, 0, 1, ["id"]).collect()
     }
     assert diff == {(2, "update"), (3, "delete"), (4, "insert")}
+
+    # NULL-involved updates must not be classified as unchanged
+    # (struct != is NULL when a field is NULL on either side)
+    n0 = spark.createDataFrame([(1, None), (2, 5.0)], "id long, val double")
+    n1 = spark.createDataFrame([(1, 7.0), (2, None)], "id long, val double")
+    npath = str(tmp_path / "vnulls")
+    write_version(n0, npath)
+    write_version(n1, npath)
+    ndiff = {
+        (r.id, r.change)
+        for r in version_diff(spark, npath, 0, 1, ["id"]).collect()
+    }
+    assert ndiff == {(1, "update"), (2, "update")}
