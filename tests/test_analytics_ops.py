@@ -113,3 +113,28 @@ def test_cdc_apply_last_writer_and_tombstone(spark):
         for r in cdc_apply(log, ["k"], ["seq"], "op", "delete").collect()
     }
     assert out == {(1, 2, 11.0), (3, 6, 30.0)}
+
+
+def test_gap_detection_finds_synthetic_gap(spark, tmp_path):
+    """e13's oracle matches on zero rows at test SF (the synthetic
+    stream is dense); prove the operator detects real gaps."""
+    import datetime
+
+    from llamadb_spark.queries.events import e13_gap_detection
+
+    base = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (i, base + datetime.timedelta(hours=h), 1, "view", 1.0, "{}")
+        for i, h in enumerate([0, 1, 2, 5, 6])  # hours 3-4 missing
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = [r.hour for r in e13_gap_detection(spark, sf_dir).collect()]
+    assert got == [
+        datetime.datetime(2024, 1, 1, 3, 0),
+        datetime.datetime(2024, 1, 1, 4, 0),
+    ]
