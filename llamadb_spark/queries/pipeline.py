@@ -1123,16 +1123,16 @@ def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cand = dedup.shared_ngram_pairs(docs, n=LONGRUN_N).select("a_id", "b_id")
-    scored = (
-        cand.join(
-            broadcast(docs.select(col("doc_id").alias("a_id"), col("text").alias("_ta"))),
-            "a_id",
-        )
-        .join(
-            broadcast(docs.select(col("doc_id").alias("b_id"), col("text").alias("_tb"))),
-            "b_id",
-        )
-        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("long"))
+    # Join-back direction matters at scale: the CANDIDATE side is the
+    # duplicate-bounded small one — broadcast IT against the corpus
+    # scan (never the reverse, which would broadcast the corpus).
+    with_a = docs.select(
+        col("doc_id").alias("a_id"), col("text").alias("_ta")
+    ).join(broadcast(cand), "a_id")
+    scored = docs.select(
+        col("doc_id").alias("b_id"), col("text").alias("_tb")
+    ).join(broadcast(with_a), "b_id").withColumn(
+        "edit_dist", F.levenshtein("_ta", "_tb").cast("long")
     )
     return scored.filter(col("edit_dist") <= EDIT_DIST_MAX).select(
         "a_id", "b_id", "edit_dist"
