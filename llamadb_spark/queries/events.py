@@ -448,6 +448,52 @@ FROM lat
 """
 
 
+def e15_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per observed day. A
+    rolling COUNT DISTINCT can't use a window frame (distinct doesn't
+    decompose), so each (user, day) contributes itself to the 7
+    window-end days it falls in — a bounded ×7 explode — and one
+    distinct aggregate per window end does the rest. The oracle
+    expresses the same thing as a day-range join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast, col
+
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        "user_id", F.date_trunc("day", col("ts")).alias("day")
+    ).distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                col("day"), col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wend"),
+    )
+    return (
+        contrib.join(broadcast(days), contrib.wend == days.day, "left_semi")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(col("wend").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+ORACLE_E15 = """
+WITH du AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, count(DISTINCT u.user_id) AS wau
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -463,6 +509,7 @@ QUERIES = {
     "e12_cdc_snapshot": e12_cdc_snapshot,
     "e13_gap_detection": e13_gap_detection,
     "e14_conversion_latency": e14_conversion_latency,
+    "e15_rolling_wau": e15_rolling_wau,
 }
 
 ORACLES = {
@@ -480,4 +527,5 @@ ORACLES = {
     "e12_cdc_snapshot": ORACLE_E12,
     "e13_gap_detection": ORACLE_E13,
     "e14_conversion_latency": ORACLE_E14,
+    "e15_rolling_wau": ORACLE_E15,
 }
