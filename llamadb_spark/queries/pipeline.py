@@ -1143,6 +1143,67 @@ def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate SQL as a CTE).
 
 
+def p10_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash-range assignment
+    keyed on each document's dedup CLUSTER id (its own id when it has
+    no near-dups), so near-duplicate documents can never straddle a
+    split boundary — the leakage mode a plain per-doc split
+    (p06/dataset_split) cannot prevent. Composition: d06's connected
+    components → broadcast the (tiny, duplicate-bounded) cluster map
+    onto the corpus → the same deterministic hash-range CASE as
+    dataset_split, on the canonical id.
+
+    Output: (split, n_docs, n_clusters) — the no-straddle invariant
+    itself is asserted in tests/test_pipeline_ops.py.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    from llamadb_spark.operators.sampling import bucket_hash
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "a_id", "b_id"
+    )
+    cc = dedup.connected_components(pairs).select(
+        col("node").alias("doc_id"), "cluster_id"
+    )
+    labeled = docs.select("doc_id").join(broadcast(cc), "doc_id", "left")
+    canonical = F.coalesce(col("cluster_id"), col("doc_id"))
+    b = bucket_hash(canonical)
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        labeled.select(split.alias("split"), canonical.alias("_canon"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_canon").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_P10 = f"""
+WITH cc AS ({ORACLE_D06}),
+labeled AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS canon
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+),
+assigned AS (
+  SELECT canon,
+         CASE WHEN ((canon % 100003) * 2654435761) % 1000 < 800 THEN 'train'
+              WHEN ((canon % 100003) * 2654435761) % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM labeled
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT canon) AS n_clusters
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
 def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as d06 (near-dup pairs → min-id component
     labels) computed by the alternating large-star/small-star
@@ -1361,6 +1422,7 @@ QUERIES = {
     "p07_mixture_sample": p07_mixture_sample,
     "p08_dq_report": p08_dq_report,
     "p09_exact_k_sample": p09_exact_k_sample,
+    "p10_leakproof_split": p10_leakproof_split,
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
@@ -1404,6 +1466,7 @@ ORACLES = {
     "p07_mixture_sample": ORACLE_P07,
     "p08_dq_report": ORACLE_P08,
     "p09_exact_k_sample": ORACLE_P09,
+    "p10_leakproof_split": ORACLE_P10,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "d08_semantic_dedup_apply": ORACLE_D08,

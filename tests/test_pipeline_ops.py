@@ -181,3 +181,38 @@ def test_heavy_hitters_superset_of_exact(spark, sf_dir):
     }
     assert exact, "support chosen so the corpus has heavy hitters"
     assert exact <= got
+
+
+def test_leakproof_split_no_cluster_straddles(spark, sf_dir):
+    """The invariant p10 exists for: every near-dup cluster's members
+    land in the SAME split (a per-doc split would leak near-dups
+    across train/test)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast, col
+
+    from llamadb_spark.operators import dedup
+    from llamadb_spark.operators.sampling import bucket_hash
+    from llamadb_spark.queries.pipeline import JACCARD_THRESHOLD, _docs
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs).select(
+        col("node").alias("doc_id"), "cluster_id"
+    )
+    assert cc.count() > 0, "corpus must contain near-dup clusters"
+    canon = F.coalesce(col("cluster_id"), col("doc_id"))
+    b = bucket_hash(canon)
+    split = F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    labeled = (
+        docs.select("doc_id")
+        .join(broadcast(cc), "doc_id", "left")
+        .select(canon.alias("canon"), split.alias("split"))
+    )
+    straddlers = (
+        labeled.groupBy("canon")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(col("n_splits") > 1)
+    )
+    assert straddlers.count() == 0
