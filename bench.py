@@ -118,6 +118,9 @@ HEADLINE = [
     "p09_exact_k_sample",
     "d11_editdist_pairs",
     "e14_conversion_latency",
+    "e15_rolling_wau",
+    "e16_interarrival_stats",
+    "p10_leakproof_split",
 ]
 
 

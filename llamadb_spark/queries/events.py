@@ -494,6 +494,51 @@ ORDER BY d.day
 """
 
 
+def e16_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap statistics (seconds between
+    consecutive events of the same type) — the arrival-process
+    profile behind rate anomaly detection (e08). One shuffle on
+    event_type for the lag window, then a tiny aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / F.lit(1e6)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_sec"),
+            F.round(F.median("gap"), 6).alias("median_gap_sec"),
+            F.round(F.max("gap"), 6).alias("max_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_E16 = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY event_type ORDER BY ts, event_id)) / 1e6 AS gap
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap), 6) AS avg_gap_sec,
+       round(median(gap), 6) AS median_gap_sec,
+       round(max(gap), 6) AS max_gap_sec
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -510,6 +555,7 @@ QUERIES = {
     "e13_gap_detection": e13_gap_detection,
     "e14_conversion_latency": e14_conversion_latency,
     "e15_rolling_wau": e15_rolling_wau,
+    "e16_interarrival_stats": e16_interarrival_stats,
 }
 
 ORACLES = {
@@ -528,4 +574,5 @@ ORACLES = {
     "e13_gap_detection": ORACLE_E13,
     "e14_conversion_latency": ORACLE_E14,
     "e15_rolling_wau": ORACLE_E15,
+    "e16_interarrival_stats": ORACLE_E16,
 }
