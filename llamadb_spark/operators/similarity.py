@@ -512,6 +512,75 @@ def pca_project(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedy top-k that
+    trades relevance against redundancy — score(c) = λ·rel(c) −
+    (1−λ)·max_{s∈selected} sim(c, s). The standard diversity pass
+    after ANN retrieval (dedup-aware few-shot selection, diverse
+    eval sampling).
+
+    Two-stage scale shape: a DISTRIBUTED coarse top-``pool`` by
+    cosine relevance (one corpus pass, TakeOrdered — this is the part
+    that touches 100 TB), then the inherently-sequential greedy MMR
+    loop on the pool, which is bounded (≤ pool vectors) and runs on
+    the driver by design — the same boundary IVF uses for its K×d
+    centroid state. Deterministic: ties break on id.
+
+    Output: (mmr_rank, id, relevance) — k rows.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    scored = (
+        emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
+        .withColumn(
+            "_rel",
+            cosine(col("_v"), F.array(*[lit(float(x)) for x in query_vec])),
+        )
+        .orderBy(col("_rel").desc(), col("_id"))
+        .limit(pool)
+    )
+    rows = scored.collect()  # bounded: ≤ pool rows by construction
+    ids = np.array([r._id for r in rows], dtype=np.int64)
+    rel = np.array([r._rel for r in rows], dtype=np.float64)
+    mat = np.array([np.asarray(r._v, dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        if not selected:
+            best = remaining[0]  # pool is relevance-sorted
+        else:
+            sims = mat[remaining] @ mat[selected].T
+            mmr = lam * rel[remaining] - (1 - lam) * sims.max(axis=1)
+            # deterministic argmax: highest score, lowest id on ties
+            order = sorted(
+                range(len(remaining)),
+                key=lambda i: (-mmr[i], ids[remaining[i]]),
+            )
+            best = remaining[order[0]]
+        selected.append(best)
+        remaining.remove(best)
+
+    out = [
+        (r + 1, int(ids[i]), float(round(rel[i], 6)))
+        for r, i in enumerate(selected)
+    ]
+    return emb.sparkSession.createDataFrame(
+        out, "mmr_rank long, vec_id long, relevance double"
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -1271,6 +1271,73 @@ GROUP BY doc_id
 """
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def t15_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-k tokens by TF-IDF
+    within each document (rarity-weighted salience — the zero-model
+    keyword baseline). One explode → tf counts, a broadcast df
+    lookup, then a per-doc window rank. Deterministic tiebreak on the
+    token string so retries can't flip keywords.
+
+    Output: (doc_id, kw_rank, token, tfidf).
+    """
+    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(col("text"))).alias("token")
+    ).filter(col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(df_tab), "token")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(col("tf") * F.log((col("n_docs") + 1) / (col("df") + 1)), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        col("tfidf").desc(), col("token")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(col("kw_rank") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "kw_rank", "token", "tfidf")
+    )
+
+
+ORACLE_T15 = rf"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(tok)
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         round(tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfs USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS kw_rank
+  FROM scored
+)
+SELECT doc_id, kw_rank, token, tfidf
+FROM ranked WHERE kw_rank <= {KEYWORDS_PER_DOC}
+"""
+
+
 def t13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the sketch's one-sided guarantee (no false negatives,
     # possible false positives) is asserted against the exact counter
@@ -1345,6 +1412,14 @@ def s09_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_project(_emb(spark, sf_dir), k=8)
 
 
+def s10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the greedy selection loop isn't SQL-expressible;
+    # diversity/determinism invariants live in tests/test_similarity.py.
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    return similarity.mmr_rerank(emb, qv, k=10, pool=100, lam=0.7)
+
+
 #: Corpus-mixing targets: cap the overrepresented languages, keep
 #: everything else (de's target exceeds its count → keep-all arm).
 MIXTURE_TARGETS = {"en": 100, "zh": 50, "de": 1000}
@@ -1415,9 +1490,11 @@ QUERIES = {
     "t12_pmi_collocations": t12_pmi_collocations,
     "t13_heavy_hitters": t13_heavy_hitters,
     "t14_unigram_logprob": t14_unigram_logprob,
+    "t15_doc_keywords": t15_doc_keywords,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,
+    "s10_mmr_rerank": s10_mmr_rerank,
     "p06_dataset_split": p06_dataset_split,
     "p07_mixture_sample": p07_mixture_sample,
     "p08_dq_report": p08_dq_report,
@@ -1460,6 +1537,7 @@ ORACLES = {
     "t11_langid_confusion": ORACLE_T11,
     "t12_pmi_collocations": ORACLE_T12,
     "t14_unigram_logprob": ORACLE_T14,
+    "t15_doc_keywords": ORACLE_T15,
     "s07_centroid_classify": ORACLE_S07,
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,

@@ -131,3 +131,50 @@ def test_pca_project_variance_and_orthogonality(spark, sf_dir):
     assert all(d[i] >= d[i + 1] - 1e-12 for i in range(len(d) - 1))
     # projection preserves row count and is deterministic in shape
     assert mat.shape[0] == emb.count()
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    import numpy as np
+
+    from llamadb_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0].embedding]
+
+    def pairwise_mean(ids):
+        rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in emb.filter(emb.vec_id.isin(list(map(int, ids)))).collect()}
+        m = np.array([rows[i] / np.linalg.norm(rows[i]) for i in ids])
+        s = m @ m.T
+        n = len(ids)
+        return (s.sum() - n) / (n * (n - 1))
+
+    mmr = mmr_rerank(emb, qv, k=10, pool=50, lam=0.5)
+    got = [(r.mmr_rank, r.vec_id) for r in mmr.orderBy("mmr_rank").collect()]
+    assert len(got) == 10 and [r for r, _ in got] == list(range(1, 11))
+    mmr_ids = [v for _, v in got]
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.functions.vector import as_double, cosine
+
+    topk_ids = [
+        r.vec_id
+        for r in emb.select(
+            "vec_id",
+            cosine(as_double(F.col("embedding")),
+                   F.array(*[F.lit(x) for x in qv])).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    # diversity: MMR's selection is strictly less self-similar than
+    # the plain relevance top-k (which piles onto one neighborhood)
+    assert pairwise_mean(mmr_ids) < pairwise_mean(topk_ids)
+    # the most relevant item is always kept first
+    assert mmr_ids[0] == topk_ids[0]
+    # determinism
+    again = [r.vec_id for r in mmr_rerank(emb, qv, k=10, pool=50, lam=0.5)
+             .orderBy("mmr_rank").collect()]
+    assert again == mmr_ids
