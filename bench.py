@@ -121,6 +121,7 @@ HEADLINE = [
     "e15_rolling_wau",
     "e16_interarrival_stats",
     "p10_leakproof_split",
+    "t15_doc_keywords",
 ]
 
 
