@@ -589,33 +589,56 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
-# Ordered-set aggregates: mode() + discrete percentile. mode is a
-# hash-agg over (group, value) counts; the discrete percentile uses
-# percentile_approx at maximum accuracy, which degenerates to the
-# EXACT lower-median — bit-identical to DuckDB's quantile_disc
-# (unlike the interpolating percentile(), which q31 covers).
+# Ordered-set aggregates: mode + discrete percentile. Native mode()
+# has IMPLEMENTATION-DEFINED tie-breaking in both engines (a
+# frequency tie at sf0.001 produced different answers), so the mode
+# is computed explicitly — count per (group, value), rank by
+# (count desc, value asc) — making the tiebreak part of the
+# contract. The discrete percentile uses percentile_approx at
+# maximum accuracy, which degenerates to the EXACT lower-median —
+# bit-identical to DuckDB's quantile_disc (unlike the interpolating
+# percentile(), which q31 covers).
 # ---------------------------------------------------------------------------
 def q53_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.mode("l_quantity").alias("mode_qty"),
-            F.percentile_approx(
-                "l_extendedprice", 0.5, 2147483647
-            ).alias("p50_disc_price"),
-        )
-        .orderBy("l_returnflag")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(lit(1)).alias("_n")
     )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        col("_n").desc(), col("l_quantity")
+    )
+    modes = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(col("_rk") == 1)
+        .select("l_returnflag", col("l_quantity").alias("mode_qty"))
+    )
+    disc = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 2147483647).alias(
+            "p50_disc_price"
+        )
+    )
+    return modes.join(disc, "l_returnflag").orderBy("l_returnflag")
 
 
 ORACLE_Q53 = """
-SELECT l_returnflag,
-       mode(l_quantity) AS mode_qty,
-       quantile_disc(l_extendedprice, 0.5) AS p50_disc_price
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+modes AS (
+  SELECT l_returnflag, l_quantity AS mode_qty,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rk
+  FROM counts
+)
+SELECT m.l_returnflag, m.mode_qty,
+       quantile_disc(l.l_extendedprice, 0.5) AS p50_disc_price
+FROM lineitem l
+JOIN modes m ON m.l_returnflag = l.l_returnflag AND m.rk = 1
+GROUP BY m.l_returnflag, m.mode_qty
+ORDER BY m.l_returnflag
 """
 
 
