@@ -108,14 +108,17 @@ def d07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's min-doc_id representative, drop the rest, and report
     the surviving corpus per source.
 
-    Scale: the drop-list (non-canonical cluster members) is tiny —
-    proportional to duplicates found, not corpus size — so the final
-    filter is an explicit broadcast LEFT ANTI join: one corpus pass,
-    no corpus shuffle. The per-source aggregate does map-side
-    partial agg on top.
+    Scale: the drop-list (non-canonical cluster members) is
+    proportional to duplicates found — usually small, but web-scale
+    corpora can dedup away 30-80% of documents, so its size is
+    data-dependent, NOT bounded. No broadcast hint: AQE broadcasts
+    the anti-join side at runtime when it is genuinely small and
+    falls back to a shuffle join when it is not (a forced hint here
+    OOMs executors on a duplicate-heavy corpus). The per-source
+    aggregate does map-side partial agg on top.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.functions import col
 
     docs = _docs(spark, sf_dir)
     pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD).select(
@@ -125,7 +128,7 @@ def d07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = cc.filter(col("node") != col("cluster_id")).select(
         col("node").alias("doc_id")
     )
-    survivors = docs.join(broadcast(losers), "doc_id", "left_anti")
+    survivors = docs.join(losers, "doc_id", "left_anti")
     return survivors.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -180,12 +183,14 @@ def d08_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of d07's lexical dedup-apply — the two run back-to-back in a
     real curation pipeline (lexical first, semantic second).
 
-    Scale: identical join discipline to d07 — the drop list is
-    duplicate-bounded, so the final filter is a broadcast LEFT ANTI
-    join over one corpus pass; pair generation goes through d05's
+    Scale: identical join discipline to d07 — the drop list's size
+    is duplicate-DEPENDENT (can approach corpus scale on a
+    duplicate-heavy corpus), so no broadcast hint: AQE picks
+    broadcast vs shuffle for the LEFT ANTI join at runtime from the
+    drop list's actual size. Pair generation goes through d05's
     blocked similarity operator, never O(n²) row pairs.
     """
-    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.functions import col
 
     emb = _emb(spark, sf_dir)
     pairs = similarity.embed_neardup_pairs(
@@ -195,7 +200,7 @@ def d08_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = cc.filter(col("node") != col("cluster_id")).select(
         col("node").alias("vec_id")
     )
-    survivors = emb.join(broadcast(losers), "vec_id", "left_anti")
+    survivors = emb.join(losers, "vec_id", "left_anti")
     return survivors.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
@@ -1119,19 +1124,22 @@ def d11_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len²) edit-distance work runs on a tiny fraction of the corpus
     — the standard sieve: cheap blocking first, exact verify second.
     """
-    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.functions import col
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cand = dedup.shared_ngram_pairs(docs, n=LONGRUN_N).select("a_id", "b_id")
-    # Join-back direction matters at scale: the CANDIDATE side is the
-    # duplicate-bounded small one — broadcast IT against the corpus
-    # scan (never the reverse, which would broadcast the corpus).
+    # Join-back direction matters at scale: join the candidate list
+    # (duplicate-DEPENDENT size, and text-weighted once `_ta` is
+    # attached) against the corpus scan, but leave the strategy to
+    # AQE — a forced broadcast of candidate full texts OOMs on a
+    # duplicate-heavy corpus, while AQE still broadcasts when the
+    # candidate set is genuinely small.
     with_a = docs.select(
         col("doc_id").alias("a_id"), col("text").alias("_ta")
-    ).join(broadcast(cand), "a_id")
+    ).join(cand, "a_id")
     scored = docs.select(
         col("doc_id").alias("b_id"), col("text").alias("_tb")
-    ).join(broadcast(with_a), "b_id").withColumn(
+    ).join(with_a, "b_id").withColumn(
         "edit_dist", F.levenshtein("_ta", "_tb").cast("long")
     )
     return scored.filter(col("edit_dist") <= EDIT_DIST_MAX).select(
@@ -1149,14 +1157,15 @@ def p10_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no near-dups), so near-duplicate documents can never straddle a
     split boundary — the leakage mode a plain per-doc split
     (p06/dataset_split) cannot prevent. Composition: d06's connected
-    components → broadcast the (tiny, duplicate-bounded) cluster map
-    onto the corpus → the same deterministic hash-range CASE as
+    components → join the cluster map onto the corpus (size =
+    near-dup doc count, data-dependent, so no broadcast hint — AQE
+    chooses at runtime) → the same deterministic hash-range CASE as
     dataset_split, on the canonical id.
 
     Output: (split, n_docs, n_clusters) — the no-straddle invariant
     itself is asserted in tests/test_pipeline_ops.py.
     """
-    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.functions import col
 
     from llamadb_spark.operators.sampling import bucket_hash
 
@@ -1167,7 +1176,7 @@ def p10_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup.connected_components(pairs).select(
         col("node").alias("doc_id"), "cluster_id"
     )
-    labeled = docs.select("doc_id").join(broadcast(cc), "doc_id", "left")
+    labeled = docs.select("doc_id").join(cc, "doc_id", "left")
     canonical = F.coalesce(col("cluster_id"), col("doc_id"))
     b = bucket_hash(canonical)
     split = (
@@ -1277,9 +1286,18 @@ KEYWORDS_PER_DOC = 3
 def t15_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: the top-k tokens by TF-IDF
     within each document (rarity-weighted salience — the zero-model
-    keyword baseline). One explode → tf counts, a broadcast df
-    lookup, then a per-doc window rank. Deterministic tiebreak on the
-    token string so retries can't flip keywords.
+    keyword baseline). One explode → tf counts, a df-table join, then
+    a per-doc window rank. Deterministic tiebreak on the token string
+    so retries can't flip keywords.
+
+    Scale: the df table is the FULL corpus vocabulary — billions of
+    distinct tokens at 100 TB (typos, numerals, code) — so it is
+    never broadcast-hinted; the tf↔df join shuffles on token (both
+    sides already derive from the same explode) and AQE can still
+    broadcast when the vocabulary is genuinely small. Only the
+    one-row n_docs scalar keeps an explicit broadcast. Contrast
+    tfidf_topk (textops.py), whose df table is query-term-bounded
+    and therefore safely hinted.
 
     Output: (doc_id, kw_rank, token, tfidf).
     """
@@ -1296,7 +1314,7 @@ def t15_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(broadcast(df_tab), "token")
+        tf.join(df_tab, "token")
         .crossJoin(broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -42,6 +42,61 @@ def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
     assert not offenders, f"plan hazards: {offenders}"
 
 
+#: Explicit broadcast() hints are a promise to the planner that the
+#: relation is SMALL AT ANY SCALE. Each entry below is the max hint
+#: count for that key, and every hinted relation falls in a provably
+#: bounded class:
+#:   - dimension tables: region/nation/supplier/part subsets
+#:     (q03/q04/q06/q07/q12/q16/q22/q24/q40/q43/q44, h03-h21, e07,
+#:     p05/p07/p08, s06/s07, q20, e15)
+#:   - scalar / few-row aggregates: one-row counts, per-group consts
+#:     (t09/t12/t14/t15 n_docs scalars, q07 scalar subquery)
+#:   - capped candidate or hot-key lists: df-threshold hot-shingle
+#:     lists, LSH occupancy caps, fixed query sets
+#:     (d03/d11/s01/s02/s03/p02, t09 query terms)
+#: Keys NOT listed must carry ZERO hints — in particular the
+#: drop-list / cluster-map / vocabulary joins (d07, d08, p10, and
+#: t15's df table), whose size is data-dependent: there AQE picks
+#: broadcast vs shuffle from runtime sizes. Adding a hint to a new
+#: key must add an entry here with its boundedness argument.
+_ALLOWED_HINTS = {
+    "q03_cross_join_where": 1, "q04_inner_join": 1,
+    "q06_correlated_subquery": 1, "q07_scalar_subquery": 1,
+    "q12_in_subquery": 1, "q16_revenue_by_nation": 3,
+    "q20_pivot": 1, "q22_anti_join": 1, "q24_corr_agg_subquery": 2,
+    "q40_conditional_agg": 1, "q43_min_cost_supplier": 1,
+    "q44_market_share": 2,
+    "h03_shipping_priority": 1, "h05_local_supplier_volume": 3,
+    "h07_volume_shipping": 4, "h09_product_type_profit": 3,
+    "h10_returned_items": 2, "h11_important_stock": 1,
+    "h14_promo_effect": 1, "h16_supplier_counts": 2,
+    "h18_large_orders": 2, "h19_discounted_revenue": 1,
+    "h20_potential_promotion": 2, "h21_waiting_suppliers": 1,
+    "d02_jaccard_ngram": 4, "d03_minhash_lsh": 4,
+    "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
+    "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
+    "s06_centroid_sim": 1, "s07_centroid_classify": 2,
+    "p02_contamination": 1, "p05_tombstone_delete": 1,
+    "p07_mixture_sample": 1, "p08_dq_report": 1,
+    "t09_tfidf_rank": 2, "t12_pmi_collocations": 3,
+    "t14_unigram_logprob": 2, "t15_doc_keywords": 1,
+    "e07_stream_enrich": 1, "e15_rolling_wau": 1,
+}
+
+
+def test_broadcast_hints_only_on_bounded_relations(spark, sf_dir):
+    over = {}
+    for name, fn in entry_mod.queries().items():
+        analyzed = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        n = analyzed.count("ResolvedHint")
+        if n > _ALLOWED_HINTS.get(name, 0):
+            over[name] = (n, _ALLOWED_HINTS.get(name, 0))
+    assert not over, (
+        "broadcast hints on relations not in the bounded allowlist "
+        f"(actual, allowed): {over}"
+    )
+
+
 def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # Arrow-batched Python is the sanctioned slow path, but ONLY for
     # operators whose semantics Spark SQL can't express (block-matmul
