@@ -75,10 +75,9 @@ def jaccard_ngram_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
-    # Stage the hashed index once: the occupancy window plus the two
-    # self-join sides reference it three times, and exchange reuse
-    # does not canonicalize across the Window operator — without an
-    # explicit materialization the CPU-heavy shingle pipeline runs
+    # Stage the hashed index once: the hot-key occupancy aggregate
+    # plus the two self-join sides reference it three times — without
+    # an explicit materialization the CPU-heavy shingle pipeline runs
     # per reference (measured 2.7× on sf0.1). At cluster scale this
     # is a staged intermediate table, the standard shape for
     # production dedup pipelines; the index is (id, n, hash) ≈ 20

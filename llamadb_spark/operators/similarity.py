@@ -538,8 +538,6 @@ def mmr_rerank(
     """
     import numpy as np
 
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / np.linalg.norm(q)
     scored = (
         emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
         .withColumn(
@@ -577,7 +575,7 @@ def mmr_rerank(
         for r, i in enumerate(selected)
     ]
     return emb.sparkSession.createDataFrame(
-        out, "mmr_rank long, vec_id long, relevance double"
+        out, f"mmr_rank long, {id_col} long, relevance double"
     )
 
 

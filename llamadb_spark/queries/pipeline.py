@@ -39,8 +39,21 @@ GROUP BY 1
 JACCARD_THRESHOLD = 0.12
 
 
+#: Stop-shingle cap for the oracled jaccard family (d02 and the
+#: cluster/split queries built on it). Passed EXPLICITLY so the
+#: oracle SQL below can mirror it — the operator drops shingles with
+#: df > cap from the index before the self-join (set sizes stay
+#: full), and the oracle does the same, so operator and oracle stay
+#: hash-equal even on a corpus where the cap actually fires.
+STOP_SHINGLE_DF = 10_000
+
+
 def d02_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_ngram_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+    return dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    )
 
 
 ORACLE_D02 = rf"""
@@ -57,9 +70,14 @@ sh AS (
   JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {STOP_SHINGLE_DF})
+),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT a_id, b_id, n_inter,
@@ -78,7 +96,9 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Oracle: same pair SQL + a recursive-CTE reachability
     closure in DuckDB."""
     pairs = dedup.jaccard_ngram_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
     ).select("a_id", "b_id")
     return dedup.connected_components(pairs)
 
@@ -121,9 +141,9 @@ def d07_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import col
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "a_id", "b_id"
-    )
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
     cc = dedup.connected_components(pairs)
     losers = cc.filter(col("node") != col("cluster_id")).select(
         col("node").alias("doc_id")
@@ -1170,9 +1190,9 @@ def p10_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llamadb_spark.operators.sampling import bucket_hash
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.jaccard_ngram_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "a_id", "b_id"
-    )
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
     cc = dedup.connected_components(pairs).select(
         col("node").alias("doc_id"), "cluster_id"
     )
@@ -1220,7 +1240,9 @@ def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME recursive-CTE oracle proves the two distributed algorithms
     agree on real data, not just unit graphs."""
     pairs = dedup.jaccard_ngram_pairs(
-        _docs(spark, sf_dir), threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
     ).select("a_id", "b_id")
     return dedup.connected_components_star(pairs)
 
@@ -1434,7 +1456,13 @@ def s10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the greedy selection loop isn't SQL-expressible;
     # diversity/determinism invariants live in tests/test_similarity.py.
     emb = _emb(spark, sf_dir)
-    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    # orderBy before limit: LIMIT without ORDER BY is not stable
+    # across partition layouts, which would break the operator's
+    # determinism contract.
+    qv = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
     return similarity.mmr_rerank(emb, qv, k=10, pool=100, lam=0.7)
 
 

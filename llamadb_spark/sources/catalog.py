@@ -51,10 +51,16 @@ def read_json_quarantine(
     from pyspark.sql import functions as F
 
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
+        from pyspark.sql.types import StructType, _parse_datatype_string
 
         schema = _parse_datatype_string(schema)
-    schema_with_capture = schema.add("_corrupt_record", "string")
+    else:
+        from pyspark.sql.types import StructType
+    # Copy before extending: StructType.add appends to self, which
+    # would silently leak _corrupt_record into the caller's schema.
+    schema_with_capture = StructType(list(schema.fields)).add(
+        "_corrupt_record", "string"
+    )
     raw = (
         spark.read.schema(schema_with_capture)
         .option("mode", "PERMISSIVE")

@@ -123,6 +123,22 @@ def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
     assert bad_lines == ["this is not json at all", '{"id": broken']
 
 
+def test_json_quarantine_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from llamadb_spark.sources.catalog import read_json_quarantine
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    read_json_quarantine(spark, str(p), schema)
+    # StructType.add appends in place; a leaked _corrupt_record field
+    # would corrupt every later read reusing this schema object.
+    assert [f.name for f in schema.fields] == ["id", "name"]
+
+
 def test_compact_parquet_reduces_file_count(spark, tmp_path):
     import glob
 
