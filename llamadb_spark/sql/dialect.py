@@ -116,6 +116,14 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(" + _IDENT + r")\s*(?:\(([^)]*)\))?\s*(VALUES\s*(.*)|SELECT\s+.*)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(" + _IDENT + r")\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(" + _IDENT + r")(?:\s+WHERE\s+(.*))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _unquote(ident: str) -> str:
@@ -239,7 +247,9 @@ class LlamaSession:
 
     Mirrors the reference CLI loop (cli/src/main.rs): statements are
     CREATE TABLE / INSERT / SELECT / EXPLAIN SELECT
-    (sqlsyntax/ast.rs:179-184 Statement enum).
+    (sqlsyntax/ast.rs:179-184 Statement enum), plus UPDATE and
+    DELETE, which the reference lexer reserves
+    (sqlsyntax/lexer.rs:10,100-101) but never implements.
     """
 
     def __init__(self, spark: SparkSession):
@@ -256,6 +266,10 @@ class LlamaSession:
             return self._create(stripped)
         if head == "INSERT":
             return self._insert(stripped)
+        if head == "UPDATE":
+            return self._commit(*self._update_df(stripped))
+        if head == "DELETE":
+            return self._commit(*self._delete_df(stripped))
         if head == "EXPLAIN":
             raise LlamaError("use explain() for EXPLAIN output")
         if head == "SELECT":
@@ -274,13 +288,20 @@ class LlamaSession:
         return count
 
     def explain(self, sql: str) -> str:
-        """Lisp-style plan for an (EXPLAIN) SELECT, parity with
-        Usage.md's EXPLAIN output."""
+        """Lisp-style plan for an (EXPLAIN) SELECT / UPDATE / DELETE,
+        parity with Usage.md's EXPLAIN output. For UPDATE/DELETE the
+        plan shown is the rewrite that would replace the table —
+        derived without committing it."""
         from llamadb_spark.plans.explain import lisp_plan
 
         stripped = sql.strip().rstrip(";").strip()
         if stripped.upper().startswith("EXPLAIN"):
             stripped = stripped[len("EXPLAIN"):].strip()
+        head = stripped.split(None, 1)[0].upper() if stripped else ""
+        if head == "UPDATE":
+            return lisp_plan(self._update_df(_strip_comments(stripped))[1])
+        if head == "DELETE":
+            return lisp_plan(self._delete_df(_strip_comments(stripped))[1])
         return lisp_plan(self.spark.sql(_requote_idents(stripped)))
 
     # -- CREATE TABLE ------------------------------------------------------
@@ -343,6 +364,78 @@ class LlamaSession:
         self._validate(aligned, spec)
         self._data[name] = self._data[name].unionAll(aligned)
         self._data[name].createOrReplaceTempView(name)
+
+    # -- UPDATE / DELETE ---------------------------------------------------
+    # The reference lexer reserves both keywords (sqlsyntax/
+    # lexer.rs:10,100-101) but its parser never implements them
+    # (ast.rs:179-184) — this completes the SQL-text surface a user
+    # expects. Semantics: rewrite-on-write — the statement derives a
+    # full replacement DataFrame and swaps it in atomically (at
+    # cluster scale the same plan writes a new parquet snapshot; see
+    # sources/versioned.py for the snapshot mechanics).
+
+    def _update_df(self, sql: str) -> tuple[str, DataFrame]:
+        m = _UPDATE_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse UPDATE: {sql!r}")
+        name = _unquote(m.group(1))
+        if name not in self.tables:
+            raise LlamaError(f"no such table: {name}")
+        spec = self.tables[name]
+        assigns: dict[str, str] = {}
+        for item in _split_top_level(m.group(2)):
+            if "=" not in item:
+                raise LlamaError(f"cannot parse SET assignment: {item!r}")
+            cname, expr_src = item.split("=", 1)
+            cname = _unquote(cname.strip())
+            if cname not in {c.name for c in spec.columns}:
+                raise LlamaError(f"no such column: {cname}")
+            if cname in assigns:
+                raise LlamaError(f"column assigned twice: {cname}")
+            assigns[cname] = _requote_idents(expr_src.strip())
+        # WHERE is three-valued: only rows where the predicate is
+        # TRUE are updated (NULL keeps the old value).
+        cond = (
+            F.coalesce(F.expr(_requote_idents(m.group(3))), F.lit(False))
+            if m.group(3)
+            else F.lit(True)
+        )
+        # All SET expressions evaluate against the OLD row (standard
+        # UPDATE semantics): one select builds every output column
+        # from the pre-update columns, so `SET a = b, b = a` swaps.
+        out = self._data[name].select(
+            *[
+                (
+                    F.when(cond, F.expr(assigns[c.name]))
+                    .otherwise(F.col(c.name))
+                    .cast(c.spark_type)
+                    .alias(c.name)
+                    if c.name in assigns
+                    else F.col(c.name)
+                )
+                for c in spec.columns
+            ]
+        )
+        return name, out
+
+    def _delete_df(self, sql: str) -> tuple[str, DataFrame]:
+        m = _DELETE_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse DELETE: {sql!r}")
+        name = _unquote(m.group(1))
+        if name not in self.tables:
+            raise LlamaError(f"no such table: {name}")
+        if m.group(2) is None:
+            return name, self._data[name].limit(0)
+        # Keep rows where the predicate is NOT TRUE (a NULL predicate
+        # keeps the row, per SQL three-valued DELETE semantics).
+        pred = F.coalesce(F.expr(_requote_idents(m.group(2))), F.lit(False))
+        return name, self._data[name].filter(~pred)
+
+    def _commit(self, name: str, df: DataFrame) -> None:
+        self._validate(df, self.tables[name])
+        self._data[name] = df
+        df.createOrReplaceTempView(name)
 
     def _align(self, src: DataFrame, spec: TableSpec, cols: list[str]) -> DataFrame:
         missing = [c.name for c in spec.columns if c.name not in cols]

@@ -221,3 +221,116 @@ def test_usage_md_transcript_replays(db):
         "EXPLAIN SELECT title FROM album WHERE artistid = 1"
     )
     assert plan.count("(") == plan.count(")") and "album" in plan
+
+
+# -- UPDATE / DELETE (lexer.rs:10,100-101 reserves both; the
+# -- reference parser never implements them — roadmap parity) --------
+
+
+def _fruit_db(db):
+    db.execute("CREATE TABLE fruit (id U32, name STRING, qty I32 NULL)")
+    db.execute(
+        "INSERT INTO fruit VALUES (1, 'apple', 10), (2, 'pear', NULL), "
+        "(3, 'plum', 30)"
+    )
+    return db
+
+
+def test_update_where_roundtrip(db):
+    _fruit_db(db)
+    db.execute("UPDATE fruit SET qty = qty * 2 WHERE name = 'apple'")
+    rows = {
+        (r.id, r.name, r.qty)
+        for r in db.execute("SELECT * FROM fruit").collect()
+    }
+    assert rows == {(1, "apple", 20), (2, "pear", None), (3, "plum", 30)}
+
+
+def test_update_without_where_touches_all_rows(db):
+    _fruit_db(db)
+    db.execute("UPDATE fruit SET name = upper(name)")
+    assert {r.name for r in db.execute("SELECT name FROM fruit").collect()} == {
+        "APPLE", "PEAR", "PLUM"
+    }
+
+
+def test_update_set_reads_old_row(db):
+    # standard UPDATE semantics: every SET expression sees the
+    # PRE-update row, so a two-column swap works.
+    db.execute("CREATE TABLE p (a I32, b I32)")
+    db.execute("INSERT INTO p VALUES (1, 2)")
+    db.execute("UPDATE p SET a = b, b = a")
+    r = db.execute("SELECT a, b FROM p").collect()[0]
+    assert (r.a, r.b) == (2, 1)
+
+
+def test_update_null_where_keeps_old_value(db):
+    # three-valued WHERE: a NULL predicate must NOT update the row
+    _fruit_db(db)
+    db.execute("UPDATE fruit SET name = 'BIG' WHERE qty > 5")
+    rows = {
+        (r.id, r.name) for r in db.execute("SELECT id, name FROM fruit").collect()
+    }
+    assert rows == {(1, "BIG"), (2, "pear"), (3, "BIG")}
+
+
+def test_update_not_null_violation_rejected(db):
+    _fruit_db(db)
+    with pytest.raises(LlamaError, match="NOT NULL"):
+        db.execute("UPDATE fruit SET name = NULL WHERE id = 1")
+
+
+def test_update_range_violation_rejected(db):
+    db.execute("CREATE TABLE t (v U8)")
+    db.execute("INSERT INTO t VALUES (250)")
+    with pytest.raises(LlamaError):
+        db.execute("UPDATE t SET v = v + 100")
+
+
+def test_update_unknown_column_rejected(db):
+    _fruit_db(db)
+    with pytest.raises(LlamaError, match="no such column"):
+        db.execute("UPDATE fruit SET nope = 1")
+
+
+def test_delete_where_roundtrip(db):
+    _fruit_db(db)
+    db.execute("DELETE FROM fruit WHERE qty >= 30")
+    assert {r.id for r in db.execute("SELECT id FROM fruit").collect()} == {1, 2}
+
+
+def test_delete_null_predicate_keeps_row(db):
+    # row 2 has qty NULL: `qty < 100` is NULL there, so DELETE must
+    # keep it (only TRUE deletes)
+    _fruit_db(db)
+    db.execute("DELETE FROM fruit WHERE qty < 100")
+    assert {r.id for r in db.execute("SELECT id FROM fruit").collect()} == {2}
+
+
+def test_delete_without_where_empties_table(db):
+    _fruit_db(db)
+    db.execute("DELETE FROM fruit")
+    assert db.execute("SELECT count(*) AS n FROM fruit").collect()[0].n == 0
+    # schema survives for later inserts
+    db.execute("INSERT INTO fruit VALUES (9, 'fig', 1)")
+    assert db.execute("SELECT count(*) AS n FROM fruit").collect()[0].n == 1
+
+
+def test_update_quoted_identifiers(db):
+    db.execute('CREATE TABLE q ("Id" I32, "Name" STRING)')
+    db.execute('INSERT INTO q VALUES (1, \'x\')')
+    db.execute('UPDATE q SET "Name" = \'y\' WHERE "Id" = 1')
+    assert db.execute('SELECT "Name" FROM q').collect()[0][0] == "y"
+
+
+def test_explain_update_delete_render_plans(db):
+    _fruit_db(db)
+    up = db.explain("EXPLAIN UPDATE fruit SET qty = 1 WHERE id = 2")
+    de = db.explain("EXPLAIN DELETE FROM fruit WHERE id = 2")
+    assert up.startswith("(") and "yield" in up.lower()
+    assert de.startswith("(")
+    # explain must not commit: table unchanged
+    rows = {
+        (r.id, r.qty) for r in db.execute("SELECT id, qty FROM fruit").collect()
+    }
+    assert rows == {(1, 10), (2, None), (3, 30)}
