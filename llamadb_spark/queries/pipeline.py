@@ -263,6 +263,59 @@ GROUP BY label
 """.replace("{thr}", str(EMBED_NEARDUP_THRESHOLD))
 
 
+#: LSH parameters for the approximate semantic-dedup path. Tuned so
+#: pair recall vs the exact d05 generator is >= 0.9 at the 0.4
+#: threshold (measured 0.98 at sf0.01; collision probability at the
+#: boundary is 1-(1-(1-theta/pi)^4)^16 ~ 0.94, and real near-dup
+#: pairs sit well above the boundary). Deterministic: planes are
+#: xxhash64-salted by fixed (table, plane) ids.
+D12_LSH_PLANES = 4
+D12_LSH_TABLES = 16
+
+
+def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate semantic dedup — the documented 100 TB DEFAULT
+    path for what d08 computes exactly: hyperplane-LSH candidate
+    pairs (bucketed with occupancy caps, never all-pairs) → exact
+    cosine verify at the same threshold (inside lsh_ann_pairs) →
+    connected components → keep each cluster's min-vec_id
+    representative → surviving corpus per label. Same output contract
+    as d08; at corpus scale the LSH bucket join replaces d05's
+    O(N²/B) blocked all-pairs stage, which is the only part of d08
+    that cannot survive 100 TB.
+
+    rows-only: the bucketing uses xxhash64 (no DuckDB twin); pair
+    recall >= 0.9 vs the exact d05 generator is asserted in
+    tests/test_dedup.py, and the suite-wide plan audit confirms no
+    CartesianProduct / all-pairs stage.
+    """
+    from pyspark.sql.functions import col
+
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.lsh_ann_pairs(
+        emb,
+        threshold=EMBED_NEARDUP_THRESHOLD,
+        num_planes=D12_LSH_PLANES,
+        num_tables=D12_LSH_TABLES,
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    losers = cc.filter(col("node") != col("cluster_id")).select(
+        col("node").alias("vec_id")
+    )
+    survivors = emb.join(losers, "vec_id", "left_anti")
+    return survivors.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.sqrt(F.aggregate(
+                col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            ))),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
 # --- similarity search ---------------------------------------------------
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -1549,6 +1602,7 @@ QUERIES = {
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
+    "d12_semantic_dedup_lsh": d12_semantic_dedup_lsh,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,

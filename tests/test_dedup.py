@@ -214,3 +214,60 @@ def test_star_cc_matches_minlabel_and_log_rounds(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert star == label
+
+
+def test_d12_lsh_pair_recall_vs_exact(spark, sf_dir):
+    """d12's LSH pair generator must recover >= 0.9 of the exact d05
+    pair set at the dedup threshold (the contract that makes it a
+    drop-in approximate path for d08), inventing nothing."""
+    from llamadb_spark.operators import similarity
+    from llamadb_spark.queries.pipeline import (
+        D12_LSH_PLANES,
+        D12_LSH_TABLES,
+        EMBED_NEARDUP_THRESHOLD,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in similarity.embed_neardup_pairs(
+            emb, threshold=EMBED_NEARDUP_THRESHOLD
+        ).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in similarity.lsh_ann_pairs(
+            emb,
+            threshold=EMBED_NEARDUP_THRESHOLD,
+            num_planes=D12_LSH_PLANES,
+            num_tables=D12_LSH_TABLES,
+        ).collect()
+    }
+    assert approx <= exact  # cosine-verified: no false pairs
+    assert exact, "exact pair set unexpectedly empty at this SF"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH pair recall too low: {recall}"
+
+
+def test_d12_drop_recall_vs_d08(spark, sf_dir):
+    """End-to-end contract of the approximate path: every vector d08
+    keeps, d12 also keeps (a missed LSH pair can only SPLIT a
+    cluster, and an exact cluster's min-id is the min of any subset
+    containing it), and d12 drops >= 90% of what d08 drops."""
+    from llamadb_spark.queries.pipeline import (
+        d08_semantic_dedup_apply,
+        d12_semantic_dedup_lsh,
+    )
+
+    n_total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    exact = {r.label: r.n_vecs for r in d08_semantic_dedup_apply(spark, sf_dir).collect()}
+    approx = {r.label: r.n_vecs for r in d12_semantic_dedup_lsh(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    assert all(approx[lbl] >= n for lbl, n in exact.items())
+    drops_exact = n_total - sum(exact.values())
+    drops_approx = n_total - sum(approx.values())
+    assert drops_exact > 0, "no duplicates at this SF — test is vacuous"
+    assert drops_approx / drops_exact >= 0.9, (
+        f"approximate dedup dropped only {drops_approx}/{drops_exact} "
+        "of the exact drop set"
+    )
