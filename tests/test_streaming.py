@@ -273,3 +273,66 @@ def test_transform_with_state_totals_match_batch(spark, sf_dir):
     batch_rows = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
     assert len(got_rows) > 0
     assert got_rows == batch_rows
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
+    """LEFT OUTER interval join: matched pairs must equal the batch
+    inner join exactly; NULL rows are sandwiched — every emitted null
+    is genuinely unmatched in batch, and every unmatched purchase old
+    enough that the final watermark provably passed it (p_ts <
+    max_ts - watermark - 1h margin) MUST have been emitted (i.e.
+    state eviction actually fires, via Spark's no-data micro-batch)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.streaming import (
+        purchases_without_recent_views_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    got = run_to_memory(
+        purchases_without_recent_views_stream(
+            read_events_stream(spark, sf_dir), lag="1 hour",
+            watermark="30 minutes",
+        ),
+        "ssleftjoin_test",
+        output_mode="append",
+    ).collect()
+    got_matched = {(r.purchase_id, r.view_id) for r in got if r.view_id is not None}
+    got_nulls = {r.purchase_id for r in got if r.view_id is None}
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = F.expr(
+        "p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 hour"
+    )
+    batch_matched = {
+        (r.purchase_id, r.view_id) for r in p.join(v, cond).collect()
+    }
+    assert got_matched == batch_matched
+
+    unmatched = p.join(v, cond, "left_anti")
+    batch_unmatched = {r.purchase_id for r in unmatched.collect()}
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+    old_unmatched = {
+        r.purchase_id
+        for r in unmatched.filter(F.col("p_ts") < F.lit(horizon)).collect()
+    }
+    assert got_nulls <= batch_unmatched  # no false nulls, ever
+    assert old_unmatched <= got_nulls, (
+        "watermark passed these unmatched purchases but no null row "
+        f"was emitted: {sorted(old_unmatched - got_nulls)[:5]}"
+    )
+    assert old_unmatched, "no evictable unmatched purchases — vacuous"
