@@ -332,11 +332,16 @@ def connected_components(
 
     Iterative min-label propagation: each round every node takes the
     min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds. Near-dup graphs are unions of small
-    cliques (diameter ~2-3), so 3-4 rounds settle real workloads;
-    the alternating large/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce", SoCC'14) is the O(log n)
-    upgrade if chains ever dominate. Each round is one shuffled join
+    O(graph diameter) rounds. Best when near-dup graphs are unions
+    of small cliques (diameter ~2-3) — true of LEXICAL near-dup
+    graphs (jaccard), so d06/d07/p10 use it. Measured
+    SEMANTIC-similarity graphs chain much deeper (diameter ~12 on
+    the sf0.1 embedding graph at cos>=0.4, 12 min-label rounds vs 5
+    star rounds), so the embedding-space apply keys (d08/d12) use
+    connected_components_star — the O(log n) alternating
+    large/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14). Both produce identical
+    component-min labels (asserted in tests). Each round is one shuffled join
     + groupBy-min; localCheckpoint truncates lineage so plans don't
     nest per iteration. The driver only ever collects ONE number per
     round (the change count).

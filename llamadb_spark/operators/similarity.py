@@ -7,6 +7,8 @@ double-precision oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
@@ -331,30 +333,44 @@ def ivf_topk(
     )
 
 
-def hyperplane_signs(vec: F.Column, num_planes: int = 16) -> F.Column:
-    """Deterministic random-hyperplane sign bits, no RNG state:
-    plane p's component d = (xxhash64(p, d) mod 2001 - 1000)/1000 —
-    a reproducible pseudo-random value in [-1, 1] any executor can
-    recompute. Returns the sign-bit bucket id (int)."""
-    d = F.size(vec)
-    plane_dot = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with(
-            vec,
-            F.sequence(lit(0), d - 1),
-            lambda x, i: x
-            * ((F.pmod(F.xxhash64(lit(p), i), lit(2001)) - 1000) / lit(1000.0)),
-        ),
-        lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bits = [
-        F.when(plane_dot(p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
-        for p in range(num_planes)
-    ]
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
-    return out
+#: Fixed seed for the hyperplane matrix. numpy's legacy RandomState
+#: (MT19937 + standard_normal) is frozen by numpy's backward-compat
+#: guarantee, so every executor regenerates bit-identical planes from
+#: the seed alone — no plane table is shipped or stored.
+LSH_PLANE_SEED = 0x10AD5
+
+
+def _hyperplane_bucket_udf(num_planes: int, num_tables: int):
+    """Arrow-batched bucket ids for all tables in one pass.
+
+    The hyperplane projection is a dense (batch × d) @ (d × T·P)
+    matmul — exactly the kernel BLAS exists for. The earlier pure-SQL
+    formulation (aggregate/zip_with per plane) evaluated T·P·d
+    interpreted lambda steps per row: Spark's higher-order functions
+    never enter whole-stage codegen, which made bucketing ~10× the
+    cost of the candidate join it feeds. One vectorized UDF call per
+    Arrow batch replaces all of it; planes are Gaussian (the textbook
+    SimHash family: P[sign flip] = θ/π exactly), regenerated
+    deterministically per executor from LSH_PLANE_SEED.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (n, d) float64
+        d = M.shape[1]
+        planes = np.random.RandomState(LSH_PLANE_SEED).standard_normal(
+            (num_tables * num_planes, d)
+        )
+        signs = M @ planes.T > 0  # (n, T·P)
+        weights = 1 << np.arange(num_planes)
+        b = (
+            signs.reshape(-1, num_tables, num_planes) * weights
+        ).sum(axis=2).astype("int32")  # (n, T)
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_ann_pairs(
@@ -376,58 +392,28 @@ def lsh_ann_pairs(
     guard of functions/blocking.py); the other num_tables-1 tables
     still cover pairs from a dropped bucket.
 
-    Output: (a_id, b_id, cos) — rows-only check (bucketing uses
-    xxhash64; exact-recall parity vs embed_neardup_pairs is asserted
-    in tests instead).
+    Output: (a_id, b_id, cos) — rows-only check (bucketing depends
+    on the seeded plane matrix, no DuckDB twin; exact-recall parity
+    vs embed_neardup_pairs is asserted in tests instead).
     """
     v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
 
-    # All num_tables bucket ids are computed in ONE projection over
-    # ONE scan (array-of-structs + explode), not num_tables separate
-    # scans unioned — same per-row compute, 1/num_tables the IO. The
-    # exploded rows carry only (_id, tbl, bucket): vectors must NOT
-    # ride through the bucket self-join (num_tables copies of every
-    # vector through the shuffle); they rejoin onto the candidate set
-    # below, which is bucket-bounded and tiny.
-    d = F.size(col("v"))
-
-    def plane_dot(t: int, p: int):
-        return F.aggregate(
-            F.zip_with(
-                col("v"),
-                F.sequence(lit(0), d - 1),
-                lambda x, i: x
-                * (
-                    (F.pmod(F.xxhash64(lit(t * 1000 + p), i), lit(2001)) - 1000)
-                    / lit(1000.0)
-                ),
-            ),
-            lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def bucket_expr(t: int):
-        bucket = lit(0)
-        for p in range(num_planes):
-            bucket = bucket.bitwiseOR(
-                F.when(plane_dot(t, p) > 0, F.shiftleft(lit(1), p)).otherwise(lit(0))
-            )
-        return bucket
-
-    entries = F.array(
-        *[
-            F.struct(lit(t).alias("tbl"), bucket_expr(t).alias("bucket"))
-            for t in range(num_tables)
-        ]
-    )
-    banded = v.select("_id", F.explode(entries).alias("e")).select(
-        "_id", col("e.tbl").alias("tbl"), col("e.bucket").alias("bucket")
+    # All num_tables bucket ids come from ONE Arrow-batched matmul
+    # over ONE scan (array-of-buckets + posexplode), not num_tables
+    # separate scans unioned. The exploded rows carry only
+    # (_id, tbl, bucket): vectors must NOT ride through the bucket
+    # self-join (num_tables copies of every vector through the
+    # shuffle); they rejoin onto the candidate set below, which is
+    # bucket-bounded and tiny.
+    bucket_udf = _hyperplane_bucket_udf(num_planes, num_tables)
+    banded = v.select(
+        "_id", F.posexplode(bucket_udf(col("v"))).alias("tbl", "bucket")
     )
     if max_bucket_size is not None:
-        # The occupancy guard adds a reference to `banded`, whose
-        # bucket exprs (num_tables × num_planes × d hashes per row)
-        # are the CPU-heavy stage — stage the tiny (id, tbl, bucket)
-        # table so guard + both join sides read it, not recompute it.
+        # The occupancy guard adds a reference to `banded` (the
+        # matmul bucketing plus a corpus scan) — stage the tiny
+        # (id, tbl, bucket) table so the guard and both join sides
+        # read it rather than recompute it.
         banded = banded.localCheckpoint()
     banded = drop_hot_keys(banded, ["tbl", "bucket"], max_bucket_size)
 

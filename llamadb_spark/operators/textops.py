@@ -390,8 +390,10 @@ def unigram_logprob(
     unigram form keeps the whole computation in SQL expressions.
 
     Two shuffles: token counts (map-side combined), then the per-doc
-    aggregate; the vocabulary table broadcasts onto the token stream
-    for the probability lookup.
+    aggregate. The vocabulary join is NOT hinted: distinct-token
+    count grows with the corpus (typos/numerals/code at web scale),
+    so AQE decides broadcast vs shuffle from its runtime size — the
+    same rule t15's keyword ranking follows (round-3 verdict).
 
     Output: (id, n_tokens, avg_logprob) — avg_logprob ≤ 0, higher
     (closer to 0) = more typical text.
@@ -409,7 +411,7 @@ def unigram_logprob(
         "token", (col("c") / col("total")).alias("p")
     )
     return (
-        toks.join(broadcast(probs), "token")
+        toks.join(probs, "token")
         .groupBy(id_col)
         .agg(
             F.count(lit(1)).alias("n_tokens"),
@@ -468,8 +470,10 @@ def pmi_collocations(
     own tail (JVM-side zip_with over two slices — no self-join of a
     position table). Unigram and bigram counts are both map-side-
     combined aggregations; the PMI join runs bigram-vocabulary ×
-    unigram-vocabulary (both corpus-size-independent), with the
-    unigram side broadcast twice (left word, right word).
+    unigram-vocabulary. Neither side is hinted: vocabulary size
+    grows with the corpus (typos/numerals/code at web scale), so
+    AQE picks broadcast vs shuffle from runtime sizes — the same
+    rule as t14/t15 (round-3 verdict).
 
     min_count filters rare bigrams BEFORE the join (PMI of count-1
     pairs is noise and would dominate the ranking).
@@ -509,8 +513,8 @@ def pmi_collocations(
     u1 = uni.select(col("w").alias("w1"), col("c_w").alias("c_1"))
     u2 = uni.select(col("w").alias("w2"), col("c_w").alias("c_2"))
     return (
-        parts.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        parts.join(u1, "w1")
+        .join(u2, "w2")
         .join(F.broadcast(total))
         .select(
             "bigram",

@@ -14,12 +14,32 @@ from llamadb_spark.operators import dedup, multimodal, similarity, textops
 from llamadb_spark.functions.text import STOPWORDS
 
 
+def _rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned scan across the cluster before the
+    CPU-heavy per-row work every pipeline operator does on these
+    tables (shingling, hashing, vector math).
+
+    A parquet scan parallelizes at ROW-GROUP granularity; a
+    single-row-group file (how the sf* documents/embeddings tables
+    are written) is one task no matter how many cores exist, and
+    everything up to the first shuffle then serializes on it —
+    measured 18 s single-task vs ~1 s spread for the sf0.1 shingle
+    index. The one round-robin exchange of the raw rows is orders of
+    magnitude cheaper than serializing the transform; when the scan
+    already has enough splits (the 100 TB case) this is a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _rebalance(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _rebalance(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --- dedup ---------------------------------------------------------------
@@ -216,7 +236,7 @@ def d08_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.embed_neardup_pairs(
         emb, threshold=EMBED_NEARDUP_THRESHOLD
     ).select("a_id", "b_id")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components_star(pairs)
     losers = cc.filter(col("node") != col("cluster_id")).select(
         col("node").alias("vec_id")
     )
@@ -269,8 +289,8 @@ GROUP BY label
 #: the candidate join dominate (37 s at sf0.1); 5 planes x 24 tables
 #: measured recall 0.949 at a third of the cost (boundary collision
 #: probability 1-(1-(1-theta/pi)^5)^24 ~ 0.92, and real near-dup
-#: pairs sit well above the boundary). Deterministic: planes are
-#: xxhash64-salted by fixed (table, plane) ids.
+#: pairs sit well above the boundary). Deterministic: the Gaussian
+#: plane matrix regenerates from a fixed seed on every executor.
 D12_LSH_PLANES = 5
 D12_LSH_TABLES = 24
 
@@ -290,10 +310,10 @@ def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymptotics, not the small-scale constant, are what this key
     demonstrates.
 
-    rows-only: the bucketing uses xxhash64 (no DuckDB twin); pair
-    recall >= 0.9 vs the exact d05 generator is asserted in
-    tests/test_dedup.py, and the suite-wide plan audit confirms no
-    CartesianProduct / all-pairs stage.
+    rows-only: the bucketing uses a seeded Gaussian plane matrix (no
+    DuckDB twin); pair recall >= 0.9 vs the exact d05 generator is
+    asserted in tests/test_dedup.py, and the suite-wide plan audit
+    confirms no CartesianProduct / all-pairs stage.
     """
     from pyspark.sql.functions import col
 
@@ -304,7 +324,7 @@ def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_planes=D12_LSH_PLANES,
         num_tables=D12_LSH_TABLES,
     ).select("a_id", "b_id")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components_star(pairs)
     losers = cc.filter(col("node") != col("cluster_id")).select(
         col("node").alias("vec_id")
     )
@@ -350,7 +370,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 def s02_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hyperplanes derive from xxhash64. Recall vs s01/d05
+    # rows-only: hyperplanes are seeded-Gaussian. Recall vs s01/d05
     # asserted in tests/test_similarity.py.
     return similarity.lsh_ann_pairs(_emb(spark, sf_dir), threshold=0.4)
 
