@@ -309,6 +309,63 @@ def event_rate_zscore(events: DataFrame, bucket: str = "minute") -> DataFrame:
     )
 
 
+def cep_sequence_matches(
+    events: DataFrame,
+    trigger: str = "view",
+    target: str = "purchase",
+    negation: str = "error",
+    within_seconds: int = 1800,
+) -> DataFrame:
+    """Complex-event-processing match: for each ``target`` event,
+    emit a row iff the same user produced a ``trigger`` event within
+    ``within_seconds`` BEFORE it, with no ``negation`` event between
+    the two — the classic pattern-with-negation shape
+    (``A → ¬N → B within T``) that plain funnels can't express
+    (funnel counts first-touch stage entry; this matches EVERY
+    qualifying B and enforces the absence constraint).
+
+    One window pass per user (ordered by ts, event_id for a total
+    order; ROWS frame excluding the current row): running max of
+    trigger-ts and negation-ts answer both "was there a recent A"
+    and "did an N land after that A" without self-joins — at 100 TB
+    this is a single shuffle on user_id, versus the three joins the
+    naive formulation costs. The streaming twin is an
+    applyInPandasWithState keyed on user (streaming/).
+
+    Output: (user_id, match_id = target's event_id, trigger_ts,
+    target_ts, gap_us) — gap in exact integer microseconds.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_trig = F.max(F.when(col("event_type") == trigger, col("ts"))).over(w)
+    last_neg = F.max(F.when(col("event_type") == negation, col("ts"))).over(w)
+    gap = F.unix_micros(col("ts")) - F.unix_micros(col("_trig_ts"))
+    return (
+        events.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("_trig_ts", last_trig)
+        .withColumn("_neg_ts", last_neg)
+        .filter(
+            (col("event_type") == target)
+            & col("_trig_ts").isNotNull()
+            & (
+                F.unix_micros(col("ts")) - F.unix_micros(col("_trig_ts"))
+                <= within_seconds * 1_000_000
+            )
+            & (col("_neg_ts").isNull() | (col("_neg_ts") < col("_trig_ts")))
+        )
+        .select(
+            "user_id",
+            col("event_id").alias("match_id"),
+            col("_trig_ts").alias("trigger_ts"),
+            col("ts").alias("target_ts"),
+            gap.alias("gap_us"),
+        )
+    )
+
+
 def funnel(events: DataFrame, stages: tuple[str, ...] = ("signup", "view", "purchase")) -> DataFrame:
     """Ordered funnel analysis: for each user, stage k counts only if
     its first qualifying event is at/after the user's stage k-1 entry

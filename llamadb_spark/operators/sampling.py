@@ -118,6 +118,52 @@ def exact_k_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Probability-proportional-to-size Poisson sampling: row i is
+    kept with probability min(1, k·wᵢ/W) (W = Σw), so the expected
+    sample size is ≤ k and long/heavy rows are preferentially kept —
+    the standard move when token-budgeting a corpus (sampling docs
+    uniformly under-represents tokens from long documents).
+
+    Same reproducibility contract as the other samplers: the draw is
+    the key's deterministic hash, so membership is a pure function of
+    the data. The keep test is pure INTEGER arithmetic
+    (h·W < k·wᵢ·10⁹, h uniform in [0,10⁹)) — no pow/ln, so any
+    engine computes the identical sample bit-for-bit.
+
+    Scale: one aggregate for W (1-row broadcast join, no driver
+    collect), then a codegen'd filter — zero extra shuffles beyond
+    the scalar.
+
+    Output: input rows kept, plus incl_prob (rounded 6dp).
+    """
+    total = df.agg(F.sum(weight_col).cast("long").alias("_w_total"))
+    h = bucket_hash(col(key_col), buckets=1_000_000_000)
+    keep = (h * col("_w_total")) < (
+        lit(k) * col(weight_col).cast("long") * lit(1_000_000_000)
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(keep)
+        .withColumn(
+            "incl_prob",
+            F.round(
+                F.least(
+                    lit(1.0),
+                    lit(k) * col(weight_col) / col("_w_total"),
+                ),
+                6,
+            ),
+        )
+        .drop("_w_total")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -420,6 +420,63 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own empirical bigram model: avg ln P(w_i | w_{i-1}) with
+    P(b|a) = c(a b) / c(a ·), counts over the whole corpus. The n=2
+    step up from unigram_logprob toward real perplexity filtering
+    (Wenzek et al., CCNet: LM-perplexity buckets for corpus quality)
+    — repetitive/templated text scores near 0, incoherent token salad
+    scores very negative.
+
+    Bigrams come from zipping each token array with its own tail
+    (JVM-side, same construction as pmi_collocations — no position
+    self-join). Three map-side-combined aggregations (bigram counts,
+    prefix counts, the per-doc average); the bigram-vocabulary joins
+    carry no broadcast hint (vocabulary grows with the corpus — AQE
+    decides from runtime sizes, the t14/t15 rule).
+
+    Output: (id, n_bigrams, avg_logprob) for every doc with ≥ 2
+    tokens; avg_logprob ≤ 0, higher = more typical phrasing.
+    """
+    toks = docs.select(
+        col(id_col),
+        F.filter(tokens(col(text_col)), lambda x: x != "").alias("t"),
+    )
+    n = F.size("t")
+    bis = toks.filter(n >= 2).select(
+        col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(col("t"), 1, n - 1),
+                F.slice(col("t"), 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    c_ab = bis.groupBy("bigram").agg(F.count(lit(1)).alias("c_ab"))
+    c_a = (
+        bis.select(F.split(col("bigram"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(lit(1)).alias("c_a"))
+    )
+    probs = (
+        c_ab.withColumn("w1", F.split(col("bigram"), " ").getItem(0))
+        .join(c_a, "w1")
+        .select("bigram", (col("c_ab") / col("c_a")).alias("p"))
+    )
+    return (
+        bis.join(probs, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def token_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",

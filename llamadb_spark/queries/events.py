@@ -539,6 +539,39 @@ ORDER BY event_type
 """
 
 
+CEP_WITHIN_SECONDS = 1800
+
+
+def e17_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-with-negation CEP: every purchase preceded by a view
+    within 30 min and no error in between (see
+    operators/events.cep_sequence_matches)."""
+    return ev.cep_sequence_matches(
+        _events(spark, sf_dir), within_seconds=CEP_WITHIN_SECONDS
+    )
+
+
+ORACLE_E17 = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS trig_ts,
+         max(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS neg_ts
+  FROM events
+)
+SELECT user_id, event_id AS match_id, trig_ts AS trigger_ts,
+       ts AS target_ts,
+       epoch_us(ts) - epoch_us(trig_ts) AS gap_us
+FROM ordered
+WHERE event_type = 'purchase' AND trig_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(trig_ts) <= {CEP_WITHIN_SECONDS} * 1000000
+  AND (neg_ts IS NULL OR neg_ts < trig_ts)
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -556,6 +589,7 @@ QUERIES = {
     "e14_conversion_latency": e14_conversion_latency,
     "e15_rolling_wau": e15_rolling_wau,
     "e16_interarrival_stats": e16_interarrival_stats,
+    "e17_cep_match": e17_cep_match,
 }
 
 ORACLES = {
@@ -575,4 +609,5 @@ ORACLES = {
     "e14_conversion_latency": ORACLE_E14,
     "e15_rolling_wau": ORACLE_E15,
     "e16_interarrival_stats": ORACLE_E16,
+    "e17_cep_match": ORACLE_E17,
 }

@@ -342,6 +342,81 @@ def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The "incoming batch" for the incremental-dedup demonstration:
+#: one source partition plays the role of today's crawl drop.
+D13_BATCH_SOURCE = "src0"
+
+
+def d13_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: match ONE source partition (the incoming
+    batch) against the rest of the corpus — the incremental form of
+    d02/d07 that a production pipeline actually runs per crawl drop.
+    See dedup.incremental_jaccard_matches for the one-sided index
+    join; batch×batch and corpus×corpus pairs are never formed.
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(col("source") == D13_BATCH_SOURCE)
+    corpus = docs.filter(col("source") != D13_BATCH_SOURCE)
+    return dedup.incremental_jaccard_matches(
+        batch,
+        corpus,
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    )
+
+
+ORACLE_D13 = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, unnest(tk) AS w, generate_subscripts(tk, 1) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.source,
+         a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+corpus_kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE source <> '{D13_BATCH_SOURCE}'
+    AND shingle IN (SELECT shingle FROM sh WHERE source <> '{D13_BATCH_SOURCE}'
+                    GROUP BY shingle HAVING count(*) <= {STOP_SHINGLE_DF})
+),
+batch_sh AS (SELECT doc_id, shingle FROM sh WHERE source = '{D13_BATCH_SOURCE}'),
+inter AS (
+  SELECT n.doc_id AS a_id, o.doc_id AS b_id, count(*) AS n_inter
+  FROM batch_sh n JOIN corpus_kept o ON n.shingle = o.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT a_id, b_id, n_inter,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+),
+best AS (
+  SELECT a_id, b_id, n_inter, jaccard,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY jaccard DESC, b_id) AS rk
+  FROM scored
+  WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT a_id AS doc_id, b_id AS match_id, n_inter, jaccard
+FROM best WHERE rk = 1
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -1209,6 +1284,33 @@ SELECT doc_id, lang FROM ranked WHERE rk <= 25
 """
 
 
+P11_SAMPLE_K = 100
+
+
+def p11_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: keep docs with probability proportional
+    to their length (n_chars), expected sample ≈ 100 docs — see
+    operators/sampling.weighted_sample for the integer-exact draw."""
+    from llamadb_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        k=P11_SAMPLE_K,
+        weight_col="n_chars",
+    )
+
+
+ORACLE_P11 = f"""
+WITH w AS (SELECT sum(n_chars) AS w_total FROM documents)
+SELECT doc_id, lang, n_chars,
+       round(least(1.0, {P11_SAMPLE_K} * n_chars / CAST(w_total AS DOUBLE)), 6)
+         AS incl_prob
+FROM documents, w
+WHERE ((doc_id % 100003) * 2654435761) % 1000000000 * w_total
+      < {P11_SAMPLE_K} * n_chars * 1000000000
+"""
+
+
 #: Candidate width for edit-distance dedup: long-run candidates are
 #: near-verbatim, so a small absolute edit budget separates true
 #: near-dups from coincidental run sharing.
@@ -1377,6 +1479,35 @@ probs AS (
 SELECT doc_id, count(*) AS n_tokens,
        round(avg(ln(p)), 6) AS avg_logprob
 FROM toks JOIN probs USING (token)
+GROUP BY doc_id
+"""
+
+
+def t16_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bigram_logprob(_docs(spark, sf_dir))
+
+
+ORACLE_T16 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bis AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram, t[i] AS w1
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+),
+cab AS (SELECT bigram, count(*) AS c_ab FROM bis GROUP BY 1),
+ca AS (SELECT w1, count(*) AS c_a FROM bis GROUP BY 1),
+probs AS (
+  SELECT bigram, c_ab / CAST(c_a AS DOUBLE) AS p
+  FROM cab JOIN ca ON ca.w1 = string_split(cab.bigram, ' ')[1]
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(p)), 6) AS avg_logprob
+FROM bis JOIN probs USING (bigram)
 GROUP BY doc_id
 """
 
@@ -1616,6 +1747,7 @@ QUERIES = {
     "t13_heavy_hitters": t13_heavy_hitters,
     "t14_unigram_logprob": t14_unigram_logprob,
     "t15_doc_keywords": t15_doc_keywords,
+    "t16_bigram_logprob": t16_bigram_logprob,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,
@@ -1624,11 +1756,13 @@ QUERIES = {
     "p07_mixture_sample": p07_mixture_sample,
     "p08_dq_report": p08_dq_report,
     "p09_exact_k_sample": p09_exact_k_sample,
+    "p11_weighted_sample": p11_weighted_sample,
     "p10_leakproof_split": p10_leakproof_split,
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d12_semantic_dedup_lsh": d12_semantic_dedup_lsh,
+    "d13_incremental_dedup": d13_incremental_dedup,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
@@ -1639,6 +1773,7 @@ ORACLES = {
     "d02_jaccard_ngram": ORACLE_D02,
     "d05_embed_neardup": ORACLE_D05,
     "d06_dedup_clusters": ORACLE_D06,
+    "d13_incremental_dedup": ORACLE_D13,
     "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,
@@ -1664,12 +1799,14 @@ ORACLES = {
     "t12_pmi_collocations": ORACLE_T12,
     "t14_unigram_logprob": ORACLE_T14,
     "t15_doc_keywords": ORACLE_T15,
+    "t16_bigram_logprob": ORACLE_T16,
     "s07_centroid_classify": ORACLE_S07,
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,
     "p07_mixture_sample": ORACLE_P07,
     "p08_dq_report": ORACLE_P08,
     "p09_exact_k_sample": ORACLE_P09,
+    "p11_weighted_sample": ORACLE_P11,
     "p10_leakproof_split": ORACLE_P10,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,

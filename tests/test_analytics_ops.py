@@ -138,3 +138,106 @@ def test_gap_detection_finds_synthetic_gap(spark, tmp_path):
         datetime.datetime(2024, 1, 1, 3, 0),
         datetime.datetime(2024, 1, 1, 4, 0),
     ]
+
+
+def test_cep_negation_and_window(spark):
+    """A->¬N->B within T: match iff a view precedes the purchase
+    within the window AND no error landed between them."""
+    import datetime
+
+    from llamadb_spark.operators.events import cep_sequence_matches
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view @0 -> purchase @10  => match (gap 600s)
+        (10, at(0), 1, "view", 1.0, "{}"),
+        (11, at(10), 1, "purchase", 1.0, "{}"),
+        # user 2: view @0 -> error @5 -> purchase @10 => negated
+        (20, at(0), 2, "view", 1.0, "{}"),
+        (21, at(5), 2, "error", 1.0, "{}"),
+        (22, at(10), 2, "purchase", 1.0, "{}"),
+        # user 3: view @0 -> purchase @40 => outside 30-min window
+        (30, at(0), 3, "view", 1.0, "{}"),
+        (31, at(40), 3, "purchase", 1.0, "{}"),
+        # user 4: error @0 -> view @5 -> purchase @10 => match
+        #         (error BEFORE the trigger does not negate)
+        (40, at(0), 4, "error", 1.0, "{}"),
+        (41, at(5), 4, "view", 1.0, "{}"),
+        (42, at(10), 4, "purchase", 1.0, "{}"),
+        # user 5: purchase with no prior view => no match
+        (50, at(10), 5, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {
+        (r.user_id, r.match_id, r.gap_us)
+        for r in cep_sequence_matches(df, within_seconds=1800).collect()
+    }
+    assert got == {(1, 11, 600_000_000), (4, 42, 300_000_000)}
+
+
+def test_weighted_sample_edge_weights(spark):
+    """Zero-weight rows are never kept; a row carrying ~all the
+    weight is always kept; membership is deterministic."""
+    from llamadb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 0) for i in range(50)] + [(100, 10_000)] + [
+        (200 + i, 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()}
+    assert 100 in kept                      # p = min(1, 5*10000/10500) = 1
+    assert not any(d < 50 for d in kept)    # zero weight -> p = 0
+    kept2 = {r.doc_id for r in weighted_sample(df, k=5, weight_col="w").collect()}
+    assert kept == kept2                    # pure function of the data
+
+
+def test_incremental_dedup_one_sided(spark):
+    """Batch docs match corpus docs only: an exact copy inside the
+    batch itself must NOT be reported, an exact copy in the corpus
+    must match with jaccard 1.0 and the lowest-id corpus doc wins
+    ties."""
+    from llamadb_spark.operators.dedup import incremental_jaccard_matches
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    batch = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(10, text), (11, text), (12, "unrelated corpus content entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.match_id, r.jaccard)
+        for r in incremental_jaccard_matches(batch, corpus, threshold=0.5).collect()
+    }
+    assert got == {(1, 10, 1.0), (2, 10, 1.0)}
+
+
+def test_bigram_logprob_scores_repetition_higher(spark):
+    """A doc made of one repeated bigram is maximally predictable
+    under the corpus bigram model; a doc of unique transitions scores
+    strictly lower. Docs with < 2 tokens don't appear."""
+    from llamadb_spark.operators.textops import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ping pong ping pong ping pong ping pong"),
+            (2, "one two one three one four one five"),
+            (3, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2}
+    assert all(v <= 0 for v in out.values())
+    # doc 1's only transition is deterministic (p=1); doc 2's "one"
+    # prefix fans out 4 ways (p=1/4 per continuation)
+    assert out[1] > out[2]

@@ -73,11 +73,13 @@ _ALLOWED_HINTS = {
     "h18_large_orders": 2, "h19_discounted_revenue": 1,
     "h20_potential_promotion": 2, "h21_waiting_suppliers": 1,
     "d02_jaccard_ngram": 4, "d03_minhash_lsh": 4,
+    "d13_incremental_dedup": 1,  # drop_hot_keys' tiny hot-key list
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
     "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,
     "p02_contamination": 1, "p05_tombstone_delete": 1,
     "p07_mixture_sample": 1, "p08_dq_report": 1,
+    "p11_weighted_sample": 1,  # 1-row total-weight scalar
     "t09_tfidf_rank": 2, "t12_pmi_collocations": 1,
     "t14_unigram_logprob": 1, "t15_doc_keywords": 1,
     "e07_stream_enrich": 1, "e15_rolling_wau": 1,
