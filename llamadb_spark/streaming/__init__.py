@@ -1,5 +1,6 @@
 """Structured Streaming surface over the events table."""
 
+from llamadb_spark.streaming.cep import cep_matches_stream
 from llamadb_spark.streaming.streams import (
     dedup_stream,
     enriched_counts_stream,
@@ -18,4 +19,5 @@ __all__ = [
     "enriched_counts_stream",
     "purchases_with_recent_views_stream",
     "purchases_without_recent_views_stream",
+    "cep_matches_stream",
 ]

@@ -336,3 +336,26 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
         f"was emitted: {sorted(old_unmatched - got_nulls)[:5]}"
     )
     assert old_unmatched, "no evictable unmatched purchases — vacuous"
+
+
+def test_cep_stream_matches_batch(spark, sf_dir):
+    """Stateful streaming CEP (A -> no-N -> B within T): the match
+    set over the full file stream must equal the batch operator's."""
+    from llamadb_spark.operators.events import cep_sequence_matches
+    from llamadb_spark.streaming.cep import cep_matches_stream
+    from llamadb_spark.streaming.streams import read_events_stream, run_to_memory
+
+    got = run_to_memory(
+        cep_matches_stream(read_events_stream(spark, sf_dir)),
+        "cep_stream_test",
+        output_mode="append",
+    )
+    got_rows = {
+        (r.user_id, r.match_id, r.gap_us) for r in got.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.match_id, r.gap_us)
+        for r in cep_sequence_matches(_events(spark, sf_dir)).collect()
+    }
+    assert got_rows == batch_rows
+    assert len(batch_rows) > 0
