@@ -163,6 +163,55 @@ def skew_demo(spark, sf_dir: str) -> dict:
     return {"naive_sec": naive_sec, "salted_sec": salted_sec}
 
 
+def bucket_demo(spark, sf_dir: str) -> dict:
+    """Co-located join: lineitem and orders bucketed (16, orderkey,
+    sorted) join with ZERO Exchange on either side; the plain parquet
+    join shuffles both. Reported: wall time of each join (bucketed
+    excludes the one-time table write — that cost amortizes over
+    every subsequent join, which is the point of bucketing) and
+    whether the bucketed plan really is exchange-free. The shuffle
+    saving grows linearly with SF; at bench SF the join is small, so
+    read this as a plan-shape demo with honest numbers, not a race.
+    """
+    from pyspark.sql import functions as F
+
+    from llamadb_spark.sources.catalog import write_bucketed_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def run_join(left, right):
+        join = left.hint("merge").join(
+            right, left["l_orderkey"] == right["o_orderkey"]
+        )
+        agg = join.groupBy("o_custkey").agg(
+            F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("v")
+        )
+        t0 = time.time()
+        agg.write.format("noop").mode("overwrite").save()
+        return join, round(time.time() - t0, 3)
+
+    _, plain_sec = run_join(li, od)
+
+    write_bucketed_table(li, "bench_li_b", ["l_orderkey"], 16, ["l_orderkey"])
+    write_bucketed_table(od, "bench_od_b", ["o_orderkey"], 16, ["o_orderkey"])
+    lib = spark.table("bench_li_b")
+    odb = spark.table("bench_od_b")
+    join, bucketed_sec = run_join(lib, odb)
+    # exchange-freedom is a property of the JOIN (the downstream agg
+    # re-keys on o_custkey, which legitimately shuffles either way)
+    plan = join._jdf.queryExecution().executedPlan().toString()
+    return {
+        "plain_sec": plain_sec,
+        "bucketed_sec": bucketed_sec,
+        "bucketed_join_no_exchange": "Exchange" not in plan,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -192,6 +241,7 @@ def main() -> None:
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "skew_demo": skew_demo(spark, sf_dir),
+        "bucket_demo": bucket_demo(spark, sf_dir),
     }
     # Sidecar with the identical payload: the driver truncates long
     # stdout tails (BENCH_r03 kept only the last 69 queries), so
