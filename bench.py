@@ -212,6 +212,70 @@ def bucket_demo(spark, sf_dir: str) -> dict:
     }
 
 
+def layout_demo(spark, sf_dir: str) -> dict:
+    """File-layout pruning: the same 1M-row (x, y) grid written (a)
+    lexicographically sorted by (x, y) and (b) Z-ordered, 16 files
+    each. A narrow range on the PRIMARY sort key prunes both layouts;
+    the interesting case is a range on the SECOND dimension alone —
+    every lex file spans the full y domain (x stripes), while each
+    Z-order file covers a compact rectangle, so stats-pruning still
+    works. Reported per layout and per dimension: files whose parquet
+    footer min/max intersect the range — the fraction a pruning
+    reader must open.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from llamadb_spark.sources.catalog import write_zorder_layout
+
+    base = tempfile.mkdtemp(prefix="llamadb_layout_demo_")
+    grid = spark.range(1 << 20).select(
+        (F.col("id") % 1024).alias("x"),
+        (F.col("id") / 1024).cast("long").alias("y"),
+    )
+    lex_dst, z_dst = f"{base}/lex", f"{base}/zorder"
+    (
+        grid.repartitionByRange(16, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(lex_dst)
+    )
+    write_zorder_layout(grid, z_dst, "x", "y", num_files=16, bits=10)
+
+    lo, hi = 100, 140  # ~4% of one dimension's domain
+
+    def files_touched(path: str, dim: str) -> int:
+        touched = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            mn, mx = None, None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(cols[dim]).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn <= hi and mx >= lo:
+                touched += 1
+        return touched
+
+    out = {
+        "lex_x_files": files_touched(lex_dst, "x"),
+        "lex_y_files": files_touched(lex_dst, "y"),
+        "zorder_x_files": files_touched(z_dst, "x"),
+        "zorder_y_files": files_touched(z_dst, "y"),
+        "total_files": 16,
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -242,6 +306,7 @@ def main() -> None:
         "n_queries": len(timings),
         "skew_demo": skew_demo(spark, sf_dir),
         "bucket_demo": bucket_demo(spark, sf_dir),
+        "layout_demo": layout_demo(spark, sf_dir),
     }
     # Sidecar with the identical payload: the driver truncates long
     # stdout tails (BENCH_r03 kept only the last 69 queries), so

@@ -29,14 +29,24 @@ def asof_join(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: latest right row with right.ts <= left.ts,
-    matching on `key`. Right rows at the exact same timestamp DO
-    match (sort tag orders right before left at ties).
+    """For each left row: the nearest right row on `key`'s timeline —
+    ``direction="backward"`` (default) takes the latest right row
+    with right.ts <= left.ts; ``"forward"`` the earliest right row
+    with right.ts >= left.ts. Right rows at the exact same timestamp
+    DO match in both directions (sort tag orders right before left
+    at ties).
+
+    Both directions are the same single-shuffle union-window plan —
+    forward just sorts the per-key timeline descending, so the
+    carried "last seen right row" is the next one in event time.
 
     Output: all left columns + right_value_cols renamed with suffix
-    (null when no right row precedes).
+    (null when no right row exists in the chosen direction).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (key, right_ts)]
 
@@ -57,9 +67,10 @@ def asof_join(
         col(right_ts).alias("_r_ts"),
     )
     unioned = lt.unionByName(rt)
+    ts_order = col("_ts").asc() if direction == "backward" else col("_ts").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -120,6 +120,69 @@ def jaccard_ngram_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    stop_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """Excerpt detection: pairs where the SMALLER document's shingle
+    set is mostly contained in the larger's — containment
+    C = |A∩B| / min(|A|,|B|). Jaccard divides by the UNION, so a
+    short quote inside a long document scores near zero on jaccard
+    while containment flags it (Broder's resemblance vs containment
+    distinction, the basis of quote/excerpt dedup in web corpora).
+
+    Identical inverted-index plan to jaccard_ngram_pairs (shared
+    shingles only, hot-shingle guard, never O(n²)); only the final
+    arithmetic differs. inner = the smaller-set doc (ties broken by
+    id), so (inner, outer) orientation is deterministic.
+
+    Output: (inner_id, outer_id, n_inter, containment).
+    """
+    arr = word_shingle_arrays(docs, id_col, text_col)
+    sh = arr.select(
+        col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
+    sh = sh.localCheckpoint()
+    sh = drop_hot_keys(sh, ["sh"], stop_shingle_df)
+    a = sh.select(col(id_col).alias("a_id"), "sh", col("n_sh").alias("n_a")).hint(
+        "shuffle_hash"
+    )
+    b = sh.select(col(id_col).alias("b_id"), "sh", col("n_sh").alias("n_b")).hint(
+        "shuffle_hash"
+    )
+    inter = (
+        a.join(b, "sh")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    smaller_is_a = (col("n_a") < col("n_b")) | (
+        (col("n_a") == col("n_b")) & (col("a_id") < col("b_id"))
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(col("n_inter") / F.least(col("n_a"), col("n_b")), 6),
+        )
+        .filter(col("containment") >= threshold)
+        .select(
+            F.when(smaller_is_a, col("a_id")).otherwise(col("b_id")).alias("inner_id"),
+            F.when(smaller_is_a, col("b_id")).otherwise(col("a_id")).alias("outer_id"),
+            "n_inter",
+            "containment",
+        )
+    )
+
+
 def incremental_jaccard_matches(
     new_docs: DataFrame,
     corpus: DataFrame,

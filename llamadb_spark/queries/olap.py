@@ -110,6 +110,48 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 
+def a03_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each VIEW, the user's NEXT purchase at or
+    after it — the "time-to-conversion" enrichment. Same
+    single-shuffle union-window plan as a01, timeline sorted
+    descending (operators/asof.py direction='forward')."""
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        key="user_id",
+        right_value_cols=["event_id", "value"],
+        direction="forward",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        col("event_id_right").alias("purchase_event_id"),
+        col("value_right").alias("purchase_value"),
+        col("ts_right").alias("purchase_ts"),
+    )
+
+
+ORACLE_A03 = """
+WITH v AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'view'),
+     p AS (SELECT user_id, event_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+SELECT v.user_id, v.event_id, v.ts,
+       p.event_id AS purchase_event_id, p.value AS purchase_value,
+       p.ts AS purchase_ts
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # 51: approximate aggregates — HLL distinct + t-digest quantiles.
 # The 100 TB staple: one pass, fixed memory, mergeable sketches.
@@ -227,6 +269,7 @@ QUERIES = {
     "q19_rollup": q19_rollup,
     "q20_pivot": q20_pivot,
     "a01_asof_join": a01_asof_join,
+    "a03_asof_forward": a03_asof_forward,
     "a02_approx_stats": a02_approx_stats,
     "r01_range_join": r01_range_join,
     "q31_percentiles": q31_percentiles,
@@ -237,6 +280,7 @@ ORACLES = {
     "q19_rollup": ORACLE_Q19,
     "q20_pivot": ORACLE_Q20,
     "a01_asof_join": ORACLE_A01,
+    "a03_asof_forward": ORACLE_A03,
     "r01_range_join": ORACLE_R01,
     "q31_percentiles": ORACLE_Q31,
     "q32_stats_agg": ORACLE_Q32,

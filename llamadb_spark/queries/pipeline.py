@@ -417,6 +417,62 @@ FROM best WHERE rk = 1
 """
 
 
+CONTAINMENT_THRESHOLD = 0.3
+
+
+def d14_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt detection: smaller-doc shingle containment in a larger
+    doc (see dedup.containment_pairs — jaccard's union denominator
+    hides quotes; containment's min() denominator flags them)."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir),
+        threshold=CONTAINMENT_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    )
+
+
+ORACLE_D14 = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= {STOP_SHINGLE_DF})
+),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT a_id, b_id, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+           AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+)
+SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND a_id < b_id)
+            THEN a_id ELSE b_id END AS inner_id,
+       CASE WHEN n_a < n_b OR (n_a = n_b AND a_id < b_id)
+            THEN b_id ELSE a_id END AS outer_id,
+       n_inter, containment
+FROM scored
+WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --- similarity search ---------------------------------------------------
 
 KNN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -1763,6 +1819,7 @@ QUERIES = {
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d12_semantic_dedup_lsh": d12_semantic_dedup_lsh,
     "d13_incremental_dedup": d13_incremental_dedup,
+    "d14_containment_pairs": d14_containment_pairs,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
@@ -1774,6 +1831,7 @@ ORACLES = {
     "d05_embed_neardup": ORACLE_D05,
     "d06_dedup_clusters": ORACLE_D06,
     "d13_incremental_dedup": ORACLE_D13,
+    "d14_containment_pairs": ORACLE_D14,
     "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,

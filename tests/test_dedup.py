@@ -276,3 +276,21 @@ def test_d12_drop_recall_vs_d08(spark):
         f"approximate dedup dropped only {drops_approx}/{drops_exact} "
         "of the exact drop set"
     )
+
+
+def test_containment_flags_excerpt_jaccard_misses(spark):
+    """A short quote inside a long doc: containment = 1.0 while
+    jaccard stays below any dedup threshold; orientation puts the
+    smaller doc as inner_id."""
+    from llamadb_spark.operators.dedup import containment_pairs, jaccard_ngram_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, threshold=0.9).collect()
+    assert [(r.inner_id, r.outer_id, r.containment) for r in cont] == [(1, 2, 1.0)]
+    jac = jaccard_ngram_pairs(docs, threshold=0.12).collect()
+    assert jac == []  # union-denominator metric misses the excerpt
