@@ -50,6 +50,13 @@ class ColumnSpec:
 class TableSpec:
     name: str
     columns: list[ColumnSpec] = field(default_factory=list)
+    #: (index_name, column_name) secondary indexes. Spark has no
+    #: B-Tree; an index here is a CLUSTERED STORAGE LAYOUT — the
+    #: table persists as range-partitioned parquet sorted on the
+    #: column, so footer min/max stats prune scans on it (the
+    #: Spark-idiomatic reading of what the reference's reserved-but-
+    #: unimplemented CREATE INDEX would buy).
+    indexes: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -107,6 +114,11 @@ _IDENT = r'(?:"[^"]+"|`[^`]+`|[A-Za-z_][\w]*)'
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(" + _IDENT + r")\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(" + _IDENT + r")\s+ON\s+(" + _IDENT + r")"
+    r"\s*\(\s*(" + _IDENT + r")\s*\)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _COLDEF_RE = re.compile(
     r"^\s*(" + _IDENT + r")\s+([A-Za-z_]\w*)\s*(?:\[\s*(\d*)\s*\])?\s*(.*?)\s*$",
@@ -247,9 +259,9 @@ class LlamaSession:
 
     Mirrors the reference CLI loop (cli/src/main.rs): statements are
     CREATE TABLE / INSERT / SELECT / EXPLAIN SELECT
-    (sqlsyntax/ast.rs:179-184 Statement enum), plus UPDATE and
-    DELETE, which the reference lexer reserves
-    (sqlsyntax/lexer.rs:10,100-101) but never implements.
+    (sqlsyntax/ast.rs:179-184 Statement enum), plus UPDATE, DELETE
+    and CREATE INDEX, which the reference lexer reserves
+    (sqlsyntax/lexer.rs:10-11,100-104) but never implements.
     """
 
     def __init__(self, spark: SparkSession):
@@ -263,6 +275,9 @@ class LlamaSession:
         stripped = sql.strip().rstrip(";").strip()
         head = stripped.split(None, 1)[0].upper() if stripped else ""
         if head == "CREATE":
+            second = stripped.split(None, 2)[1].upper() if len(stripped.split()) > 1 else ""
+            if second == "INDEX":
+                return self._create_index(stripped)
             return self._create(stripped)
         if head == "INSERT":
             return self._insert(stripped)
@@ -334,6 +349,54 @@ class LlamaSession:
         self._data[name] = empty
         empty.createOrReplaceTempView(name)
 
+    # -- CREATE INDEX ------------------------------------------------------
+    # The reference lexer reserves INDEX (sqlsyntax/lexer.rs:11,104)
+    # and its parser never implements it. Spark has no row-store
+    # B-Tree, so the honest equivalent is a clustered storage layout:
+    # the table's data is persisted as range-partitioned parquet
+    # sorted on the indexed column, and the table's reads switch to
+    # that scan — from then on, filters on the column reach the scan
+    # as PushedFilters and footer min/max stats skip files. Commits
+    # (INSERT/UPDATE/DELETE) re-cluster on write, the same
+    # rewrite-on-write contract the UPDATE/DELETE section documents.
+
+    def _create_index(self, sql: str) -> None:
+        m = _CREATE_INDEX_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse CREATE INDEX: {sql!r}")
+        idx, name, colname = (_unquote(g) for g in m.groups())
+        if name not in self.tables:
+            raise LlamaError(f"no such table: {name}")
+        spec = self.tables[name]
+        if colname not in {c.name for c in spec.columns}:
+            raise LlamaError(f"no such column: {colname}")
+        if any(i == idx for i, _ in spec.indexes):
+            raise LlamaError(f"index exists: {idx}")
+        spec.indexes.append((idx, colname))
+        self._materialize(name)
+
+    def _materialize(self, name: str) -> None:
+        """Persist an indexed table clustered on its (first) index
+        column and repoint reads at the parquet scan."""
+        import tempfile
+
+        from llamadb_spark.sources.catalog import write_range_layout
+
+        spec = self.tables[name]
+        if not spec.indexes:
+            return
+        _, colname = spec.indexes[0]
+        path = tempfile.mkdtemp(prefix=f"llamadb_idx_{name}_")
+        df = self._data[name]
+        if df.rdd.isEmpty():
+            # repartitionByRange needs sampleable rows; an empty
+            # table stays a (schema-typed) empty in-memory relation
+            return
+        write_range_layout(df, path, [colname], num_files=4)
+        reloaded = self.spark.read.schema(spec.schema).parquet(path)
+        self._data[name] = reloaded
+        reloaded.createOrReplaceTempView(name)
+
     # -- INSERT ------------------------------------------------------------
     def _insert(self, sql: str) -> None:
         m = _INSERT_RE.match(sql)
@@ -364,6 +427,7 @@ class LlamaSession:
         self._validate(aligned, spec)
         self._data[name] = self._data[name].unionAll(aligned)
         self._data[name].createOrReplaceTempView(name)
+        self._materialize(name)
 
     # -- UPDATE / DELETE ---------------------------------------------------
     # The reference lexer reserves both keywords (sqlsyntax/
@@ -436,6 +500,7 @@ class LlamaSession:
         self._validate(df, self.tables[name])
         self._data[name] = df
         df.createOrReplaceTempView(name)
+        self._materialize(name)
 
     def _align(self, src: DataFrame, spec: TableSpec, cols: list[str]) -> DataFrame:
         missing = [c.name for c in spec.columns if c.name not in cols]

@@ -334,3 +334,54 @@ def test_explain_update_delete_render_plans(db):
         (r.id, r.qty) for r in db.execute("SELECT id, qty FROM fruit").collect()
     }
     assert rows == {(1, 10), (2, None), (3, 30)}
+
+
+def test_create_index_results_unchanged_and_scan_backed(db):
+    """CREATE INDEX clusters the table into a range-sorted parquet
+    layout: query results are unchanged, the table's reads become a
+    parquet scan, and a range filter on the indexed column reaches
+    the scan as a pushed filter."""
+    _fruit_db(db)
+    before = {(r.id, r.name, r.qty) for r in db.execute("SELECT * FROM fruit").collect()}
+    db.execute("CREATE INDEX fruit_id ON fruit (id)")
+    after = {(r.id, r.name, r.qty) for r in db.execute("SELECT * FROM fruit").collect()}
+    assert after == before
+    plan = (
+        db.execute("SELECT name FROM fruit WHERE id >= 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan parquet" in plan
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,2" in plan
+
+
+def test_create_index_maintained_across_commits(db):
+    """INSERT/UPDATE/DELETE on an indexed table re-cluster on write;
+    results stay correct and reads stay scan-backed."""
+    _fruit_db(db)
+    db.execute("CREATE INDEX fruit_id ON fruit (id)")
+    db.execute("INSERT INTO fruit VALUES (4, 'fig', 40)")
+    db.execute("UPDATE fruit SET qty = 99 WHERE id = 1")
+    db.execute("DELETE FROM fruit WHERE id = 3")
+    rows = {(r.id, r.name, r.qty) for r in db.execute("SELECT * FROM fruit").collect()}
+    assert rows == {(1, "apple", 99), (2, "pear", None), (4, "fig", 40)}
+    plan = (
+        db.execute("SELECT * FROM fruit")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan parquet" in plan
+
+
+def test_create_index_errors(db):
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError
+
+    _fruit_db(db)
+    with pytest.raises(LlamaError, match="no such table"):
+        db.execute("CREATE INDEX i ON missing (id)")
+    with pytest.raises(LlamaError, match="no such column"):
+        db.execute("CREATE INDEX i ON fruit (nope)")
+    db.execute("CREATE INDEX i ON fruit (id)")
+    with pytest.raises(LlamaError, match="index exists"):
+        db.execute("CREATE INDEX i ON fruit (name)")
