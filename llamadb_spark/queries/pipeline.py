@@ -417,6 +417,53 @@ FROM best WHERE rk = 1
 """
 
 
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster centrality: PageRank over the d02 jaccard
+    pair graph — ranks each doc's centrality within its duplicate
+    neighborhood (the better canonical-representative pick than
+    min-id for large clusters). See operators/graph.pagerank."""
+    from llamadb_spark.operators.graph import pagerank
+
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    return pagerank(pairs, iters=3)
+
+
+ORACLE_G01_TEMPLATE = rf"""
+WITH pairs AS (
+  {{d02}}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+r0 AS (SELECT u, 1.0 AS rank FROM deg),
+r1 AS (
+  SELECT e.v AS u, 0.15 + 0.85 * sum(r.rank / dg.d) AS rank
+  FROM edges e JOIN r0 r ON r.u = e.u JOIN deg dg ON dg.u = e.u
+  GROUP BY e.v
+),
+r2 AS (
+  SELECT e.v AS u, 0.15 + 0.85 * sum(r.rank / dg.d) AS rank
+  FROM edges e JOIN r1 r ON r.u = e.u JOIN deg dg ON dg.u = e.u
+  GROUP BY e.v
+),
+r3 AS (
+  SELECT e.v AS u, 0.15 + 0.85 * sum(r.rank / dg.d) AS rank
+  FROM edges e JOIN r2 r ON r.u = e.u JOIN deg dg ON dg.u = e.u
+  GROUP BY e.v
+)
+SELECT u AS node, round(rank, 6) AS rank FROM r3
+"""
+
+ORACLE_G01 = ORACLE_G01_TEMPLATE.replace("{d02}", ORACLE_D02)
+
+
 CONTAINMENT_THRESHOLD = 0.3
 
 
@@ -1820,6 +1867,7 @@ QUERIES = {
     "d12_semantic_dedup_lsh": d12_semantic_dedup_lsh,
     "d13_incremental_dedup": d13_incremental_dedup,
     "d14_containment_pairs": d14_containment_pairs,
+    "g01_pagerank": g01_pagerank,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
@@ -1832,6 +1880,7 @@ ORACLES = {
     "d06_dedup_clusters": ORACLE_D06,
     "d13_incremental_dedup": ORACLE_D13,
     "d14_containment_pairs": ORACLE_D14,
+    "g01_pagerank": ORACLE_G01,
     "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,

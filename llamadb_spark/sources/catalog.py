@@ -32,6 +32,38 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.schema(schema).json(path)
 
 
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time): ``mergeSchema``
+    unions all file footers into one superset schema, older files
+    surface NULL for columns they predate. The standard way a
+    long-lived drop-directory stays readable as its producer grows —
+    without it Spark samples ONE footer and silently drops newer
+    columns. Costs a footer read per file at planning, which is why
+    it's opt-in here rather than session-default.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partition-selective overwrite: replaces ONLY the hive
+    partitions present in ``df``, leaving the rest of the dataset
+    untouched — the idempotent daily-reprocess primitive (re-running
+    day N must not truncate days 1..N-1, which plain
+    mode=overwrite does). Uses the per-write dynamic
+    partitionOverwriteMode option, so the session default (static)
+    stays safe for everything else.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def read_json_quarantine(
     spark: SparkSession, path: str, schema: StructType | str
 ) -> tuple[DataFrame, DataFrame]:

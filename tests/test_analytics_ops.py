@@ -241,3 +241,23 @@ def test_bigram_logprob_scores_repetition_higher(spark):
     # doc 1's only transition is deterministic (p=1); doc 2's "one"
     # prefix fans out 4 ways (p=1/4 per continuation)
     assert out[1] > out[2]
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    """On a star graph the hub out-ranks every leaf; on a symmetric
+    ring all ranks are equal; total rank mass stays ~n."""
+    from llamadb_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a_id long, b_id long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(star).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    assert all(abs(ranks[i] - ranks[1]) < 1e-9 for i in range(2, 6))
+    assert abs(sum(ranks.values()) - len(ranks)) < 0.01
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "a_id long, b_id long"
+    )
+    rranks = {r.node: r.rank for r in pagerank(ring).collect()}
+    assert all(abs(v - 1.0) < 1e-9 for v in rranks.values())

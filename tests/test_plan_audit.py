@@ -75,6 +75,7 @@ _ALLOWED_HINTS = {
     "d02_jaccard_ngram": 4, "d03_minhash_lsh": 4,
     "d13_incremental_dedup": 1,  # drop_hot_keys' tiny hot-key list
     "d14_containment_pairs": 4,  # same shape as d02
+    "g01_pagerank": 4,  # pair generation is the d02 plan
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
     "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,

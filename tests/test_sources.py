@@ -267,3 +267,38 @@ def test_versioned_table_time_travel_and_diff(spark, tmp_path):
         for r in version_diff(spark, npath, 0, 1, ["id"]).collect()
     }
     assert ndiff == {(1, "update"), (2, "update")}
+
+
+def test_merged_schema_read_unions_evolving_files(spark, tmp_path):
+    """Files written under older schemas surface NULL for columns
+    they predate; a plain read would sample one footer and can drop
+    the newer column entirely."""
+    from llamadb_spark.sources.catalog import read_merged_schema
+
+    dst = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(dst)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(dst)
+    got = read_merged_schema(spark, dst)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in got.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
+    """Re-writing day=2 must not truncate day=1 (plain overwrite
+    does); only partitions present in the incoming frame change."""
+    from llamadb_spark.sources.catalog import overwrite_partitions_dynamic
+
+    dst = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [(1, 1, "old1"), (2, 2, "old2")], "id long, day int, v string"
+    )
+    overwrite_partitions_dynamic(full, dst, ["day"])
+    redo = spark.createDataFrame([(3, 2, "new2")], "id long, day int, v string")
+    overwrite_partitions_dynamic(redo, dst, ["day"])
+    rows = {(r.id, r.day, r.v) for r in spark.read.parquet(dst).collect()}
+    assert rows == {(1, 1, "old1"), (3, 2, "new2")}
