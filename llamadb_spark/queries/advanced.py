@@ -642,6 +642,32 @@ ORDER BY m.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# 186: LATERAL correlated subquery in FROM — top-N-per-group written
+# the way SQL users write it (vs q18's window-rank formulation).
+# Spark resolves the correlation by rewriting to a window/join plan
+# internally (DecorrelateInnerQuery), so the declarative form costs
+# nothing over the hand-rolled one; the SQL text is identical on
+# both engines.
+# ---------------------------------------------------------------------------
+_Q54_SQL = """
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+"""
+
+
+def q54_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q54_SQL)
+
+
+ORACLE_Q54 = _Q54_SQL
+
+
 QUERIES = {
     "q39_semi_join": q39_semi_join,
     "q40_conditional_agg": q40_conditional_agg,
@@ -658,6 +684,7 @@ QUERIES = {
     "q51_string_agg": q51_string_agg,
     "q52_histogram": q52_histogram,
     "q53_mode_disc": q53_mode_disc,
+    "q54_lateral_topk": q54_lateral_topk,
 }
 
 ORACLES = {
@@ -676,4 +703,5 @@ ORACLES = {
     "q51_string_agg": ORACLE_Q51,
     "q52_histogram": ORACLE_Q52,
     "q53_mode_disc": ORACLE_Q53,
+    "q54_lateral_topk": ORACLE_Q54,
 }

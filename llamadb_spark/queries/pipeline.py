@@ -1615,6 +1615,63 @@ GROUP BY doc_id
 """
 
 
+ZIPF_TOP_N = 100
+
+
+def t17_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-100 token frequencies: OLS slope of
+    ln(freq) against ln(rank). Natural-language corpora sit near
+    slope -1; a corpus drifting toward 0 is template/boilerplate
+    heavy, steeper than -1.2 means a truncated/duplicated head — a
+    one-number corpus-health gauge (Zipf 1949; used as a quality
+    probe in corpus curation).
+
+    One token-count aggregation (map-side combined), a DISTRIBUTED
+    top-100 (orderBy+limit plans as TakeOrdered — per-partition
+    heaps, never a vocabulary-sized single-partition sort; a global
+    row_number window here would funnel the whole vocab through one
+    task at 100 TB), then a rank window over just the 100 survivors
+    and regr_slope/regr_r2 — all JVM built-ins.
+    """
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.functions.text import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top100 = counts.orderBy(F.col("c").desc(), F.col("token")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    top = top100.withColumn("rank", F.row_number().over(w))
+    return top.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.round(
+            F.expr("regr_slope(ln(c), ln(rank))"), 6
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(c), ln(rank))"), 6).alias("fit_r2"),
+    )
+
+
+ORACLE_T17 = rf"""
+WITH toks AS (
+  SELECT t.tok AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(tok)
+),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+  FROM counts QUALIFY rank <= {ZIPF_TOP_N}
+)
+SELECT count(*) AS n_fit,
+       round(regr_slope(ln(c), ln(rank)), 6) AS zipf_slope,
+       round(regr_r2(ln(c), ln(rank)), 6) AS fit_r2
+FROM top
+"""
+
+
 KEYWORDS_PER_DOC = 3
 
 
@@ -1851,6 +1908,7 @@ QUERIES = {
     "t14_unigram_logprob": t14_unigram_logprob,
     "t15_doc_keywords": t15_doc_keywords,
     "t16_bigram_logprob": t16_bigram_logprob,
+    "t17_zipf_slope": t17_zipf_slope,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,
@@ -1907,6 +1965,7 @@ ORACLES = {
     "t14_unigram_logprob": ORACLE_T14,
     "t15_doc_keywords": ORACLE_T15,
     "t16_bigram_logprob": ORACLE_T16,
+    "t17_zipf_slope": ORACLE_T17,
     "s07_centroid_classify": ORACLE_S07,
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,
