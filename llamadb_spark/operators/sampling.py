@@ -134,7 +134,10 @@ def weighted_sample(
     the key's deterministic hash, so membership is a pure function of
     the data. The keep test is pure INTEGER arithmetic
     (h·W < k·wᵢ·10⁹, h uniform in [0,10⁹)) — no pow/ln, so any
-    engine computes the identical sample bit-for-bit.
+    engine computes the identical sample bit-for-bit. The products
+    run in DECIMAL(38,0): h·W reaches ~10⁹·Σw, which overflows int64
+    once the corpus's total weight passes ~10¹⁰ (any real corpus) —
+    38-digit decimals hold ~10³⁸ exactly (DuckDB side: HUGEINT).
 
     Scale: one aggregate for W (1-row broadcast join, no driver
     collect), then a codegen'd filter — zero extra shuffles beyond
@@ -142,10 +145,12 @@ def weighted_sample(
 
     Output: input rows kept, plus incl_prob (rounded 6dp).
     """
-    total = df.agg(F.sum(weight_col).cast("long").alias("_w_total"))
-    h = bucket_hash(col(key_col), buckets=1_000_000_000)
+    total = df.agg(F.sum(weight_col).cast("decimal(38,0)").alias("_w_total"))
+    h = bucket_hash(col(key_col), buckets=1_000_000_000).cast("decimal(38,0)")
     keep = (h * col("_w_total")) < (
-        lit(k) * col(weight_col).cast("long") * lit(1_000_000_000)
+        lit(k)
+        * col(weight_col).cast("decimal(38,0)")
+        * lit(1_000_000_000).cast("decimal(38,0)")
     )
     return (
         df.crossJoin(F.broadcast(total))
@@ -155,7 +160,7 @@ def weighted_sample(
             F.round(
                 F.least(
                     lit(1.0),
-                    lit(k) * col(weight_col) / col("_w_total"),
+                    lit(k) * col(weight_col) / col("_w_total").cast("double"),
                 ),
                 6,
             ),

@@ -1409,8 +1409,8 @@ SELECT doc_id, lang, n_chars,
        round(least(1.0, {P11_SAMPLE_K} * n_chars / CAST(w_total AS DOUBLE)), 6)
          AS incl_prob
 FROM documents, w
-WHERE ((doc_id % 100003) * 2654435761) % 1000000000 * w_total
-      < {P11_SAMPLE_K} * n_chars * 1000000000
+WHERE CAST(((doc_id % 100003) * 2654435761) % 1000000000 AS HUGEINT) * w_total
+      < {P11_SAMPLE_K} * CAST(n_chars AS HUGEINT) * 1000000000
 """
 
 
