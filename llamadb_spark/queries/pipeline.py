@@ -1615,6 +1615,61 @@ GROUP BY doc_id
 """
 
 
+RERANK_COARSE_MULT = 4
+
+
+def s11_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: int8 coarse scoring → exact cosine
+    re-rank of k·4 candidates (see similarity.rerank_knn)."""
+    return similarity.rerank_knn(
+        _emb(spark, sf_dir),
+        KNN_QUERY_IDS,
+        k=KNN_K,
+        coarse_mult=RERANK_COARSE_MULT,
+    )
+
+
+ORACLE_S11 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+quant AS (
+  SELECT vec_id, v,
+         CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') > 0
+              THEN list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+              ELSE 1.0 END AS scale,
+         list_transform(v, x ->
+           CAST(floor(x / (CASE WHEN list_aggregate(list_transform(v, y -> abs(y)), 'max') > 0
+                                THEN list_aggregate(list_transform(v, y -> abs(y)), 'max') / 127.0
+                                ELSE 1.0 END) + 0.5) AS DOUBLE)) AS q
+  FROM e
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS q_v, scale AS q_scale, q AS q_q
+  FROM quant WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+),
+coarse AS (
+  SELECT qs.query_id, c.vec_id, c.v, qs.q_v,
+         c.scale * qs.q_scale * list_dot_product(c.q, qs.q_q) AS approx,
+         row_number() OVER (
+             PARTITION BY qs.query_id
+             ORDER BY c.scale * qs.q_scale * list_dot_product(c.q, qs.q_q) DESC,
+                      c.vec_id) AS crk
+  FROM quant c, queries qs
+  WHERE c.vec_id <> qs.query_id
+),
+exact AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_cosine_similarity(v, q_v), 6) AS cos
+  FROM coarse WHERE crk <= {KNN_K} * {RERANK_COARSE_MULT}
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {KNN_K}
+"""
+
+
 ZIPF_TOP_N = 100
 
 
@@ -1909,6 +1964,7 @@ QUERIES = {
     "t15_doc_keywords": t15_doc_keywords,
     "t16_bigram_logprob": t16_bigram_logprob,
     "t17_zipf_slope": t17_zipf_slope,
+    "s11_rerank_ann": s11_rerank_ann,
     "s07_centroid_classify": s07_centroid_classify,
     "s08_embed_dim_stats": s08_embed_dim_stats,
     "s09_pca_project": s09_pca_project,
@@ -1966,6 +2022,7 @@ ORACLES = {
     "t15_doc_keywords": ORACLE_T15,
     "t16_bigram_logprob": ORACLE_T16,
     "t17_zipf_slope": ORACLE_T17,
+    "s11_rerank_ann": ORACLE_S11,
     "s07_centroid_classify": ORACLE_S07,
     "s08_embed_dim_stats": ORACLE_S08,
     "p06_dataset_split": ORACLE_P06,

@@ -78,6 +78,7 @@ _ALLOWED_HINTS = {
     "g01_pagerank": 4,  # pair generation is the d02 plan
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
     "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
+    "s11_rerank_ann": 1,  # caller-bounded query set
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,
     "p02_contamination": 1, "p05_tombstone_delete": 1,
     "p07_mixture_sample": 1, "p08_dq_report": 1,

@@ -178,3 +178,21 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
     again = [r.vec_id for r in mmr_rerank(emb, qv, k=10, pool=50, lam=0.5)
              .orderBy("mmr_rank").collect()]
     assert again == mmr_ids
+
+
+def test_rerank_ann_recall_vs_exact(spark, sf_dir):
+    """Two-stage re-rank: every returned neighbor's cosine is exact
+    (present in the brute-force scoring with the same value) and
+    top-k recall vs s01 is high — int8 coarse scoring rarely drops a
+    true top-k neighbor at 4x candidate width."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(emb, qids, k=5).collect()
+    }
+    got_rows = similarity.rerank_knn(emb, qids, k=5).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got_rows) == len(qids) * 5
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"rerank recall too low: {recall}"
