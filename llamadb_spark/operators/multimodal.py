@@ -88,6 +88,32 @@ def chunk_payload(
     )
 
 
+def dedup_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact media dedup: one sha2 over the raw payload BYTES (no
+    text decode — works for any mime type), one groupBy on the
+    digest. The binary twin of operators/dedup.exact_dedup: at
+    100 TB the shuffle carries (64-byte digest, id, n_bytes) per
+    payload, never the payloads themselves, and map-side partial
+    aggregation collapses same-file copies within each partition
+    before the exchange.
+
+    Output: (payload_sha, keep_id = min id, n_copies, n_bytes).
+    """
+    return (
+        media.select(
+            F.sha2(col("payload"), 256).alias("payload_sha"),
+            col(id_col),
+            F.octet_length(col("payload")).alias("n_bytes"),
+        )
+        .groupBy("payload_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """'Decode' payloads via Arrow-batched mapInPandas.
 

@@ -1534,6 +1534,25 @@ def d10_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_BYTES = 512
 
 
+def m05_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup over raw payload bytes
+    (multimodal.dedup_media). The envelope payload IS the UTF-8 text
+    bytes, so DuckDB's sha256(text) digests the same bytes and the
+    check is a full hash-match without a blob-hash function."""
+    env = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.dedup_media(env)
+
+
+ORACLE_M05 = """
+SELECT sha256(text) AS payload_sha,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       CAST(min(octet_length(encode(text))) AS INT) AS n_bytes
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
 def m04_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-window binary chunking (operators/multimodal.py
     chunk_payload). DuckDB has no blob slicing, so the oracle checks
@@ -1977,6 +1996,7 @@ QUERIES = {
     "p10_leakproof_split": p10_leakproof_split,
     "m03_frame_sample": m03_frame_sample,
     "m04_payload_chunks": m04_payload_chunks,
+    "m05_media_dedup": m05_media_dedup,
     "d08_semantic_dedup_apply": d08_semantic_dedup_apply,
     "d12_semantic_dedup_lsh": d12_semantic_dedup_lsh,
     "d13_incremental_dedup": d13_incremental_dedup,
@@ -2033,6 +2053,7 @@ ORACLES = {
     "p10_leakproof_split": ORACLE_P10,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
+    "m05_media_dedup": ORACLE_M05,
     "d08_semantic_dedup_apply": ORACLE_D08,
     "d09_shared_longrun": ORACLE_D09,
     "d10_dedup_clusters_star": ORACLE_D06,
