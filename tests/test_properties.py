@@ -236,3 +236,71 @@ def test_dialect_out_of_bounds_always_rejected(spark, t, above):
     except LlamaError:
         return
     raise AssertionError(f"{t} accepted out-of-range {bad}")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 1_000)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 8),
+)
+@_SPARK_SETTINGS
+def test_weighted_sample_matches_python_reference(spark, rows, k):
+    """The PPS keep-test is pure integer arithmetic — a python
+    re-implementation must select the identical set."""
+    from llamadb_spark.operators.sampling import KNUTH, PREMOD, weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id for r in weighted_sample(df, k=k, weight_col="w").collect()}
+    total = sum(w for _, w in rows)
+    expected = {
+        d
+        for d, w in rows
+        if total > 0
+        and ((d % PREMOD) * KNUTH) % 1_000_000_000 * total < k * w * 1_000_000_000
+    }
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_SPARK_SETTINGS
+def test_containment_matches_python_reference(spark, texts):
+    """Containment pairs against a pure-python shingle-set reference:
+    same pairs, same orientation (smaller set inside), same value."""
+    from llamadb_spark.operators.dedup import containment_pairs
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t):
+        toks = [w for w in t.strip().lower().split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            c = round(inter / min(len(sets[a]), len(sets[b])), 6)
+            if c >= 0.5:
+                small_is_a = (len(sets[a]) < len(sets[b])) or (
+                    len(sets[a]) == len(sets[b]) and a < b
+                )
+                inner, outer = (a, b) if small_is_a else (b, a)
+                expected.add((inner, outer, c))
+    got = {
+        (r.inner_id, r.outer_id, r.containment)
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got == expected
