@@ -57,6 +57,15 @@ class TableSpec:
     #: Spark-idiomatic reading of what the reference's reserved-but-
     #: unimplemented CREATE INDEX would buy).
     indexes: list[tuple[str, str]] = field(default_factory=list)
+    #: (name, check_expr_sql) CHECK constraints — SQL three-valued:
+    #: a row violates only when the expression is FALSE (NULL passes).
+    checks: list[tuple[str, str]] = field(default_factory=list)
+    #: (name, (col, ...)) UNIQUE / PRIMARY KEY column sets; rows with
+    #: a NULL in the set don't participate (SQL UNIQUE semantics).
+    uniques: list[tuple[str, tuple[str, ...]]] = field(default_factory=list)
+    #: (name, col, ref_table, ref_col) FOREIGN KEY references; NULL
+    #: FK values pass (MATCH SIMPLE).
+    fks: list[tuple[str, str, str, str]] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -115,6 +124,36 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(" + _IDENT + r")\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: Table-level constraint forms inside CREATE TABLE's column list.
+#: The reference lexer reserves CONSTRAINT / PRIMARY / KEY / UNIQUE /
+#: REFERENCES (sqlsyntax/lexer.rs:105-110) but, as with
+#: UPDATE/DELETE/INDEX, its parser never implements them.
+_CK_CHECK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(" + _IDENT + r")\s+)?CHECK\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CK_UNIQUE_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(" + _IDENT + r")\s+)?(UNIQUE|PRIMARY\s+KEY)\s*\(([^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_CK_FK_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(" + _IDENT + r")\s+)?FOREIGN\s+KEY\s*\(\s*("
+    + _IDENT
+    + r")\s*\)\s+REFERENCES\s+("
+    + _IDENT
+    + r")\s*\(\s*("
+    + _IDENT
+    + r")\s*\)\s*$",
+    re.IGNORECASE,
+)
+#: Column-level shorthand forms, matched against the trailing
+#: constraint text of one column definition.
+_COL_REFS_RE = re.compile(
+    r"\bREFERENCES\s+(" + _IDENT + r")\s*\(\s*(" + _IDENT + r")\s*\)",
+    re.IGNORECASE,
+)
+_COL_CHECK_RE = re.compile(r"\bCHECK\s*\((.*)\)", re.IGNORECASE | re.DOTALL)
+
 _CREATE_INDEX_RE = re.compile(
     r"^\s*CREATE\s+INDEX\s+(" + _IDENT + r")\s+ON\s+(" + _IDENT + r")"
     r"\s*\(\s*(" + _IDENT + r")\s*\)\s*;?\s*$",
@@ -259,9 +298,10 @@ class LlamaSession:
 
     Mirrors the reference CLI loop (cli/src/main.rs): statements are
     CREATE TABLE / INSERT / SELECT / EXPLAIN SELECT
-    (sqlsyntax/ast.rs:179-184 Statement enum), plus UPDATE, DELETE
-    and CREATE INDEX, which the reference lexer reserves
-    (sqlsyntax/lexer.rs:10-11,100-104) but never implements.
+    (sqlsyntax/ast.rs:179-184 Statement enum), plus UPDATE, DELETE,
+    CREATE INDEX and the constraint family (CHECK / UNIQUE / PRIMARY
+    KEY / FOREIGN KEY…REFERENCES), all of which the reference lexer
+    reserves (sqlsyntax/lexer.rs:10-11,100-110) but never implements.
     """
 
     def __init__(self, spark: SparkSession):
@@ -328,26 +368,145 @@ class LlamaSession:
         if name in self.tables:
             raise LlamaError(f"table exists: {name}")
         spec = TableSpec(name)
+        pk_cols: list[str] = []
         for coldef in _split_top_level(cols_src):
             coldef = coldef.strip()
             if not coldef:
+                continue
+            first = coldef.split(None, 1)[0].upper()
+            if first in ("CONSTRAINT", "CHECK", "UNIQUE", "PRIMARY", "FOREIGN"):
+                pk_cols.extend(self._parse_table_constraint(spec, coldef))
                 continue
             cm = _COLDEF_RE.match(coldef)
             if not cm:
                 raise LlamaError(f"cannot parse column def: {coldef!r}")
             cname, tname, asize, constraints = cm.groups()
-            is_array = "[" in coldef.split(cname, 1)[1]
+            cname = _unquote(cname)
+            # the [N] group participates (asize not None, possibly '')
+            # exactly when the type carried array brackets
+            is_array = asize is not None
             dtype, bounds = translate_type(tname, asize if is_array else None)
             fixed_len = int(asize) if is_array and asize else None
+            ctext = constraints or ""
             # llamadb: NOT NULL unless a NULL constraint is present
-            nullable = bool(re.search(r"\bNULL\b", constraints or "", re.IGNORECASE))
+            # (an explicit NOT NULL also stays non-nullable)
+            nullable = bool(
+                re.search(r"\bNULL\b", ctext, re.IGNORECASE)
+            ) and not re.search(r"\bNOT\s+NULL\b", ctext, re.IGNORECASE)
+            if re.search(r"\bPRIMARY\s+KEY\b", ctext, re.IGNORECASE):
+                nullable = False
+                spec.uniques.append((f"pk_{name}", (cname,)))
+            elif re.search(r"\bUNIQUE\b", ctext, re.IGNORECASE):
+                spec.uniques.append((f"uq_{name}_{cname}", (cname,)))
+            rm = _COL_REFS_RE.search(ctext)
+            if rm:
+                self._check_fk_target(_unquote(rm.group(1)), _unquote(rm.group(2)))
+                spec.fks.append(
+                    (f"fk_{name}_{cname}", cname, _unquote(rm.group(1)), _unquote(rm.group(2)))
+                )
+            km = _COL_CHECK_RE.search(ctext)
+            if km:
+                spec.checks.append((f"ck_{name}_{cname}", km.group(1)))
             spec.columns.append(
-                ColumnSpec(_unquote(cname), dtype, nullable, bounds, fixed_len)
+                ColumnSpec(cname, dtype, nullable, bounds, fixed_len)
             )
+        colnames = {c.name for c in spec.columns}
+        for _, cols in spec.uniques:
+            missing = [c for c in cols if c not in colnames]
+            if missing:
+                raise LlamaError(f"no such column: {missing[0]}")
+        for _, c, _, _ in spec.fks:
+            if c not in colnames:
+                raise LlamaError(f"no such column: {c}")
+        for c in spec.columns:  # PRIMARY KEY ⇒ NOT NULL
+            if c.name in pk_cols:
+                c.nullable = False
         self.tables[name] = spec
         empty = self.spark.createDataFrame([], spec.schema)
         self._data[name] = empty
         empty.createOrReplaceTempView(name)
+
+    # -- constraints -------------------------------------------------------
+    # CONSTRAINT / PRIMARY KEY / UNIQUE / REFERENCES are reserved by
+    # the reference lexer (sqlsyntax/lexer.rs:105-110) and never
+    # implemented by its parser — the same roadmap-parity class as
+    # UPDATE/DELETE/INDEX. Semantics are standard SQL: CHECK fails
+    # only on FALSE (NULL passes); UNIQUE ignores rows with NULL in
+    # the key; FOREIGN KEY is MATCH SIMPLE (NULL FK passes) and is
+    # validated against the referenced table's CURRENT contents at
+    # every commit. At cluster scale each validation is one
+    # short-circuiting aggregation/anti-join over the table — the
+    # standard post-write data-quality gate shape.
+
+    def _check_fk_target(self, ref_table: str, ref_col: str) -> None:
+        if ref_table not in self.tables:
+            raise LlamaError(f"no such table: {ref_table}")
+        if ref_col not in {c.name for c in self.tables[ref_table].columns}:
+            raise LlamaError(f"no such column: {ref_col}")
+
+    def _parse_table_constraint(self, spec: TableSpec, src: str) -> list[str]:
+        """Parse one table-level constraint item; returns the PRIMARY
+        KEY columns (to be marked NOT NULL by the caller), if any."""
+        m = _CK_CHECK_RE.match(src)
+        if m:
+            cname = _unquote(m.group(1)) if m.group(1) else f"ck_{spec.name}_{len(spec.checks)}"
+            spec.checks.append((cname, m.group(2)))
+            return []
+        m = _CK_UNIQUE_RE.match(src)
+        if m:
+            cols = tuple(_unquote(c.strip()) for c in m.group(3).split(","))
+            is_pk = "PRIMARY" in m.group(2).upper()
+            default = f"pk_{spec.name}" if is_pk else f"uq_{spec.name}_{'_'.join(cols)}"
+            cname = _unquote(m.group(1)) if m.group(1) else default
+            spec.uniques.append((cname, cols))
+            return list(cols) if is_pk else []
+        m = _CK_FK_RE.match(src)
+        if m:
+            col_, rt, rc = _unquote(m.group(2)), _unquote(m.group(3)), _unquote(m.group(4))
+            self._check_fk_target(rt, rc)
+            cname = _unquote(m.group(1)) if m.group(1) else f"fk_{spec.name}_{col_}"
+            spec.fks.append((cname, col_, rt, rc))
+            return []
+        raise LlamaError(f"cannot parse table constraint: {src!r}")
+
+    def _validate_constraints(self, df: DataFrame, spec: TableSpec) -> None:
+        for cname, expr_src in spec.checks:
+            viol = (
+                df.filter(
+                    F.coalesce(F.expr(_requote_idents(expr_src)), F.lit(True))
+                    == F.lit(False)
+                )
+                .limit(1)
+                .count()
+            )
+            if viol:
+                raise LlamaError(f"CHECK constraint violated: {cname}")
+        for cname, cols in spec.uniques:
+            dup = (
+                df.dropna(subset=list(cols))
+                .groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise LlamaError(f"UNIQUE constraint violated: {cname}")
+        for cname, colname, rt, rc in spec.fks:
+            ref = self._data[rt]
+            orphans = (
+                df.filter(F.col(colname).isNotNull())
+                .select(colname)
+                .join(
+                    ref.select(F.col(rc).alias(colname)).distinct(),
+                    colname,
+                    "left_anti",
+                )
+                .limit(1)
+                .count()
+            )
+            if orphans:
+                raise LlamaError(f"FOREIGN KEY constraint violated: {cname}")
 
     # -- CREATE INDEX ------------------------------------------------------
     # The reference lexer reserves INDEX (sqlsyntax/lexer.rs:11,104)
@@ -425,8 +584,13 @@ class LlamaSession:
 
         aligned = self._align(src, spec, cols)
         self._validate(aligned, spec)
-        self._data[name] = self._data[name].unionAll(aligned)
-        self._data[name].createOrReplaceTempView(name)
+        candidate = self._data[name].unionAll(aligned)
+        # table-level constraints must see OLD+NEW rows together (a
+        # new row can collide with an existing key); reject BEFORE
+        # swapping so a failed INSERT leaves the table untouched
+        self._validate_constraints(candidate, spec)
+        self._data[name] = candidate
+        candidate.createOrReplaceTempView(name)
         self._materialize(name)
 
     # -- UPDATE / DELETE ---------------------------------------------------
@@ -498,6 +662,7 @@ class LlamaSession:
 
     def _commit(self, name: str, df: DataFrame) -> None:
         self._validate(df, self.tables[name])
+        self._validate_constraints(df, self.tables[name])
         self._data[name] = df
         df.createOrReplaceTempView(name)
         self._materialize(name)

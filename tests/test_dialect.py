@@ -385,3 +385,76 @@ def test_create_index_errors(db):
     db.execute("CREATE INDEX i ON fruit (id)")
     with pytest.raises(LlamaError, match="index exists"):
         db.execute("CREATE INDEX i ON fruit (name)")
+
+
+def test_check_constraint_three_valued(db):
+    """CHECK fails only when the expression is FALSE — a NULL
+    evaluation passes (SQL three-valued semantics)."""
+    db.execute(
+        "CREATE TABLE acct (id U32, bal I32 NULL, "
+        "CONSTRAINT bal_nonneg CHECK (bal >= 0))"
+    )
+    db.execute("INSERT INTO acct VALUES (1, 10), (2, NULL)")  # NULL passes
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError
+
+    with pytest.raises(LlamaError, match="CHECK constraint violated: bal_nonneg"):
+        db.execute("INSERT INTO acct VALUES (3, -5)")
+    # failed insert rolled back: table unchanged
+    assert db.execute("SELECT count(*) AS n FROM acct").collect()[0].n == 2
+    with pytest.raises(LlamaError, match="bal_nonneg"):
+        db.execute("UPDATE acct SET bal = -1 WHERE id = 1")
+
+
+def test_unique_and_primary_key(db):
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError
+
+    db.execute(
+        "CREATE TABLE u (id U32 PRIMARY KEY, email STRING UNIQUE, nick STRING NULL)"
+    )
+    db.execute("INSERT INTO u VALUES (1, 'a@x', 'a'), (2, 'b@x', 'b')")
+    with pytest.raises(LlamaError, match="UNIQUE"):
+        db.execute("INSERT INTO u VALUES (3, 'a@x', 'c')")  # dup email
+    with pytest.raises(LlamaError, match="UNIQUE"):
+        db.execute("INSERT INTO u VALUES (1, 'c@x', 'd')")  # dup pk
+    with pytest.raises(LlamaError, match="NOT NULL"):
+        db.execute("INSERT INTO u VALUES (NULL, 'd@x', 'e')")  # pk => not null
+    db.execute("INSERT INTO u VALUES (3, 'c@x', 'b')")  # non-unique nick ok
+    assert db.execute("SELECT count(*) AS n FROM u").collect()[0].n == 3
+
+
+def test_composite_unique_table_level(db):
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError
+
+    db.execute(
+        "CREATE TABLE pairs2 (a U32, b U32, UNIQUE (a, b))"
+    )
+    db.execute("INSERT INTO pairs2 VALUES (1, 1), (1, 2), (2, 1)")
+    with pytest.raises(LlamaError, match="UNIQUE"):
+        db.execute("INSERT INTO pairs2 VALUES (1, 2)")
+
+
+def test_foreign_key_reference(db):
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError
+
+    db.execute("CREATE TABLE genre (gid U32 PRIMARY KEY, name STRING)")
+    db.execute("INSERT INTO genre VALUES (1, 'rock'), (2, 'jazz')")
+    db.execute(
+        "CREATE TABLE album (aid U32 PRIMARY KEY, gid U32 NULL REFERENCES genre (gid))"
+    )
+    db.execute("INSERT INTO album VALUES (10, 1), (11, NULL)")  # NULL FK passes
+    with pytest.raises(LlamaError, match="FOREIGN KEY"):
+        db.execute("INSERT INTO album VALUES (12, 9)")  # orphan
+    # FK re-validated on UPDATE too
+    with pytest.raises(LlamaError, match="FOREIGN KEY"):
+        db.execute("UPDATE album SET gid = 7 WHERE aid = 10")
+    # unknown reference target rejected at CREATE time
+    with pytest.raises(LlamaError, match="no such table"):
+        db.execute("CREATE TABLE bad (x U32 REFERENCES missing (y))")
