@@ -572,6 +572,63 @@ WHERE event_type = 'purchase' AND trig_ts IS NOT NULL
 """
 
 
+def e18_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection — the event-stream twin of the
+    text-side quality filters: users whose sustained event rate
+    (events per ACTIVE minute — idle gaps don't dilute the signal)
+    sits more than 3σ above the population mean. Web-corpus curation
+    drops these accounts' content the same way it drops boilerplate;
+    the adaptive threshold tracks whatever "normal" is per corpus
+    instead of hard-coding a ceiling.
+
+    Two map-side-combined aggregations (per-minute, then per-user) +
+    a 1-row scalar (mean+3σ) broadcast onto the user table — no
+    windows, no big joins; shuffle volume is user-cardinality
+    bounded.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rates = per_min.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("active_minutes"),
+        (F.sum("n") / F.count(F.lit(1))).alias("_r"),
+    )
+    thr = rates.agg(
+        (F.avg("_r") + 3 * F.stddev_pop("_r")).alias("_t")
+    )
+    return (
+        rates.crossJoin(F.broadcast(thr))
+        .filter(F.col("_r") > F.col("_t"))
+        .select(
+            "user_id",
+            "n_events",
+            "active_minutes",
+            F.round("_r", 6).alias("rate_per_min"),
+        )
+    )
+
+
+ORACLE_E18 = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rates AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS active_minutes,
+         sum(n) / CAST(count(*) AS DOUBLE) AS r
+  FROM per_min GROUP BY user_id
+),
+thr AS (SELECT avg(r) + 3 * stddev_pop(r) AS t FROM rates)
+SELECT user_id, n_events, active_minutes, round(r, 6) AS rate_per_min
+FROM rates, thr WHERE r > t
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -590,6 +647,7 @@ QUERIES = {
     "e15_rolling_wau": e15_rolling_wau,
     "e16_interarrival_stats": e16_interarrival_stats,
     "e17_cep_match": e17_cep_match,
+    "e18_bot_users": e18_bot_users,
 }
 
 ORACLES = {
@@ -610,4 +668,5 @@ ORACLES = {
     "e15_rolling_wau": ORACLE_E15,
     "e16_interarrival_stats": ORACLE_E16,
     "e17_cep_match": ORACLE_E17,
+    "e18_bot_users": ORACLE_E18,
 }

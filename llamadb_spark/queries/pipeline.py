@@ -464,6 +464,123 @@ SELECT u AS node, round(rank, 6) AS rank FROM r3
 ORACLE_G01 = ORACLE_G01_TEMPLATE.replace("{d02}", ORACLE_D02)
 
 
+def g02_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many docs have
+    k near-duplicates. The first diagnostic on any dedup run — a
+    heavy high-degree tail means boilerplate/template families (one
+    hub similar to thousands), a flat histogram means pairwise
+    copies. Two map-side-combined aggregations over the pair list;
+    no joins."""
+    from pyspark.sql.functions import col
+
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    # explode, not union: a union would reference (and re-plan) the
+    # whole pair-generation pipeline twice
+    nodes = pairs.select(
+        F.explode(F.array(col("a_id"), col("b_id"))).alias("node")
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+ORACLE_G02_TEMPLATE = r"""
+WITH pairs AS (
+  {d02}
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a_id AS node FROM pairs
+    UNION ALL
+    SELECT b_id FROM pairs
+  ) GROUP BY node
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+ORACLE_G02 = ORACLE_G02_TEMPLATE.replace("{d02}", ORACLE_D02)
+
+
+def t19_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective token yield per source: docs/tokens before and after
+    lexical dedup (d07's survivor set) — the number a data team
+    actually budgets with ("we crawled X tokens, Y survive dedup").
+    Reuses the pair→CC drop list; token counts are the t03 whitespace
+    contract. One extra left join + per-source aggregate on top of
+    the dedup pipeline — the marginal cost of the report is one
+    shuffle.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    losers = cc.filter(col("node") != col("cluster_id")).select(
+        col("node").alias("doc_id"), F.lit(1).alias("_drop")
+    )
+    ntok = F.size(F.filter(tokens(col("text")), lambda t: t != ""))
+    base = docs.select("doc_id", "source", ntok.alias("n_tok")).join(
+        losers, "doc_id", "left"
+    )
+    kept = col("_drop").isNull()
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        F.sum(kept.cast("long")).alias("n_docs_after"),
+        F.sum("n_tok").alias("tokens_before"),
+        F.sum(F.when(kept, col("n_tok")).otherwise(0)).alias("tokens_after"),
+        F.round(
+            F.sum(F.when(kept, col("n_tok")).otherwise(0))
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("token_yield"),
+    )
+
+
+ORACLE_T19_TEMPLATE = r"""
+WITH RECURSIVE pairs AS (
+  {d02}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS node, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+losers AS (SELECT node FROM cc WHERE node <> cluster_id),
+tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs_before,
+       CAST(count(*) FILTER (doc_id NOT IN (SELECT node FROM losers))
+            AS BIGINT) AS n_docs_after,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+       CAST(coalesce(sum(n_tok) FILTER (doc_id NOT IN (SELECT node FROM losers)), 0)
+            AS BIGINT) AS tokens_after,
+       round(coalesce(sum(n_tok) FILTER (doc_id NOT IN (SELECT node FROM losers)), 0)
+             / CAST(sum(n_tok) AS DOUBLE), 6) AS token_yield
+FROM tok
+GROUP BY source
+"""
+
+ORACLE_T19 = ORACLE_T19_TEMPLATE.replace("{d02}", ORACLE_D02)
+
+
 CONTAINMENT_THRESHOLD = 0.3
 
 
@@ -2002,6 +2119,8 @@ QUERIES = {
     "d13_incremental_dedup": d13_incremental_dedup,
     "d14_containment_pairs": d14_containment_pairs,
     "g01_pagerank": g01_pagerank,
+    "g02_degree_histogram": g02_degree_histogram,
+    "t19_token_yield": t19_token_yield,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
@@ -2015,6 +2134,8 @@ ORACLES = {
     "d13_incremental_dedup": ORACLE_D13,
     "d14_containment_pairs": ORACLE_D14,
     "g01_pagerank": ORACLE_G01,
+    "g02_degree_histogram": ORACLE_G02,
+    "t19_token_yield": ORACLE_T19,
     "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,

@@ -76,6 +76,8 @@ _ALLOWED_HINTS = {
     "d13_incremental_dedup": 1,  # drop_hot_keys' tiny hot-key list
     "d14_containment_pairs": 4,  # same shape as d02
     "g01_pagerank": 4,  # pair generation is the d02 plan
+    "g02_degree_histogram": 4, "t19_token_yield": 4,  # same
+    "e18_bot_users": 1,  # 1-row mean+3sigma scalar
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
     "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
     "s11_rerank_ann": 1,  # caller-bounded query set
