@@ -739,6 +739,68 @@ FROM d
 """
 
 
+def t20_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile stratification — the bucketing step of
+    curriculum/quality-mixing pipelines (CCNet's perplexity buckets,
+    quality-weighted sampling): per decile of the t02 quality score,
+    document count and score stats.
+
+    Scale note: NOT an ntile window — a global ntile funnels the
+    whole corpus through one task. Instead: exact decile cut points
+    via max-accuracy percentile_approx (one aggregation; at max
+    accuracy it degenerates to the exact lower quantile, bit-equal
+    to DuckDB's quantile_disc — the q53 precedent), broadcast the
+    9-value array, assign buckets with a codegen'd array filter, and
+    aggregate. Two shuffles total, no global sort.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    q = textops.quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    cuts = q.agg(
+        F.percentile_approx(
+            "quality", [i / 10.0 for i in range(1, 10)], 2147483647
+        ).alias("cuts")
+    )
+    bucketed = q.crossJoin(broadcast(cuts)).select(
+        "quality",
+        (
+            F.size(F.filter(col("cuts"), lambda c: c <= col("quality"))) + 1
+        ).alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
+
+
+ORACLE_T20_TEMPLATE = r"""
+WITH scored AS (
+  {t02}
+),
+cuts AS (
+  SELECT quantile_disc(quality,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+  FROM scored
+),
+bucketed AS (
+  SELECT quality,
+         1 + len(list_filter(cuts, c -> c <= quality)) AS decile
+  FROM scored, cuts
+)
+SELECT decile, count(*) AS n_docs,
+       round(avg(quality), 6) AS avg_quality,
+       round(min(quality), 6) AS min_quality,
+       round(max(quality), 6) AS max_quality
+FROM bucketed
+GROUP BY decile
+"""
+
+
+ORACLE_T20 = ORACLE_T20_TEMPLATE.replace("{t02}", ORACLE_T02)
+
+
 def t03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_counts(_docs(spark, sf_dir))
 
@@ -2121,6 +2183,7 @@ QUERIES = {
     "g01_pagerank": g01_pagerank,
     "g02_degree_histogram": g02_degree_histogram,
     "t19_token_yield": t19_token_yield,
+    "t20_quality_deciles": t20_quality_deciles,
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
@@ -2136,6 +2199,7 @@ ORACLES = {
     "g01_pagerank": ORACLE_G01,
     "g02_degree_histogram": ORACLE_G02,
     "t19_token_yield": ORACLE_T19,
+    "t20_quality_deciles": ORACLE_T20,
     "d07_dedup_apply": ORACLE_D07,
     "s01_knn_bruteforce": ORACLE_S01,
     "t01_langid": ORACLE_T01,

@@ -78,6 +78,7 @@ _ALLOWED_HINTS = {
     "g01_pagerank": 4,  # pair generation is the d02 plan
     "g02_degree_histogram": 4, "t19_token_yield": 4,  # same
     "e18_bot_users": 1,  # 1-row mean+3sigma scalar
+    "t20_quality_deciles": 1,  # 9-value cut-point array scalar
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
     "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
     "s11_rerank_ann": 1,  # caller-bounded query set
