@@ -1,0 +1,260 @@
+"""SQL-surface completion, batch 5: RIGHT OUTER JOIN, QUALIFY-shape
+window filtering, VALUES inline tables, date interval arithmetic,
+multi-aggregate PIVOT, and bounded ROWS window frames.
+
+Reference grounding: llamadb's lexer reserves RIGHT
+(`/root/reference/src/sqlsyntax/lexer.rs:95`) but its join grammar
+(`src/sqlsyntax/ast.rs:95-106`) implements Inner and Left only, and
+VALUES (`lexer.rs:99`) is consumed solely by INSERT
+(`ast.rs:120-131`) — never as a queryable inline table. These keys
+complete that reserved-but-unimplemented surface the same way the
+dialect completed UPDATE/DELETE/INDEX/constraints.
+
+Scale rules: dimensions broadcast, facts pre-projected before the
+shuffle, every expression stays in whole-stage codegen (built-in
+functions only), and all top-1/ordering tie-breaks are total so
+distributed retries can't flip rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 195: RIGHT OUTER JOIN — the reserved-but-unparsed join direction
+# (lexer.rs:95 `"right" => Right`; ast.rs never constructs it).
+# Orders RIGHT JOIN customer keeps every customer, null-extending
+# order columns for customers who never ordered — the mirror of q05.
+#
+# Scale: identical physical plan to the equivalent LEFT join with
+# sides swapped (Spark canonicalizes BuildSide via AQE); the fact
+# side is projected to 3 columns before the shuffle.
+# ---------------------------------------------------------------------------
+def q55_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "right"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+ORACLE_Q55 = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 196: QUALIFY-shape window filter — the latest-row-per-key dedup
+# every CDC/event consumer writes. Spark has no QUALIFY keyword, so
+# the idiomatic form is window row_number -> filter; DuckDB spells
+# the identical plan with QUALIFY. Tie-break on o_orderkey makes the
+# "latest" row total-ordered (same-day orders can't flip on retry).
+#
+# Scale: one shuffle on the partition key; row_number needs no
+# global sort (per-partition sort within the window exchange). This
+# is also the MERGE-free "upsert view" pattern over an append log.
+# ---------------------------------------------------------------------------
+def q56_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        col("o_orderdate").desc(), col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rk", F.row_number().over(w))
+        .filter(col("_rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+ORACLE_Q56 = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 197: VALUES inline table as a FROM source — the reference lexer
+# reserves VALUES (lexer.rs:99) but only INSERT consumes it; here an
+# inline priority->tier mapping table drives a join, the way lookup
+# enums are folded into queries without a round-trip to storage.
+# Identical SQL text runs on both engines (like q54's LATERAL).
+#
+# Scale: a 5-row inline relation — Catalyst materializes it as a
+# LocalRelation and broadcasts it; the only shuffle is the final
+# 2-group aggregation.
+# ---------------------------------------------------------------------------
+_Q57_SQL = """
+SELECT t.tier, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN (VALUES ('1-URGENT', 'expedited'),
+             ('2-HIGH', 'expedited'),
+             ('3-MEDIUM', 'standard'),
+             ('4-NOT SPECIFIED', 'standard'),
+             ('5-LOW', 'standard')) AS t(prio, tier)
+  ON o.o_orderpriority = t.prio
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
+
+def q57_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q57_SQL)
+
+
+ORACLE_Q57 = _Q57_SQL
+
+
+# ---------------------------------------------------------------------------
+# 198: date INTERVAL arithmetic — add/subtract intervals, day
+# differences, month deltas. Both engines bucket orders into 30-day
+# windows from a fixed epoch and report the window's date span plus
+# a ship-deadline sample (o_orderdate + 30 days).
+#
+# Scale: pure scan -> project -> single agg on the bucket key; the
+# date math is codegen'd integer arithmetic on the DATE's day count.
+# ---------------------------------------------------------------------------
+def q58_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(
+        F.datediff(col("o_orderdate"), F.to_date(lit("1994-01-01"))) / 30
+    ).cast("bigint")
+    return (
+        orders.withColumn("bucket_30d", bucket)
+        .groupBy("bucket_30d")
+        .agg(
+            F.count(lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_day"),
+            F.max(col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias(
+                "last_deadline"
+            ),
+        )
+    )
+
+
+ORACLE_Q58 = """
+SELECT CAST(floor(datediff('day', DATE '1994-01-01', o_orderdate) / 30.0)
+            AS BIGINT) AS bucket_30d,
+       count(*) AS n_orders,
+       min(o_orderdate) AS first_day,
+       max(o_orderdate + INTERVAL 30 DAY) AS last_deadline
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 199: PIVOT with multiple aggregates per pivot value — q20 pivots
+# one measure; real OLAP pivots carry (count, sum) pairs per cell.
+# Spark's relational pivot computes every aggregate in ONE pass over
+# the fact (a single Expand + hash agg — not one scan per measure);
+# the oracle spells the same cells as conditional aggregation.
+#
+# Scale: explicit pivot values keep the schema static (no discovery
+# scan); one shuffle on the group key.
+# ---------------------------------------------------------------------------
+def q59_multi_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    year = F.year(col("o_orderdate")).alias("order_year")
+    pivoted = (
+        orders.groupBy(year)
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "order_year",
+        col("O_n").alias("open_n"),
+        col("O_rev").alias("open_rev"),
+        col("F_n").alias("filled_n"),
+        col("F_rev").alias("filled_rev"),
+        col("P_n").alias("partial_n"),
+        col("P_rev").alias("partial_rev"),
+    )
+
+
+ORACLE_Q59 = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       count(*) FILTER (o_orderstatus = 'O') AS open_n,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS open_rev,
+       count(*) FILTER (o_orderstatus = 'F') AS filled_n,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 4) AS filled_rev,
+       count(*) FILTER (o_orderstatus = 'P') AS partial_n,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 4) AS partial_rev
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 200: bounded ROWS window frame — 7-point trailing moving average
+# of daily revenue (q38 covers RANGE INTERVAL frames; this is the
+# row-count-bounded sibling, the two frame families SQL defines).
+#
+# Scale: daily pre-aggregation first (shuffle on ~2.4k distinct
+# days), THEN the window over the tiny daily series — never a
+# window over the raw fact. The frame is O(1) memory per row.
+# ---------------------------------------------------------------------------
+def q60_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum("o_totalprice").alias("day_rev")
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(-6, 0)
+    return daily.select(
+        "o_orderdate",
+        F.round("day_rev", 4).alias("day_rev"),
+        F.round(F.avg("day_rev").over(w), 4).alias("ma7"),
+        F.count(lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+ORACLE_Q60 = """
+WITH daily AS (
+  SELECT o_orderdate, sum(o_totalprice) AS day_rev
+  FROM orders GROUP BY 1
+)
+SELECT o_orderdate, round(day_rev, 4) AS day_rev,
+       round(avg(day_rev) OVER w, 4) AS ma7,
+       count(*) OVER w AS n_in_frame
+FROM daily
+WINDOW w AS (ORDER BY o_orderdate ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "q55_right_join": q55_right_join,
+    "q56_qualify_latest": q56_qualify_latest,
+    "q57_values_inline": q57_values_inline,
+    "q58_date_arith": q58_date_arith,
+    "q59_multi_pivot": q59_multi_pivot,
+    "q60_rows_frame": q60_rows_frame,
+}
+
+ORACLES = {
+    "q55_right_join": ORACLE_Q55,
+    "q56_qualify_latest": ORACLE_Q56,
+    "q57_values_inline": ORACLE_Q57,
+    "q58_date_arith": ORACLE_Q58,
+    "q59_multi_pivot": ORACLE_Q59,
+    "q60_rows_frame": ORACLE_Q60,
+}
