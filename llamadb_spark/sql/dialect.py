@@ -293,6 +293,114 @@ def _requote_idents(sql: str) -> str:
     return "".join(out)
 
 
+def _count_placeholders(sql: str) -> int:
+    """Count top-level ``?`` parameter markers — outside string
+    literals and quoted identifiers, mirroring how the reference
+    lexer only emits PreparedStatementPlaceholder from unquoted
+    context (sqlsyntax/lexer.rs:67)."""
+    n, i, ln, quote = 0, 0, len(sql), None
+    while i < ln:
+        ch = sql[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < ln and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _render_literal(value) -> str:
+    """Render a Python value as a llamadb/Spark SQL literal for
+    placeholder substitution in write statements. Strings escape
+    embedded quotes by doubling; bytes become hex X'…' literals
+    (the byte[N] type's literal form)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        # llamadb has no BOOLEAN (docs/Column Types.md) — store 0/1
+        return "1" if value else "0"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return repr(value)
+    if isinstance(value, (bytes, bytearray)):
+        return "X'" + bytes(value).hex() + "'"
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    raise LlamaError(f"cannot bind parameter of type {type(value).__name__}")
+
+
+def _bind_placeholders(sql: str, params: tuple) -> str:
+    """Substitute top-level ``?`` markers with rendered literals,
+    left to right, quote-aware (a ``?`` inside a string literal is
+    data, not a marker)."""
+    out: list[str] = []
+    it = iter(params)
+    i, ln, quote = 0, len(sql), None
+    while i < ln:
+        ch = sql[i]
+        if quote is not None:
+            out.append(ch)
+            if ch == quote:
+                if quote == "'" and i + 1 < ln and sql[i + 1] == "'":
+                    out.append(sql[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+        elif ch == "?":
+            out.append(_render_literal(next(it)))
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class PreparedStatement:
+    """A statement with ``?`` positional parameters, llamadb's
+    reserved-but-unimplemented prepared-statement surface: the
+    reference lexer emits PreparedStatementPlaceholder for ``?``
+    (sqlsyntax/lexer.rs:67) but no parser rule ever consumes it.
+
+    SELECTs bind through Spark's native parameterized-SQL API
+    (``spark.sql(query, args=[...])`` — the markers never become
+    string literals, so binding is injection-safe and plan-cached
+    by parameter shape). Write statements (INSERT/UPDATE/DELETE) go
+    through the dialect's regex front end, so parameters are
+    rendered as SQL literals quote-aware before parsing.
+    """
+
+    def __init__(self, session: "LlamaSession", sql: str):
+        self._session = session
+        sql = _strip_comments(sql)
+        self._sql = sql.strip().rstrip(";").strip()
+        self._head = self._sql.split(None, 1)[0].upper() if self._sql else ""
+        if self._head not in ("SELECT", "INSERT", "UPDATE", "DELETE"):
+            raise LlamaError(
+                f"cannot prepare statement: {self._head or '<empty>'}"
+            )
+        self.n_params = _count_placeholders(self._sql)
+
+    def execute(self, *params) -> DataFrame | None:
+        if len(params) != self.n_params:
+            raise LlamaError(
+                f"expected {self.n_params} parameters, got {len(params)}"
+            )
+        if self._head == "SELECT":
+            return self._session.spark.sql(
+                _requote_idents(self._sql), args=list(params)
+            )
+        return self._session.execute(_bind_placeholders(self._sql, params))
+
+
 class LlamaSession:
     """Execute llamadb-dialect SQL on a SparkSession.
 
@@ -341,6 +449,12 @@ class LlamaSession:
                 self.execute(stmt)
                 count += 1
         return count
+
+    def prepare(self, sql: str) -> PreparedStatement:
+        """Prepare a statement with ``?`` positional parameters —
+        the surface the reference lexer reserves at
+        sqlsyntax/lexer.rs:67 and never implements."""
+        return PreparedStatement(self, sql)
 
     def explain(self, sql: str) -> str:
         """Lisp-style plan for an (EXPLAIN) SELECT / UPDATE / DELETE,

@@ -458,3 +458,54 @@ def test_foreign_key_reference(db):
     # unknown reference target rejected at CREATE time
     with pytest.raises(LlamaError, match="no such table"):
         db.execute("CREATE TABLE bad (x U32 REFERENCES missing (y))")
+
+
+# -- prepared statements (lexer.rs:67 reserves `?`, parser never
+# -- consumes it — same roadmap-parity class as UPDATE/DELETE/INDEX)
+
+
+def test_prepare_select_positional_binding(db):
+    db.execute("CREATE TABLE song (sid U32, title STRING, plays U32)")
+    db.execute(
+        "INSERT INTO song VALUES (1, 'alpha', 10), (2, 'beta', 99), (3, 'gamma', 5)"
+    )
+    db.table("song").createOrReplaceTempView("song")
+    stmt = db.prepare("SELECT title FROM song WHERE plays > ? AND sid <> ?")
+    assert stmt.n_params == 2
+    assert {r.title for r in stmt.execute(7, 1).collect()} == {"beta"}
+    # the same prepared object re-executes with new parameters
+    assert {r.title for r in stmt.execute(0, 2).collect()} == {"alpha", "gamma"}
+
+
+def test_prepare_insert_update_delete(db):
+    db.execute("CREATE TABLE kv (k STRING, v U32 NULL)")
+    ins = db.prepare("INSERT INTO kv VALUES (?, ?)")
+    ins.execute("a", 1)
+    ins.execute("it''s", None)  # embedded quote + NULL bind
+    assert db.table("kv").count() == 2
+    db.prepare("UPDATE kv SET v = ? WHERE k = ?").execute(42, "a")
+    rows = {r.k: r.v for r in db.table("kv").collect()}
+    assert rows["a"] == 42 and rows["it''s"] is None
+    db.prepare("DELETE FROM kv WHERE k = ?").execute("a")
+    assert db.table("kv").count() == 1
+
+
+def test_prepare_param_count_and_quoted_question_mark(db):
+    db.execute("CREATE TABLE q (s STRING)")
+    db.execute("INSERT INTO q VALUES ('why?'), ('because')")
+    db.table("q").createOrReplaceTempView("q")
+    # '?' inside a string literal is data, not a marker
+    stmt = db.prepare("SELECT s FROM q WHERE s = 'why?'")
+    assert stmt.n_params == 0
+    assert stmt.execute().count() == 1
+    with pytest.raises(LlamaError, match="expected 1 parameters, got 2"):
+        db.prepare("SELECT s FROM q WHERE s = ?").execute("a", "b")
+    with pytest.raises(LlamaError, match="cannot prepare"):
+        db.prepare("CREATE TABLE nope (x U8)")
+
+
+def test_prepare_binds_bytes_as_hex_literal(db):
+    db.execute("CREATE TABLE blob (tag STRING, payload byte[4])")
+    db.prepare("INSERT INTO blob VALUES (?, ?)").execute("t1", b"\x01\x02\x03\x04")
+    row = db.table("blob").collect()[0]
+    assert bytes(row.payload) == b"\x01\x02\x03\x04"
