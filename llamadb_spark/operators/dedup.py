@@ -542,12 +542,16 @@ def _star_rounds(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least(col("u"), col("mv")).alias("m"))
         )
+        # No distinct and no checkpoint here: duplicate (u,v) rows are
+        # harmless through the min-aggregates below and small-star's
+        # single distinct dedupes the round's output — one shuffle per
+        # round instead of two, and one materialization job instead of
+        # two. The round's lineage stays 2 joins deep, truncated by
+        # the checkpoint on `small`.
         large = (
             sym.join(lmins, "u")
             .filter(col("v") > col("u"))
             .select(col("v").alias("u"), col("m").alias("v"))
-            .distinct()
-            .localCheckpoint()
         )
         # Small-star: on the u>v directed edges, every node u links
         # its smaller neighbors (and itself) to their collective min.
