@@ -31,6 +31,7 @@ _LATE_ADDITIONS = frozenset(
     {
         "q55_right_join", "q56_qualify_latest", "q57_values_inline",
         "q58_date_arith", "q59_multi_pivot", "q60_rows_frame",
+        "m06_media_filter", "p12_dup_weights",
     }
 )
 

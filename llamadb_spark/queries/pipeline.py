@@ -2124,6 +2124,108 @@ WHERE t IS NULL OR ((doc_id % 100003) * 2654435761) % 1000 < t
 """
 
 
+def m06_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-gated media curation: decode (Arrow stub, dims
+    sha-derived so DuckDB replicates them — the m02 oracle trick) →
+    keep payloads with aspect ratio in [0.5, 2.0] and short side
+    ≥ 256 px (the standard vision-pretraining gate) → bucket the
+    survivors by megapixels and report counts + mean aspect.
+
+    Scale: the filter runs on decoded METADATA only (12 bytes/row
+    through the shuffle, payloads never leave the scan), and the
+    aggregation is a 3-group map-side-combined rollup — the shape of
+    a real corpus-curation pass over billions of images.
+    """
+    env = multimodal.attach_payload(_docs(spark, sf_dir))
+    decoded = multimodal.decode_media(env)
+    aspect = F.col("width") / F.col("height")
+    mp = F.col("width") * F.col("height") / F.lit(1_000_000.0)
+    kept = decoded.filter(
+        (aspect >= 0.5)
+        & (aspect <= 2.0)
+        & (F.least("width", "height") >= 256)
+    )
+    bucket = (
+        F.when(mp < 0.3, "small")
+        .when(mp < 1.0, "medium")
+        .otherwise("large")
+    )
+    return kept.groupBy(bucket.alias("mp_bucket")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg(aspect), 6).alias("avg_aspect"),
+        F.round(F.sum(mp), 4).alias("total_mp"),
+    )
+
+
+ORACLE_M06 = """
+WITH d AS (
+  SELECT CAST(CAST(concat('0x', substr(sha256(text), 1, 4)) AS INT)
+              % 1920 + 1 AS INT) AS width,
+         CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS INT)
+              % 1080 + 1 AS INT) AS height
+  FROM documents
+),
+kept AS (
+  SELECT width, height,
+         CAST(width AS DOUBLE) / height AS aspect,
+         width * height / 1000000.0 AS mp
+  FROM d
+  WHERE CAST(width AS DOUBLE) / height BETWEEN 0.5 AND 2.0
+    AND least(width, height) >= 256
+)
+SELECT CASE WHEN mp < 0.3 THEN 'small'
+            WHEN mp < 1.0 THEN 'medium'
+            ELSE 'large' END AS mp_bucket,
+       count(*) AS n_items,
+       round(avg(aspect), 6) AS avg_aspect,
+       round(sum(mp), 4) AS total_mp
+FROM kept
+GROUP BY 1
+"""
+
+
+def p12_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: every exact-duplicate copy
+    of a document gets weight 1/cluster_size, so each distinct text
+    contributes exactly once to the training objective no matter how
+    many times the crawl saw it ("count once" weighting — the soft
+    alternative to dropping copies, and the form loss-reweighting
+    pipelines actually consume). Per source: raw doc count vs the
+    effective (deduplicated) document mass, and the dup tax.
+
+    Scale: sha2 groupBy (the d01 shuffle, digest+count only), then
+    the per-doc weight rides a sha-keyed join back onto (doc_id,
+    source, sha) — both sides pre-projected; one final 5-group agg.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.sha2("text", 256).alias("sha")
+    )
+    sizes = docs.groupBy("sha").agg(F.count(F.lit(1)).alias("n_copies"))
+    weighted = docs.join(sizes, "sha").select(
+        "source", (F.lit(1.0) / F.col("n_copies")).alias("w")
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("w"), 6).alias("effective_docs"),
+        F.round(F.lit(1.0) - F.sum("w") / F.count(F.lit(1)), 6).alias(
+            "dup_tax"
+        ),
+    )
+
+
+ORACLE_P12 = """
+WITH sized AS (
+  SELECT source, 1.0 / count(*) OVER (PARTITION BY sha256(text)) AS w
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(sum(w), 6) AS effective_docs,
+       round(1.0 - sum(w) / count(*), 6) AS dup_tax
+FROM sized
+GROUP BY source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -2187,6 +2289,8 @@ QUERIES = {
     "d09_shared_longrun": d09_shared_longrun,
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
+    "m06_media_filter": m06_media_filter,
+    "p12_dup_weights": p12_dup_weights,
 }
 
 ORACLES = {
@@ -2236,6 +2340,8 @@ ORACLES = {
     "p09_exact_k_sample": ORACLE_P09,
     "p11_weighted_sample": ORACLE_P11,
     "p10_leakproof_split": ORACLE_P10,
+    "m06_media_filter": ORACLE_M06,
+    "p12_dup_weights": ORACLE_P12,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

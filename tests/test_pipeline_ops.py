@@ -216,3 +216,45 @@ def test_leakproof_split_no_cluster_straddles(spark, sf_dir):
         .filter(col("n_splits") > 1)
     )
     assert straddlers.count() == 0
+
+
+def test_m06_media_filter_gates_and_buckets(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import multimodal
+    from llamadb_spark.queries.pipeline import m06_media_filter, _docs
+
+    out = {r.mp_bucket: r for r in m06_media_filter(spark, sf_dir).collect()}
+    assert out and set(out) <= {"small", "medium", "large"}
+    # survivors equal a direct recount under the same gates on the
+    # decoded dims (the filter ran on metadata, not payloads)
+    env = multimodal.attach_payload(_docs(spark, sf_dir))
+    decoded = multimodal.decode_media(env)
+    aspect = col("width") / col("height")
+    n_kept = decoded.filter(
+        (aspect >= 0.5) & (aspect <= 2.0) & (F.least("width", "height") >= 256)
+    ).count()
+    assert sum(r.n_items for r in out.values()) == n_kept
+    # every reported mean aspect respects the gate
+    assert all(0.5 <= r.avg_aspect <= 2.0 for r in out.values())
+
+
+def test_p12_dup_weights_mass_conservation(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.queries.pipeline import p12_dup_weights, _docs
+
+    df = p12_dup_weights(spark, sf_dir)
+    rows = df.collect()
+    docs = _docs(spark, sf_dir)
+    # per-source raw counts match; effective mass never exceeds raw
+    raw = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in rows:
+        assert r.n_docs == raw[r.source]
+        assert r.effective_docs <= r.n_docs + 1e-6
+        assert 0.0 <= r.dup_tax < 1.0
+    # total effective mass == number of DISTINCT texts (each text
+    # contributes exactly weight 1 across all its copies)
+    n_distinct = docs.select("text").distinct().count()
+    assert abs(sum(r.effective_docs for r in rows) - n_distinct) < 1e-3
