@@ -8,6 +8,7 @@ from llamadb_spark.streaming.streams import (
     purchases_without_recent_views_stream,
     read_events_stream,
     run_to_memory,
+    run_with_progress,
     windowed_counts_stream,
 )
 
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "windowed_counts_stream",
     "run_to_memory",
+    "run_with_progress",
     "dedup_stream",
     "enriched_counts_stream",
     "purchases_with_recent_views_stream",

@@ -268,6 +268,60 @@ def run_to_memory(
             q.stop()
     return stream_df.sparkSession.table(name)
 
+def run_with_progress(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> tuple[DataFrame, dict]:
+    """Drain a finite stream like run_to_memory, but also aggregate
+    the per-micro-batch StreamingQueryProgress into an operability
+    summary — the numbers a production stream is monitored by:
+
+    - input_rows: total rows ingested across micro-batches
+    - rows_dropped_late: state-operator rows dropped because they
+      arrived behind the watermark (THE late-data accounting metric;
+      silently-dropped data is the classic streaming correctness
+      trap, surfaced here per batch)
+    - state_rows: final state-store row count
+    - n_batches: micro-batches executed
+    - state_store_metric_keys: custom state-store metric names (how
+      you confirm which provider — HDFS-backed vs RocksDB — actually
+      served the query)
+
+    Returns (result DataFrame, metrics dict).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    progresses = [p for p in q.recentProgress if p is not None]
+    dropped = 0
+    state_rows = 0
+    metric_keys: set[str] = set()
+    for p in progresses:
+        for op in p.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+            state_rows = max(state_rows, op.get("numRowsTotal", 0))
+            metric_keys |= set(op.get("customMetrics", {}).keys())
+    metrics = {
+        "input_rows": sum(p.get("numInputRows", 0) for p in progresses),
+        "rows_dropped_late": dropped,
+        "state_rows": state_rows,
+        "n_batches": len(progresses),
+        "state_store_metric_keys": sorted(metric_keys),
+    }
+    return stream_df.sparkSession.table(name), metrics
+
+
 def enriched_counts_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join + rollup: the streaming twin of
     operators/events.enrich_events. The static side is planned as a

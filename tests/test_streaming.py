@@ -417,3 +417,93 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     n_in = ev.count()
     assert got.count() == n_in  # no loss, no duplicates
     assert got.select("event_id").distinct().count() == n_in
+
+
+def test_late_rows_accounted_by_watermark(spark, tmp_path):
+    """Operability: rows arriving behind the watermark are DROPPED by
+    the stateful dedup operator — run_with_progress must surface the
+    drop count (the silent-data-loss trap made visible).
+
+    Empirically verified Spark semantics this test encodes: the
+    watermark a micro-batch FILTERS with lags its progress-reported
+    value by one batch (batch N filters with the watermark committed
+    after batch N-1's planning), so the first stale file right after
+    the fresh one still slips through; the SECOND stale file is
+    dropped and counted. Windowed aggregations also never count
+    late rows in numRowsDroppedByWatermark (they enter state and are
+    immediately evicted) — only dedup / session-window / join
+    operators account them, which is why this test uses the
+    dropDuplicatesWithinWatermark path."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import Row
+
+    from llamadb_spark.streaming.streams import run_with_progress
+
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [Row(event_id=i, ts=t, user_id=1, event_type="view", value=1.0)
+             for i, t in enumerate(rows)]
+        ).coalesce(1).write.mode("overwrite").parquet(str(drop_dir / name))
+
+    # batch 1: fresh events -> watermark advances to max(ts) - 2h
+    write_file("f1", [base + dt.timedelta(minutes=m) for m in range(0, 180, 30)])
+    time.sleep(1.2)  # file-source batches follow modification order
+    # batch 2: stale, but filtered with the pre-advance watermark
+    write_file("f2", [base - dt.timedelta(hours=10)])
+    time.sleep(1.2)
+    # batch 3: stale AND behind the now-applied watermark -> dropped
+    write_file("f3", [base - dt.timedelta(hours=11),
+                      base - dt.timedelta(hours=12)])
+
+    schema = spark.read.parquet(str(drop_dir / "f1")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop_dir) + "/*")
+    )
+    dedup = raw.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    result, metrics = run_with_progress(dedup, "late_acct_test")
+
+    assert metrics["input_rows"] == 9
+    assert metrics["n_batches"] >= 3
+    assert metrics["rows_dropped_late"] == 2
+    # exactly the two batch-3 rows are missing from the sink
+    assert result.count() == 7
+
+
+def test_rocksdb_state_store_matches_batch(spark, sf_dir):
+    """The RocksDB state-store provider (disk-backed, bounded memory
+    — the 100 TB-state configuration) must produce the identical
+    windowed aggregate, and the progress metrics must prove RocksDB
+    actually served the query."""
+    from llamadb_spark.operators.events import windowed_counts
+    from llamadb_spark.queries.events import _events
+    from llamadb_spark.streaming.streams import run_with_progress
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = windowed_counts_stream(read_events_stream(spark, sf_dir))
+        got, metrics = run_with_progress(
+            stream, "rocksdb_test", output_mode="complete"
+        )
+        batch = windowed_counts(_events(spark, sf_dir))
+        key_fn = lambda r: (r.window_start, r.event_type)  # noqa: E731
+        got_rows = {key_fn(r): (r.n_events, r.total_value) for r in got.collect()}
+        batch_rows = {key_fn(r): (r.n_events, r.total_value) for r in batch.collect()}
+        assert got_rows == batch_rows
+        assert any("rocksdb" in k.lower() for k in metrics["state_store_metric_keys"])
+    finally:
+        spark.conf.set(key, saved)
