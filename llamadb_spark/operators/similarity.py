@@ -249,6 +249,57 @@ def ivf_train_centroids(
     return cents
 
 
+def ivf_cluster_sizes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Cluster-balance diagnostic over the trained IVF partition:
+    assign every vector to its nearest centroid (one Arrow-batched
+    matmul pass against the broadcast K×d matrix) and report per-cell
+    occupancy — the signal for topic imbalance in a corpus (one cell
+    holding 60% of the data means both a skewed IVF probe profile and
+    an over-represented content cluster worth downsampling).
+
+    Scale: training collects K·d floats only (ivf_train_centroids);
+    assignment emits one int per vector; the groupBy shuffles ≤K
+    partial rows per task. Output: (cell, n_vecs, share) — rows-only
+    (k-means has no DuckDB twin; mass/range invariants in tests).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cents = ivf_train_centroids(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    )
+    bc = spark.sparkContext.broadcast(cents)
+    v = emb.select(as_double(col(vec_col)).alias("_v"))
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for batch in batches:
+            m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({"cell": np.argmax(m_n @ c.T, axis=1)})
+
+    assigned = v.mapInPandas(_assign, "cell int")
+    sizes = assigned.groupBy("cell").agg(F.count(lit(1)).alias("n_vecs"))
+    total = sizes.agg(F.sum("n_vecs").alias("_total"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(col("n_vecs") / col("_total"), 6).alias("share"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

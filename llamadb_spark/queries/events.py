@@ -629,6 +629,35 @@ FROM rates, thr WHERE r > t
 """
 
 
+def e19_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: events and mean value per
+    (ISO weekday × hour-of-day) cell — the capacity-planning /
+    anomaly-baseline matrix (e08's z-scores standardize against
+    per-type history; this is the calendar-shaped complement).
+
+    Scale: one scan, one 168-group map-side-combined aggregation.
+    Spark's weekday() is 0=Monday; +1 aligns it with DuckDB isodow.
+    """
+    from pyspark.sql import functions as F
+
+    evd = _events(spark, sf_dir)
+    return evd.groupBy(
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+ORACLE_E19 = """
+SELECT isodow(ts) AS iso_dow, EXTRACT(hour FROM ts) AS hour,
+       count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -648,6 +677,7 @@ QUERIES = {
     "e16_interarrival_stats": e16_interarrival_stats,
     "e17_cep_match": e17_cep_match,
     "e18_bot_users": e18_bot_users,
+    "e19_seasonality": e19_seasonality,
 }
 
 ORACLES = {
@@ -669,4 +699,5 @@ ORACLES = {
     "e16_interarrival_stats": ORACLE_E16,
     "e17_cep_match": ORACLE_E17,
     "e18_bot_users": ORACLE_E18,
+    "e19_seasonality": ORACLE_E19,
 }

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from llamadb_spark.operators import dedup, multimodal, similarity, textops
+from llamadb_spark.functions import text as text_fns
 from llamadb_spark.functions.text import STOPWORDS
 
 
@@ -2226,6 +2227,92 @@ GROUP BY source
 """
 
 
+def t21_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: Jaccard similarity of the
+    DISTINCT token sets of every source pair — the redundancy
+    diagnostic a corpus-mixing plan starts from (two crawls with 0.9
+    vocabulary Jaccard contribute far less than their size suggests).
+
+    Scale: one distinct over (source, token) — the only corpus-sized
+    shuffle; the intersection self-join fans out per token only to
+    the sources containing it (≤ n_sources rows a side), so pair
+    volume is bounded by n_sources² per token, never doc-count². Per
+    -source set sizes ride a broadcast join onto the ≤ n_sources²
+    pair rows. Top-10 most-overlapping pairs, deterministic order.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(text_fns.tokens(col("text"))).alias("token"),
+        )
+        .filter(col("token") != "")
+        .distinct()
+    )
+    tok = tok.localCheckpoint()  # two consumers: sizes + the self-join
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(col("source").alias("src_a"), "token")
+    b = tok.select(col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            broadcast(sizes.select(col("source").alias("src_a"), col("n_tok").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            broadcast(sizes.select(col("source").alias("src_b"), col("n_tok").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(col("jaccard").desc(), "src_a", "src_b")
+        .limit(10)
+    )
+
+
+ORACLE_T21 = r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+clean AS (SELECT source, token FROM tok WHERE token <> ''),
+sizes AS (SELECT source, count(*) AS n_tok FROM clean GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM clean a JOIN clean b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(CAST(n_common AS DOUBLE)
+             / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY jaccard DESC, src_a, src_b
+LIMIT 10
+"""
+
+
+def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: k-means assignment has no DuckDB twin; occupancy
+    # mass/range invariants are asserted in tests/test_similarity.py.
+    return similarity.ivf_cluster_sizes(_emb(spark, sf_dir), n_cells=16)
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -2291,6 +2378,8 @@ QUERIES = {
     "d11_editdist_pairs": d11_editdist_pairs,
     "m06_media_filter": m06_media_filter,
     "p12_dup_weights": p12_dup_weights,
+    "t21_source_overlap": t21_source_overlap,
+    "s12_cluster_balance": s12_cluster_balance,
 }
 
 ORACLES = {
@@ -2342,6 +2431,7 @@ ORACLES = {
     "p10_leakproof_split": ORACLE_P10,
     "m06_media_filter": ORACLE_M06,
     "p12_dup_weights": ORACLE_P12,
+    "t21_source_overlap": ORACLE_T21,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

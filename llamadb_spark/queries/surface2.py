@@ -241,6 +241,39 @@ WINDOW w AS (ORDER BY o_orderdate ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+# ---------------------------------------------------------------------------
+# 211: recursive CTE — the one SQL construct Spark's parser refuses,
+# executed by the dialect's iterative-fixpoint engine
+# (sql/dialect.py recursive_sql: frontier materialization per round,
+# the connected-components loop discipline applied to SQL text).
+# A calendar spine is generated by recursion, then LEFT-joined to
+# orders so empty months survive with a zero — the "no silent gaps
+# in a time series" report. DuckDB runs the IDENTICAL statement
+# natively, so the recursion gets a full value-hash oracle.
+# ---------------------------------------------------------------------------
+_Q61_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1994-01-01 00:00:00' AS m
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '1995-12-01 00:00:00'
+)
+SELECT m AS month_start, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+"""
+
+
+def q61_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.sql.dialect import recursive_sql
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return recursive_sql(spark, _Q61_SQL)
+
+
+ORACLE_Q61 = _Q61_SQL
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -248,6 +281,7 @@ QUERIES = {
     "q58_date_arith": q58_date_arith,
     "q59_multi_pivot": q59_multi_pivot,
     "q60_rows_frame": q60_rows_frame,
+    "q61_recursive_cte": q61_recursive_cte,
 }
 
 ORACLES = {
@@ -257,4 +291,5 @@ ORACLES = {
     "q58_date_arith": ORACLE_Q58,
     "q59_multi_pivot": ORACLE_Q59,
     "q60_rows_frame": ORACLE_Q60,
+    "q61_recursive_cte": ORACLE_Q61,
 }

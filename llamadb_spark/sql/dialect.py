@@ -293,6 +293,130 @@ def _requote_idents(sql: str) -> str:
     return "".join(out)
 
 
+_RECURSIVE_HEAD_RE = re.compile(
+    r"^\s*WITH\s+RECURSIVE\s+(" + _IDENT + r")\s*(?:\(([^)]*)\))?\s+AS\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level_union(body: str) -> tuple[str, str, bool]:
+    """Split a recursive CTE body into (base, step, is_union_all) at
+    the LAST top-level UNION [ALL] — parens/quotes aware."""
+    i, n, depth, quote = 0, len(body), 0, None
+    upper = body.upper()
+    split_at = None
+    while i < n:
+        ch = body[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith("UNION", i):
+            before_ok = i == 0 or body[i - 1].isspace()
+            after = i + 5
+            if before_ok and (after >= n or body[after].isspace()):
+                split_at = i
+        i += 1
+    if split_at is None:
+        raise LlamaError("recursive CTE body needs UNION or UNION ALL")
+    base = body[:split_at].rstrip()
+    rest = body[split_at + 5:].lstrip()
+    if rest.upper().startswith("ALL") and (
+        len(rest) == 3 or rest[3].isspace()
+    ):
+        return base, rest[3:].lstrip(), True
+    return base, rest, False
+
+
+def recursive_sql(
+    spark: SparkSession, sql: str, max_iter: int = 200
+) -> DataFrame:
+    """Execute a ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL]
+    step) final-select`` statement — the one SQL construct Spark's
+    own parser refuses — via iterative frontier materialization, the
+    same fixpoint loop discipline as the connected-components
+    operators (localCheckpoint per round, driver sees one count per
+    round, O(frontier) state).
+
+    Standard SQL semantics: each iteration the recursive reference
+    sees the rows produced by the PREVIOUS iteration (the working
+    table), not the accumulated result; UNION dedupes new rows
+    against everything already produced (and terminates on an empty
+    deduped frontier), UNION ALL terminates when the step itself
+    yields no rows. DuckDB executes the identical statement natively,
+    so recursive queries get full value-hash oracles.
+
+    Scale: the per-round shuffles are frontier-sized; accumulation is
+    a union of checkpointed blocks (no recomputation); a non-
+    converging recursion stops at ``max_iter`` with an error rather
+    than spinning the cluster.
+    """
+    m = _RECURSIVE_HEAD_RE.match(sql)
+    if not m:
+        raise LlamaError(f"cannot parse WITH RECURSIVE: {sql[:80]!r}")
+    name = _unquote(m.group(1))
+    cols = (
+        [_unquote(c) for c in m.group(2).split(",")] if m.group(2) else None
+    )
+    # find the matching close paren of "AS ("
+    i, depth, quote = m.end(), 1, None
+    n = len(sql)
+    while i < n and depth > 0:
+        ch = sql[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth != 0:
+        raise LlamaError("unbalanced parens in WITH RECURSIVE body")
+    body = sql[m.end(): i - 1]
+    final = sql[i:].strip().rstrip(";")
+    if not final:
+        raise LlamaError("WITH RECURSIVE needs a final SELECT")
+    base_src, step_src, union_all = _split_top_level_union(body)
+
+    base = spark.sql(_requote_idents(base_src))
+    if cols:
+        base = base.toDF(*cols)
+    if not union_all:
+        base = base.distinct()
+    acc = base.localCheckpoint()
+    frontier = acc
+    for _ in range(max_iter):
+        frontier.createOrReplaceTempView(name)
+        step = spark.sql(_requote_idents(step_src))
+        if cols:
+            step = step.toDF(*cols)
+        else:
+            step = step.toDF(*acc.columns)
+        if not union_all:
+            # UNION: only rows never produced before extend the
+            # frontier (subtract = distinct set difference)
+            step = step.distinct().subtract(acc)
+        new = step.localCheckpoint()
+        if new.count() == 0:
+            break
+        acc = acc.unionAll(new).localCheckpoint()
+        frontier = new
+    else:
+        raise LlamaError(
+            f"recursive CTE {name!r} did not converge in {max_iter} rounds"
+        )
+    acc.createOrReplaceTempView(name)
+    return spark.sql(_requote_idents(final))
+
+
 def _count_placeholders(sql: str) -> int:
     """Count top-level ``?`` parameter markers — outside string
     literals and quoted identifiers, mirroring how the reference
@@ -436,6 +560,21 @@ class LlamaSession:
         if head == "EXPLAIN":
             raise LlamaError("use explain() for EXPLAIN output")
         if head == "SELECT":
+            return self.spark.sql(_requote_idents(stripped))
+        if head == "WITH":
+            second = (
+                stripped.split(None, 2)[1].upper()
+                if len(stripped.split(None, 2)) > 1
+                else ""
+            )
+            if second == "RECURSIVE":
+                out = recursive_sql(self.spark, stripped)
+                # the CTE registered a temp view under its own name;
+                # restore any session table it shadowed (the result
+                # plan is already resolved, so this can't affect it)
+                for t, df in self._data.items():
+                    df.createOrReplaceTempView(t)
+                return out
             return self.spark.sql(_requote_idents(stripped))
         raise LlamaError(f"unsupported statement: {head or '<empty>'}")
 

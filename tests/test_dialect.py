@@ -509,3 +509,88 @@ def test_prepare_binds_bytes_as_hex_literal(db):
     db.prepare("INSERT INTO blob VALUES (?, ?)").execute("t1", b"\x01\x02\x03\x04")
     row = db.table("blob").collect()[0]
     assert bytes(row.payload) == b"\x01\x02\x03\x04"
+
+
+def test_update_delete_between_in_isnull_predicates(db):
+    """The remaining reserved predicate keywords (lexer.rs:112-116:
+    BETWEEN / IN / IS / NOT / NULL) work inside write-statement WHERE
+    clauses — F.expr hands them to Spark's full expression parser."""
+    db.execute("CREATE TABLE score (sid U32, pts U32 NULL, tag STRING)")
+    db.execute(
+        "INSERT INTO score VALUES (1, 5, 'a'), (2, 15, 'b'), "
+        "(3, 25, 'c'), (4, NULL, 'd')"
+    )
+    db.execute("UPDATE score SET tag = 'mid' WHERE pts BETWEEN 10 AND 20")
+    rows = {r.sid: r.tag for r in db.table("score").collect()}
+    assert rows == {1: "a", 2: "mid", 3: "c", 4: "d"}
+    db.execute("UPDATE score SET pts = 0 WHERE pts IS NULL")
+    assert {r.sid: r.pts for r in db.table("score").collect()}[4] == 0
+    db.execute("DELETE FROM score WHERE sid IN (1, 3)")
+    assert sorted(r.sid for r in db.table("score").collect()) == [2, 4]
+    db.execute("DELETE FROM score WHERE tag IS NOT NULL")
+    assert db.table("score").count() == 0
+
+
+# -- recursive CTEs (Spark's parser refuses WITH RECURSIVE; the
+# -- dialect executes it via iterative frontier materialization)
+
+
+def test_recursive_cte_series(db):
+    rows = db.execute(
+        "WITH RECURSIVE t(n) AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 10) "
+        "SELECT count(*) AS c, sum(n) AS s FROM t"
+    ).collect()
+    assert rows[0].c == 10 and rows[0].s == 55
+
+
+def test_recursive_cte_union_terminates_on_cycle(db):
+    db.execute("CREATE TABLE edge (src U32, dst U32)")
+    # a 3-cycle plus a tail: 1->2->3->1, 3->4
+    db.execute("INSERT INTO edge VALUES (1,2),(2,3),(3,1),(3,4)")
+    rows = db.execute(
+        "WITH RECURSIVE reach(node) AS ("
+        "  SELECT 1 AS node"
+        "  UNION"
+        "  SELECT e.dst FROM reach r, edge e WHERE e.src = r.node"
+        ") SELECT node FROM reach"
+    ).collect()
+    # UNION dedup makes the cycle converge; all 4 nodes reachable
+    assert sorted(r.node for r in rows) == [1, 2, 3, 4]
+
+
+def test_recursive_cte_nonconvergence_guarded(db):
+    import pytest
+
+    from llamadb_spark.sql.dialect import LlamaError, recursive_sql
+
+    with pytest.raises(LlamaError, match="did not converge"):
+        recursive_sql(
+            db.spark,
+            "WITH RECURSIVE t(n) AS (SELECT 1 AS n UNION ALL "
+            "SELECT n FROM t) SELECT * FROM t",
+            max_iter=5,
+        )
+
+
+def test_recursive_cte_restores_shadowed_table(db):
+    db.execute("CREATE TABLE months (v U32)")
+    db.execute("INSERT INTO months VALUES (42)")
+    got = db.execute(
+        "WITH RECURSIVE months(m) AS (SELECT 1 AS m UNION ALL "
+        "SELECT m + 1 FROM months WHERE m < 3) "
+        "SELECT sum(m) AS s FROM months"
+    ).collect()
+    assert got[0].s == 6  # the CTE, not the table
+    # the session table view is restored afterwards
+    assert db.execute("SELECT v FROM months").collect()[0].v == 42
+
+
+def test_plain_with_cte_through_session(db):
+    db.execute("CREATE TABLE nums (n U32)")
+    db.execute("INSERT INTO nums VALUES (1), (2), (3)")
+    rows = db.execute(
+        "WITH doubled AS (SELECT n * 2 AS d FROM nums) "
+        "SELECT sum(d) AS s FROM doubled"
+    ).collect()
+    assert rows[0].s == 12

@@ -258,3 +258,18 @@ def test_p12_dup_weights_mass_conservation(spark, sf_dir):
     # contributes exactly weight 1 across all its copies)
     n_distinct = docs.select("text").distinct().count()
     assert abs(sum(r.effective_docs for r in rows) - n_distinct) < 1e-3
+
+
+def test_t21_source_overlap_bounds_and_symmetry(spark, sf_dir):
+    from llamadb_spark.queries.pipeline import t21_source_overlap
+
+    rows = t21_source_overlap(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        # canonical pair orientation, jaccard in (0, 1]
+        assert r.src_a < r.src_b
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 1
+    # descending by jaccard (deterministic tie-break asserted by sort keys)
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)

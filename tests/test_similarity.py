@@ -196,3 +196,21 @@ def test_rerank_ann_recall_vs_exact(spark, sf_dir):
     assert len(got_rows) == len(qids) * 5
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"rerank recall too low: {recall}"
+
+
+def test_s12_cluster_balance_mass_and_determinism(spark, sf_dir):
+    from llamadb_spark.operators.similarity import ivf_cluster_sizes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    rows1 = sorted(
+        (r.cell, r.n_vecs) for r in ivf_cluster_sizes(emb, n_cells=16).collect()
+    )
+    # every vector lands in exactly one cell, cells in range
+    assert sum(c for _, c in rows1) == n
+    assert all(0 <= cell < 16 for cell, _ in rows1)
+    # deterministic seeds + deterministic refinement -> same partition
+    rows2 = sorted(
+        (r.cell, r.n_vecs) for r in ivf_cluster_sizes(emb, n_cells=16).collect()
+    )
+    assert rows1 == rows2
