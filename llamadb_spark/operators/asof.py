@@ -30,6 +30,7 @@ def asof_join(
     right_value_cols: list[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row: the nearest right row on `key`'s timeline —
     ``direction="backward"`` (default) takes the latest right row
@@ -37,6 +38,13 @@ def asof_join(
     with right.ts >= left.ts. Right rows at the exact same timestamp
     DO match in both directions (sort tag orders right before left
     at ties).
+
+    ``tolerance_s`` bounds the match: a right row further than that
+    many seconds from the left timestamp is rejected and the right
+    columns come back null (pandas merge_asof's ``tolerance``
+    semantics — a quote from last Tuesday should not enrich today's
+    trade). Applied as a post-window null-out, so the plan is
+    unchanged: same single shuffle, no range join.
 
     Both directions are the same single-shuffle union-window plan —
     forward just sorts the per-key timeline descending, so the
@@ -81,7 +89,28 @@ def asof_join(
         ],
         F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
     )
-    return carried.filter(col("_side") == 1).select(
+    out = carried.filter(col("_side") == 1)
+    if tolerance_s is not None:
+        within = (
+            F.abs(
+                col("_ts").cast("double")
+                - col(f"{right_ts}{suffix}").cast("double")
+            )
+            <= float(tolerance_s)
+        )
+        out = out.select(
+            *[c for c in out.columns if not c.endswith(suffix)],
+            *[
+                F.when(within, col(f"{c}{suffix}"))
+                .otherwise(lit(None))
+                .alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
+            F.when(within, col(f"{right_ts}{suffix}"))
+            .otherwise(lit(None))
+            .alias(f"{right_ts}{suffix}"),
+        )
+    return out.select(
         col(key),
         *[col(c) for c in left.columns if c != key],
         *[col(f"{c}{suffix}") for c in right_value_cols],

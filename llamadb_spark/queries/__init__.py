@@ -33,7 +33,7 @@ _LATE_ADDITIONS = frozenset(
         "q58_date_arith", "q59_multi_pivot", "q60_rows_frame",
         "m06_media_filter", "p12_dup_weights",
         "t21_source_overlap", "s12_cluster_balance", "e19_seasonality",
-        "q61_recursive_cte",
+        "q61_recursive_cte", "a04_asof_tolerance",
     }
 )
 

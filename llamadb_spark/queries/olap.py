@@ -152,6 +152,50 @@ FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
 """
 
 
+def a04_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the view that preceded each purchase,
+    but only if it happened within the last 30 minutes — a stale
+    quote/attribution guard (pandas merge_asof tolerance semantics).
+    Same single-shuffle union-window plan; the bound is a post-window
+    null-out, not a range join."""
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        right_value_cols=["event_id"],
+        tolerance_s=1800,
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        col("event_id_right").alias("view_event_id"),
+        col("ts_right").alias("view_ts"),
+    )
+
+
+ORACLE_A04 = """
+WITH p AS (SELECT user_id, event_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id, p.ts, p.value,
+       CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE
+            THEN v.event_id END AS view_event_id,
+       CASE WHEN v.ts >= p.ts - INTERVAL 30 MINUTE
+            THEN v.ts END AS view_ts
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # 51: approximate aggregates — HLL distinct + t-digest quantiles.
 # The 100 TB staple: one pass, fixed memory, mergeable sketches.
@@ -270,6 +314,7 @@ QUERIES = {
     "q20_pivot": q20_pivot,
     "a01_asof_join": a01_asof_join,
     "a03_asof_forward": a03_asof_forward,
+    "a04_asof_tolerance": a04_asof_tolerance,
     "a02_approx_stats": a02_approx_stats,
     "r01_range_join": r01_range_join,
     "q31_percentiles": q31_percentiles,
@@ -281,6 +326,7 @@ ORACLES = {
     "q20_pivot": ORACLE_Q20,
     "a01_asof_join": ORACLE_A01,
     "a03_asof_forward": ORACLE_A03,
+    "a04_asof_tolerance": ORACLE_A04,
     "r01_range_join": ORACLE_R01,
     "q31_percentiles": ORACLE_Q31,
     "q32_stats_agg": ORACLE_Q32,

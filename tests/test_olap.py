@@ -142,3 +142,31 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
         f"hot key not spread: max (key,salt) group {max_group} vs "
         f"hot key rows {hot}"
     )
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from llamadb_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([
+        Row(k=1, ts=t0, lv="fresh"),                       # right 10 min before
+        Row(k=1, ts=t0 + dt.timedelta(hours=5), lv="stale"),  # right 5 h before
+        Row(k=2, ts=t0, lv="none"),                        # no right row at all
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t0 - dt.timedelta(minutes=10), rv="quote"),
+    ])
+    out = {
+        r.lv: (r.rv_right, r.ts_right)
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["rv"], tolerance_s=1800
+        ).collect()
+    }
+    assert out["fresh"][0] == "quote" and out["fresh"][1] is not None
+    # match exists but exceeds tolerance -> nulled, row retained
+    assert out["stale"] == (None, None)
+    assert out["none"] == (None, None)
