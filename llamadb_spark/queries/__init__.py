@@ -34,6 +34,7 @@ _LATE_ADDITIONS = frozenset(
         "m06_media_filter", "p12_dup_weights",
         "t21_source_overlap", "s12_cluster_balance", "e19_seasonality",
         "q61_recursive_cte", "a04_asof_tolerance",
+        "q62_set_ops_all", "t22_source_divergence",
     }
 )
 

@@ -2307,6 +2307,87 @@ LIMIT 10
 """
 
 
+def t22_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift diagnostic: Jensen-Shannon divergence between
+    each source's unigram distribution and the whole-corpus
+    distribution — the quantitative form of "does this crawl look
+    like the rest of my data" (0 = identical mix, ln 2 = disjoint
+    vocabularies). The metric mixture-rebalancing and dedup-budget
+    decisions key off.
+
+    Scale: token counts aggregate map-side; the per-source KL terms
+    need every (source, vocab-token) cell, built as sources × vocab
+    (|vocab|·n_sources rows — vocabulary-bounded like t14/t15, no
+    broadcast hints, AQE picks the join strategy); one final
+    per-source sum. All logs are JVM-side ln.
+    """
+    from pyspark.sql.functions import col
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(text_fns.tokens(col("text"))).alias("token"))
+        .filter(col("token") != "")
+    )
+    tok = tok.localCheckpoint()  # consumers: per-source counts + vocab
+    c_st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    n_s = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    c_t = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    n_total = tok.count()
+
+    # every (source, vocab token) cell: p may be 0 where a source
+    # lacks a corpus token (its KL(P||M) term is 0); q is always > 0
+    cells = (
+        n_s.crossJoin(c_t)
+        .join(c_st, ["source", "token"], "left")
+        .select(
+            "source",
+            (F.coalesce(col("c_st"), F.lit(0)) / col("n_s")).alias("p"),
+            (col("c_t") / F.lit(float(n_total))).alias("q"),
+        )
+        .withColumn("m", (col("p") + col("q")) / 2)
+    )
+    kl_terms = cells.select(
+        "source",
+        F.when(col("p") > 0, col("p") * F.log(col("p") / col("m")))
+        .otherwise(F.lit(0.0))
+        .alias("kl_p"),
+        (col("q") * F.log(col("q") / col("m"))).alias("kl_q"),
+    )
+    return kl_terms.groupBy("source").agg(
+        F.round((F.sum("kl_p") + F.sum("kl_q")) / 2, 6).alias("js_divergence")
+    )
+
+
+ORACLE_T22 = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+clean AS (SELECT source, token FROM tok WHERE token <> ''),
+c_st AS (SELECT source, token, count(*) AS c_st FROM clean GROUP BY 1, 2),
+n_s AS (SELECT source, count(*) AS n_s FROM clean GROUP BY 1),
+c_t AS (SELECT token, count(*) AS c_t FROM clean GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM clean),
+cells AS (
+  SELECT n_s.source,
+         coalesce(c_st.c_st, 0) / CAST(n_s.n_s AS DOUBLE) AS p,
+         c_t.c_t / CAST(tot.n AS DOUBLE) AS q
+  FROM n_s CROSS JOIN c_t CROSS JOIN tot
+  LEFT JOIN c_st ON c_st.source = n_s.source AND c_st.token = c_t.token
+),
+terms AS (
+  SELECT source,
+         CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END AS kl_p,
+         q * ln(q / ((p + q) / 2)) AS kl_q
+  FROM cells
+)
+SELECT source, round((sum(kl_p) + sum(kl_q)) / 2, 6) AS js_divergence
+FROM terms
+GROUP BY source
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2379,6 +2460,7 @@ QUERIES = {
     "m06_media_filter": m06_media_filter,
     "p12_dup_weights": p12_dup_weights,
     "t21_source_overlap": t21_source_overlap,
+    "t22_source_divergence": t22_source_divergence,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2432,6 +2514,7 @@ ORACLES = {
     "m06_media_filter": ORACLE_M06,
     "p12_dup_weights": ORACLE_P12,
     "t21_source_overlap": ORACLE_T21,
+    "t22_source_divergence": ORACLE_T22,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

@@ -274,6 +274,55 @@ def q61_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q61 = _Q61_SQL
 
 
+# ---------------------------------------------------------------------------
+# 213: INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving set
+# operations (q25 covers the DISTINCT variants). Spark implements
+# both as a single aggregate computing per-row min/difference of
+# multiplicities + generate — no join per duplicate. Counts per
+# nation differ from q25 exactly where multiplicity > 1, which is
+# the semantic the ALL variants exist for.
+# ---------------------------------------------------------------------------
+def q62_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .filter(col("c_acctbal") > 8000)
+        .select(col("c_nationkey").alias("nationkey"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .filter(col("s_acctbal") > 8000)
+        .select(col("s_nationkey").alias("nationkey"))
+    )
+    both = (
+        cn.intersectAll(sn)
+        .groupBy("nationkey")
+        .agg(F.count(lit(1)).alias("n"))
+        .select(lit("both_all").alias("side"), "nationkey", "n")
+    )
+    c_only = (
+        cn.exceptAll(sn)
+        .groupBy("nationkey")
+        .agg(F.count(lit(1)).alias("n"))
+        .select(lit("customer_excess").alias("side"), "nationkey", "n")
+    )
+    return both.unionAll(c_only)
+
+
+ORACLE_Q62 = """
+WITH cn AS (SELECT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal > 8000),
+     sn AS (SELECT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 8000)
+SELECT 'both_all' AS side, nationkey, count(*) AS n
+FROM (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn)
+GROUP BY nationkey
+UNION ALL
+SELECT 'customer_excess' AS side, nationkey, count(*) AS n
+FROM (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
+GROUP BY nationkey
+"""
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -282,6 +331,7 @@ QUERIES = {
     "q59_multi_pivot": q59_multi_pivot,
     "q60_rows_frame": q60_rows_frame,
     "q61_recursive_cte": q61_recursive_cte,
+    "q62_set_ops_all": q62_set_ops_all,
 }
 
 ORACLES = {
@@ -292,4 +342,5 @@ ORACLES = {
     "q59_multi_pivot": ORACLE_Q59,
     "q60_rows_frame": ORACLE_Q60,
     "q61_recursive_cte": ORACLE_Q61,
+    "q62_set_ops_all": ORACLE_Q62,
 }
