@@ -89,6 +89,8 @@ _ALLOWED_HINTS = {
     "t09_tfidf_rank": 2, "t12_pmi_collocations": 1,
     "t14_unigram_logprob": 1, "t15_doc_keywords": 1,
     "e07_stream_enrich": 1, "e15_rolling_wau": 1,
+    "t21_source_overlap": 2,  # per-source set-size table, n_sources rows
+    "s12_cluster_balance": 1,  # 1-row total scalar
 }
 
 
@@ -112,7 +114,7 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # hyperplane-LSH projection, media decode — higher-order-function
     # formulations of these run interpreted, never codegen). SQL
     # queries must stay fully JVM-side.
-    allowed_prefixes = ("d05", "m02", "s03", "s02", "d12", "m06")
+    allowed_prefixes = ("d05", "m02", "s03", "s02", "d12", "m06", "s12")
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):
             continue
