@@ -333,29 +333,10 @@ def _split_top_level_union(body: str) -> tuple[str, str, bool]:
     return base, rest, False
 
 
-def recursive_sql(
-    spark: SparkSession, sql: str, max_iter: int = 200
-) -> DataFrame:
-    """Execute a ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL]
-    step) final-select`` statement — the one SQL construct Spark's
-    own parser refuses — via iterative frontier materialization, the
-    same fixpoint loop discipline as the connected-components
-    operators (localCheckpoint per round, driver sees one count per
-    round, O(frontier) state).
-
-    Standard SQL semantics: each iteration the recursive reference
-    sees the rows produced by the PREVIOUS iteration (the working
-    table), not the accumulated result; UNION dedupes new rows
-    against everything already produced (and terminates on an empty
-    deduped frontier), UNION ALL terminates when the step itself
-    yields no rows. DuckDB executes the identical statement natively,
-    so recursive queries get full value-hash oracles.
-
-    Scale: the per-round shuffles are frontier-sized; accumulation is
-    a union of checkpointed blocks (no recomputation); a non-
-    converging recursion stops at ``max_iter`` with an error rather
-    than spinning the cluster.
-    """
+def _parse_recursive(sql: str):
+    """Parse ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL]
+    step) final`` → (name, cols, base_src, step_src, union_all,
+    final). Quote/paren aware throughout."""
     m = _RECURSIVE_HEAD_RE.match(sql)
     if not m:
         raise LlamaError(f"cannot parse WITH RECURSIVE: {sql[:80]!r}")
@@ -385,6 +366,33 @@ def recursive_sql(
     if not final:
         raise LlamaError("WITH RECURSIVE needs a final SELECT")
     base_src, step_src, union_all = _split_top_level_union(body)
+    return name, cols, base_src, step_src, union_all, final
+
+
+def recursive_sql(
+    spark: SparkSession, sql: str, max_iter: int = 200
+) -> DataFrame:
+    """Execute a ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL]
+    step) final-select`` statement — the one SQL construct Spark's
+    own parser refuses — via iterative frontier materialization, the
+    same fixpoint loop discipline as the connected-components
+    operators (localCheckpoint per round, driver sees one count per
+    round, O(frontier) state).
+
+    Standard SQL semantics: each iteration the recursive reference
+    sees the rows produced by the PREVIOUS iteration (the working
+    table), not the accumulated result; UNION dedupes new rows
+    against everything already produced (and terminates on an empty
+    deduped frontier), UNION ALL terminates when the step itself
+    yields no rows. DuckDB executes the identical statement natively,
+    so recursive queries get full value-hash oracles.
+
+    Scale: the per-round shuffles are frontier-sized; accumulation is
+    a union of checkpointed blocks (no recomputation); a non-
+    converging recursion stops at ``max_iter`` with an error rather
+    than spinning the cluster.
+    """
+    name, cols, base_src, step_src, union_all, final = _parse_recursive(sql)
 
     base = spark.sql(_requote_idents(base_src))
     if cols:
@@ -610,6 +618,30 @@ class LlamaSession:
             return lisp_plan(self._update_df(_strip_comments(stripped))[1])
         if head == "DELETE":
             return lisp_plan(self._delete_df(_strip_comments(stripped))[1])
+        if head == "WITH" and stripped.split(None, 2)[1].upper() == "RECURSIVE":
+            # Render the three component plans WITHOUT running the
+            # fixpoint loop: the base result stands in for the
+            # working table so base/step/final all resolve.
+            name, cols, base_src, step_src, union_all, final = (
+                _parse_recursive(_strip_comments(stripped))
+            )
+            base_df = self.spark.sql(_requote_idents(base_src))
+            if cols:
+                base_df = base_df.toDF(*cols)
+            base_df.createOrReplaceTempView(name)
+            try:
+                step_plan = lisp_plan(self.spark.sql(_requote_idents(step_src)))
+                final_plan = lisp_plan(self.spark.sql(_requote_idents(final)))
+            finally:
+                for t, df in self._data.items():
+                    df.createOrReplaceTempView(t)
+            mode = "union-all" if union_all else "union"
+            return (
+                f"(recursive-cte {name} :{mode}\n"
+                f"  (base {lisp_plan(base_df)})\n"
+                f"  (step {step_plan})\n"
+                f"  (final {final_plan}))"
+            )
         return lisp_plan(self.spark.sql(_requote_idents(stripped)))
 
     # -- CREATE TABLE ------------------------------------------------------

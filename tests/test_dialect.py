@@ -594,3 +594,16 @@ def test_plain_with_cte_through_session(db):
         "SELECT sum(d) AS s FROM doubled"
     ).collect()
     assert rows[0].s == 12
+
+
+def test_explain_recursive_cte_renders_without_executing(db):
+    db.execute("CREATE TABLE base_t (n U32)")
+    db.execute("INSERT INTO base_t VALUES (1)")
+    plan = db.explain(
+        "EXPLAIN WITH RECURSIVE t(n) AS (SELECT n FROM base_t UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 1000000) SELECT count(*) AS c FROM t"
+    )
+    assert "(recursive-cte t :union-all" in plan
+    assert "(base " in plan and "(step " in plan and "(final " in plan
+    # table view restored after planning
+    assert db.execute("SELECT n FROM base_t").collect()[0].n == 1
