@@ -428,10 +428,11 @@ def lsh_ann_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 6,
+    num_planes: int | str = 6,
     num_tables: int = 8,
     threshold: float = 0.4,
     max_bucket_size: int | None = 10_000,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Approximate near-neighbor pairs via random-hyperplane LSH.
 
@@ -443,10 +444,26 @@ def lsh_ann_pairs(
     guard of functions/blocking.py); the other num_tables-1 tables
     still cover pairs from a dropped bucket.
 
+    ``num_planes="auto"`` sizes the bucket space to the CORPUS:
+    planes = ceil(log2(n / target_bucket_rows)), so expected bucket
+    occupancy — and with it the per-table candidate volume
+    n²/2^planes — stays constant as n grows, instead of a fixed
+    plane count silently going quadratic (or, past the occupancy
+    cap, dropping every bucket). The flip side is per-table recall
+    p^planes shrinking: when auto raises planes, raise num_tables
+    too (recall ≈ 1-(1-p^planes)^tables). Costs one count() job.
+
     Output: (a_id, b_id, cos) — rows-only check (bucketing depends
     on the seeded plane matrix, no DuckDB twin; exact-recall parity
     vs embed_neardup_pairs is asserted in tests instead).
     """
+    if num_planes == "auto":
+        import math
+
+        n = emb.count()
+        num_planes = max(1, math.ceil(math.log2(max(2, n / target_bucket_rows))))
+    elif not isinstance(num_planes, int):
+        raise ValueError(f"num_planes must be int or 'auto', got {num_planes!r}")
     v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
 
     # All num_tables bucket ids come from ONE Arrow-batched matmul

@@ -214,3 +214,25 @@ def test_s12_cluster_balance_mass_and_determinism(spark, sf_dir):
         (r.cell, r.n_vecs) for r in ivf_cluster_sizes(emb, n_cells=16).collect()
     )
     assert rows1 == rows2
+
+
+def test_lsh_auto_planes_tracks_corpus_size(spark, sf_dir):
+    """num_planes='auto' sizes the bucket space so expected occupancy
+    stays near target_bucket_rows regardless of corpus size — the
+    guard against a fixed plane count going quadratic at scale."""
+    import math
+
+    from llamadb_spark.operators.similarity import lsh_ann_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    pairs = lsh_ann_pairs(
+        emb, num_planes="auto", num_tables=4, threshold=0.4,
+        target_bucket_rows=64,
+    )
+    # runs end-to-end and produces only verified pairs
+    rows = pairs.collect()
+    assert all(r.cos >= 0.4 for r in rows)
+    expected_planes = max(1, math.ceil(math.log2(max(2, n / 64))))
+    # occupancy check: 2^planes buckets/table keeps avg bucket <= target
+    assert n / (2 ** expected_planes) <= 64
