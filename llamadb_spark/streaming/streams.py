@@ -268,6 +268,34 @@ def run_to_memory(
             q.stop()
     return stream_df.sparkSession.table(name)
 
+def daily_rollup_stream(events: DataFrame) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: hourly
+    windowed counts re-aggregated into daily totals — two stateful
+    aggregations back to back, the pre-aggregation cascade every
+    metrics pipeline wants (the 1-hour state finalizes a window on
+    watermark passage and feeds it straight into the 1-day state, no
+    intermediate sink or second job). Needs Spark 3.4+'s
+    multiple-stateful-operator support and the window-of-window
+    grouping (F.window over the window struct column).
+
+    Scale: the second aggregation's input is hourly-grain (24·types
+    rows/day), so its state is tiny regardless of event volume — the
+    cascade is why you chain rather than re-scan raw events at daily
+    grain.
+    """
+    hourly = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(lit(1)).alias("n_1h"))
+    )
+    daily = hourly.groupBy(
+        F.window(col("window"), "1 day"), "event_type"
+    ).agg(F.sum("n_1h").alias("n_events"))
+    return daily.select(
+        col("window.start").alias("day_start"), "event_type", "n_events"
+    )
+
+
 def run_with_progress(
     stream_df: DataFrame,
     name: str,

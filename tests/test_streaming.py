@@ -507,3 +507,35 @@ def test_rocksdb_state_store_matches_batch(spark, sf_dir):
         assert any("rocksdb" in k.lower() for k in metrics["state_store_metric_keys"])
     finally:
         spark.conf.set(key, saved)
+
+
+def test_chained_stateful_rollup_matches_batch(spark, sf_dir):
+    """Two stateful aggregations chained in ONE streaming query
+    (hourly window -> daily rollup, Spark's multiple-stateful-
+    operator support): the append-mode result must equal the batch
+    two-level aggregation exactly."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.streaming.streams import daily_rollup_stream
+
+    stream = daily_rollup_stream(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "daily_rollup_test", output_mode="append")
+
+    ev = _events(spark, sf_dir)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_1h"))
+        .groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(F.sum("n_1h").alias("n_events"))
+        .select(F.col("window.start").alias("day_start"), "event_type", "n_events")
+    )
+    key = lambda r: (r.day_start, r.event_type)  # noqa: E731
+    got_rows = {key(r): r.n_events for r in got.collect()}
+    batch_rows = {key(r): r.n_events for r in batch.collect()}
+    # append mode emits only watermark-closed days; every emitted day
+    # must match the batch value, and only the final (still-open) day
+    # per event type may be missing
+    assert got_rows
+    assert all(batch_rows[k] == v for k, v in got_rows.items())
+    n_types = len({k[1] for k in batch_rows})
+    assert len(got_rows) >= len(batch_rows) - n_types
