@@ -114,3 +114,96 @@ def version_diff(
         .filter(col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def version_changelog(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """version_diff with the row VALUES attached: key columns +
+    change + `_old` / `_new` structs of the non-key columns (null on
+    the missing side of inserts/deletes). This is the changelog an
+    incremental consumer (maintain_group_agg below, a CDC sink, a
+    cache invalidator) actually needs."""
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.struct(*[col(c) for c in val_cols]).alias("_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        F.struct(*[col(c) for c in val_cols]).alias("_new"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(col("_in_old").isNull(), F.lit("insert"))
+        .when(col("_in_new").isNull(), F.lit("delete"))
+        .when(~col("_old").eqNullSafe(col("_new")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(col("change").isNotNull())
+        .select(*key_cols, "change", "_old", "_new")
+    )
+
+
+def maintain_group_agg(
+    prev_agg: DataFrame,
+    changelog: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a per-group (n_rows, total)
+    aggregate: apply a row-level changelog to the previous aggregate
+    instead of rescanning the table — cost scales with |changes| +
+    |groups touched|, not table size (the Delta/materialized-view
+    refresh pattern, expressed as two small shuffles).
+
+    Each changelog row contributes up to two delta rows: a retraction
+    (-1, -old value) against the OLD group and an addition (+1, +new
+    value) to the NEW group — which makes updates that MOVE a row
+    between groups correct for free. Groups whose row count reaches 0
+    drop out of the result, matching a full recompute exactly
+    (asserted in tests).
+
+    prev_agg schema: (group_col, n_rows, total).
+    """
+    minus = (
+        changelog.filter(col("change").isin("delete", "update"))
+        .select(
+            col(f"_old.{group_col}").alias(group_col),
+            F.lit(-1).cast("long").alias("d_n"),
+            (-col(f"_old.{value_col}")).alias("d_total"),
+        )
+    )
+    plus = (
+        changelog.filter(col("change").isin("insert", "update"))
+        .select(
+            col(f"_new.{group_col}").alias(group_col),
+            F.lit(1).cast("long").alias("d_n"),
+            col(f"_new.{value_col}").alias("d_total"),
+        )
+    )
+    delta = (
+        minus.unionAll(plus)
+        .groupBy(group_col)
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_total").alias("d_total"))
+    )
+    merged = prev_agg.join(delta, group_col, "full_outer").select(
+        group_col,
+        (F.coalesce(col("n_rows"), F.lit(0)) + F.coalesce(col("d_n"), F.lit(0))).alias(
+            "n_rows"
+        ),
+        (
+            F.coalesce(col("total"), F.lit(0.0))
+            + F.coalesce(col("d_total"), F.lit(0.0))
+        ).alias("total"),
+    )
+    return merged.filter(col("n_rows") > 0)

@@ -302,3 +302,56 @@ def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
     overwrite_partitions_dynamic(redo, dst, ["day"])
     rows = {(r.id, r.day, r.v) for r in spark.read.parquet(dst).collect()}
     assert rows == {(1, 1, "old1"), (3, 2, "new2")}
+
+
+def test_incremental_agg_matches_recompute(spark, tmp_path):
+    """IVM: applying the version changelog to the previous aggregate
+    must equal a full recompute of the new snapshot — including
+    updates that MOVE rows between groups and groups that empty out.
+    Float totals compared to 1e-6 (delta application reorders sums)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from llamadb_spark.sources.versioned import (
+        maintain_group_agg,
+        read_version,
+        version_changelog,
+        write_version,
+    )
+
+    path = str(tmp_path / "ivm_table")
+    v0_rows = [
+        Row(id=1, grp="a", val=10.0),
+        Row(id=2, grp="a", val=20.0),
+        Row(id=3, grp="b", val=5.0),
+        Row(id=4, grp="c", val=7.0),  # group c will empty out
+    ]
+    write_version(spark.createDataFrame(v0_rows), path)
+    v1_rows = [
+        Row(id=1, grp="a", val=11.0),   # in-place update
+        Row(id=2, grp="b", val=20.0),   # moves a -> b
+        Row(id=3, grp="b", val=5.0),    # unchanged
+        Row(id=5, grp="d", val=3.0),    # insert into new group
+    ]                                    # id=4 deleted -> c empties
+    write_version(spark.createDataFrame(v1_rows), path)
+
+    def full_agg(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("total")
+        )
+
+    prev = full_agg(read_version(spark, path, 0))
+    log = version_changelog(spark, path, 0, 1, key_cols=["id"])
+    got = {
+        r.grp: (r.n_rows, r.total)
+        for r in maintain_group_agg(prev, log, "grp", "val").collect()
+    }
+    want = {
+        r.grp: (r.n_rows, r.total)
+        for r in full_agg(read_version(spark, path, 1)).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-6
+    assert "c" not in got  # emptied group dropped, like the recompute
