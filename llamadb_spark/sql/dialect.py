@@ -415,7 +415,13 @@ def recursive_sql(
         new = step.localCheckpoint()
         if new.count() == 0:
             break
-        acc = acc.unionAll(new).localCheckpoint()
+        acc = acc.unionAll(new)
+        if not union_all:
+            # UNION subtracts against acc every round — keep it
+            # materialized. UNION ALL never reads acc in-loop, and
+            # its union children are each checkpointed frontiers, so
+            # the lazy union is flat (no recompute, no deep lineage).
+            acc = acc.localCheckpoint()
         frontier = new
     else:
         raise LlamaError(
