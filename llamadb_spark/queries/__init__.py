@@ -35,6 +35,7 @@ _LATE_ADDITIONS = frozenset(
         "t21_source_overlap", "s12_cluster_balance", "e19_seasonality",
         "q61_recursive_cte", "a04_asof_tolerance",
         "q62_set_ops_all", "t22_source_divergence",
+        "p13_winsorize", "t23_token_fertility",
     }
 )
 

@@ -2391,6 +2391,109 @@ GROUP BY source
 """
 
 
+def p13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document lengths: clip n_chars
+    at that language's [p05, p95] before computing summary stats —
+    the outlier-robust preprocessing step for any length-based
+    quality gate (one 10 MB html blob shouldn't drag a language's
+    mean length). Exact percentiles per group via percentile_cont
+    semantics, clip applied in the same pass via a broadcast-size
+    bounds table (n_langs rows).
+
+    Output per lang: n_docs, clipped mean/stddev, clip fractions.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    docs = _docs(spark, sf_dir).select("lang", col("n_chars").cast("double"))
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    clipped = docs.join(broadcast(bounds), "lang").select(
+        "lang",
+        F.greatest(F.least(col("n_chars"), col("hi")), col("lo")).alias("w"),
+        (col("n_chars") < col("lo")).cast("int").alias("clip_lo"),
+        (col("n_chars") > col("hi")).cast("int").alias("clip_hi"),
+    )
+    return clipped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 6).alias("mean_clipped"),
+        F.round(F.stddev_pop("w"), 6).alias("std_clipped"),
+        F.round(F.avg("clip_lo"), 6).alias("frac_clip_lo"),
+        F.round(F.avg("clip_hi"), 6).alias("frac_clip_hi"),
+    )
+
+
+ORACLE_P13 = """
+WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS n_chars FROM documents),
+b AS (
+  SELECT lang,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+  FROM d GROUP BY lang
+),
+c AS (
+  SELECT d.lang,
+         greatest(least(n_chars, hi), lo) AS w,
+         CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS clip_hi
+  FROM d JOIN b ON d.lang = b.lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(w), 6) AS mean_clipped,
+       round(stddev_pop(w), 6) AS std_clipped,
+       round(avg(clip_lo), 6) AS frac_clip_lo,
+       round(avg(clip_hi), 6) AS frac_clip_hi
+FROM c
+GROUP BY lang
+"""
+
+
+def t23_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility proxy per language: UTF-8 bytes per
+    whitespace token — the compression-rate signal that decides how
+    much raw text a language needs per training token (scripts that
+    tokenize poorly burn budget). One scan, per-doc byte and token
+    counts via built-ins, one per-language aggregate.
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "lang",
+        F.octet_length(F.encode(col("text"), "UTF-8")).alias("n_bytes"),
+        F.size(F.filter(text_fns.tokens(col("text")), lambda x: x != "")).alias(
+            "n_tok"
+        ),
+    ).filter(col("n_tok") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.sum("n_bytes") / F.sum("n_tok"), 6).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+ORACLE_T23 = r"""
+WITH per_doc AS (
+  SELECT lang,
+         octet_length(encode(text)) AS n_bytes,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(sum(n_bytes) / CAST(sum(n_tok) AS DOUBLE), 6) AS bytes_per_token
+FROM per_doc
+WHERE n_tok > 0
+GROUP BY lang
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2464,6 +2567,8 @@ QUERIES = {
     "p12_dup_weights": p12_dup_weights,
     "t21_source_overlap": t21_source_overlap,
     "t22_source_divergence": t22_source_divergence,
+    "p13_winsorize": p13_winsorize,
+    "t23_token_fertility": t23_token_fertility,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2518,6 +2623,8 @@ ORACLES = {
     "p12_dup_weights": ORACLE_P12,
     "t21_source_overlap": ORACLE_T21,
     "t22_source_divergence": ORACLE_T22,
+    "p13_winsorize": ORACLE_P13,
+    "t23_token_fertility": ORACLE_T23,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

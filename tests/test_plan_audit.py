@@ -91,6 +91,7 @@ _ALLOWED_HINTS = {
     "e07_stream_enrich": 1, "e15_rolling_wau": 1,
     "t21_source_overlap": 2,  # per-source set-size table, n_sources rows
     "s12_cluster_balance": 1,  # 1-row total scalar
+    "p13_winsorize": 1,  # per-language clip-bounds table, n_langs rows
 }
 
 
