@@ -124,6 +124,14 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(" + _IDENT + r")\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(" + _IDENT + r")\s+AS\s+(SELECT\s+.*|WITH\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(" + _IDENT + r")\s*;?\s*$",
+    re.IGNORECASE,
+)
 #: Table-level constraint forms inside CREATE TABLE's column list.
 #: The reference lexer reserves CONSTRAINT / PRIMARY / KEY / UNIQUE /
 #: REFERENCES (sqlsyntax/lexer.rs:105-110) but, as with
@@ -565,6 +573,8 @@ class LlamaSession:
             if second == "INDEX":
                 return self._create_index(stripped)
             return self._create(stripped)
+        if head == "DROP":
+            return self._drop(stripped)
         if head == "INSERT":
             return self._insert(stripped)
         if head == "UPDATE":
@@ -650,8 +660,63 @@ class LlamaSession:
             )
         return lisp_plan(self.spark.sql(_requote_idents(stripped)))
 
+    def _create_as_select(self, m: "re.Match") -> None:
+        """CREATE TABLE … AS SELECT — schema inferred from the query
+        result (the practical companion to INSERT..SELECT: snapshot a
+        query into a managed table). Spark types map back onto the
+        llamadb surface directly; integer bounds aren't re-imposed
+        (the source data already fit its own columns), and CTAS
+        columns are nullable (the query can produce NULLs — outer
+        joins, CASE without ELSE — so implicit NOT NULL would reject
+        legitimate results)."""
+        name = _unquote(m.group(1))
+        if name in self.tables:
+            raise LlamaError(f"table exists: {name}")
+        query = m.group(2).rstrip(";").strip()
+        if query.split(None, 2)[0].upper() == "WITH":
+            df = self.execute(query)
+        else:
+            df = self.spark.sql(_requote_idents(query))
+        spec = TableSpec(name)
+        for f in df.schema.fields:
+            spec.columns.append(
+                ColumnSpec(name=f.name, spark_type=f.dataType, nullable=True)
+            )
+        self.tables[name] = spec
+        try:
+            self._commit(name, df)
+        except LlamaError:
+            del self.tables[name]
+            raise
+
+    def _drop(self, sql: str) -> None:
+        """DROP TABLE [IF EXISTS] — removes the managed table, its
+        temp view, and any clustered-index materialization state."""
+        m = _DROP_RE.match(sql)
+        if not m:
+            raise LlamaError(f"cannot parse DROP TABLE: {sql!r}")
+        name = _unquote(m.group(1))
+        if_exists = re.search(r"IF\s+EXISTS", sql, re.IGNORECASE) is not None
+        if name not in self.tables:
+            if if_exists:
+                return
+            raise LlamaError(f"no such table: {name}")
+        for spec in self.tables.values():
+            for _, _, ref_table, _ in spec.fks:
+                if ref_table == name and spec.name != name:
+                    raise LlamaError(
+                        f"cannot drop {name}: referenced by FOREIGN KEY "
+                        f"on {spec.name}"
+                    )
+        del self.tables[name]
+        self._data.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
     # -- CREATE TABLE ------------------------------------------------------
     def _create(self, sql: str) -> None:
+        ctas = _CTAS_RE.match(sql)
+        if ctas:
+            return self._create_as_select(ctas)
         m = _CREATE_RE.match(sql)
         if not m:
             raise LlamaError(f"cannot parse CREATE TABLE: {sql!r}")

@@ -607,3 +607,47 @@ def test_explain_recursive_cte_renders_without_executing(db):
     assert "(base " in plan and "(step " in plan and "(final " in plan
     # table view restored after planning
     assert db.execute("SELECT n FROM base_t").collect()[0].n == 1
+
+
+# -- CTAS + DROP TABLE (SQL-surface completion for managed tables)
+
+
+def test_ctas_snapshot_and_reuse(db):
+    db.execute("CREATE TABLE src (k U32, v U32 NULL)")
+    db.execute("INSERT INTO src VALUES (1, 10), (2, NULL), (3, 30)")
+    db.execute("CREATE TABLE snap AS SELECT k, v * 2 AS v2 FROM src WHERE k <> 2")
+    rows = {r.k: r.v2 for r in db.table("snap").collect()}
+    assert rows == {1: 20, 3: 60}
+    # CTAS table is a full citizen: INSERT and UPDATE work
+    db.execute("INSERT INTO snap VALUES (9, 90)")
+    db.execute("UPDATE snap SET v2 = 0 WHERE k = 1")
+    assert {r.k: r.v2 for r in db.table("snap").collect()} == {1: 0, 3: 60, 9: 90}
+    with pytest.raises(LlamaError, match="table exists"):
+        db.execute("CREATE TABLE snap AS SELECT 1 AS one")
+
+
+def test_ctas_from_recursive_cte(db):
+    db.execute(
+        "CREATE TABLE series AS WITH RECURSIVE t(n) AS (SELECT 1 AS n "
+        "UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT n FROM t"
+    )
+    assert sorted(r.n for r in db.table("series").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_drop_table_semantics(db):
+    db.execute("CREATE TABLE gone (x U32)")
+    db.execute("INSERT INTO gone VALUES (1)")
+    db.execute("DROP TABLE gone")
+    with pytest.raises(LlamaError, match="no such table"):
+        db.execute("INSERT INTO gone VALUES (2)")
+    # idempotent with IF EXISTS; strict without
+    db.execute("DROP TABLE IF EXISTS gone")
+    with pytest.raises(LlamaError, match="no such table"):
+        db.execute("DROP TABLE gone")
+    # FK-referenced tables are protected
+    db.execute("CREATE TABLE parent (pid U32 PRIMARY KEY)")
+    db.execute("CREATE TABLE child (cid U32, pid U32 NULL REFERENCES parent (pid))")
+    with pytest.raises(LlamaError, match="referenced by FOREIGN KEY"):
+        db.execute("DROP TABLE parent")
+    db.execute("DROP TABLE child")
+    db.execute("DROP TABLE parent")  # now droppable
