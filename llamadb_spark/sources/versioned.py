@@ -196,8 +196,14 @@ def maintain_group_agg(
         .groupBy(group_col)
         .agg(F.sum("d_n").alias("d_n"), F.sum("d_total").alias("d_total"))
     )
-    merged = prev_agg.join(delta, group_col, "full_outer").select(
-        group_col,
+    # Null-safe join key: a NULL group is one group to groupBy, so the
+    # merge must also treat NULL as equal — a plain equi-join would
+    # emit the previous NULL-group row and the delta NULL-group row
+    # separately (double-counting the group).
+    p = prev_agg.withColumnRenamed(group_col, "_pg")
+    d = delta.withColumnRenamed(group_col, "_dg")
+    merged = p.join(d, col("_pg").eqNullSafe(col("_dg")), "full_outer").select(
+        F.coalesce(col("_pg"), col("_dg")).alias(group_col),
         (F.coalesce(col("n_rows"), F.lit(0)) + F.coalesce(col("d_n"), F.lit(0))).alias(
             "n_rows"
         ),

@@ -355,3 +355,52 @@ def test_incremental_agg_matches_recompute(spark, tmp_path):
         assert got[g][0] == want[g][0]
         assert abs(got[g][1] - want[g][1]) < 1e-6
     assert "c" not in got  # emptied group dropped, like the recompute
+
+
+def test_incremental_agg_null_group_not_double_counted(spark, tmp_path):
+    """A NULL group key is ONE group to groupBy — the IVM merge must
+    treat it the same (null-safe join), not emit prev/delta rows
+    separately."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from llamadb_spark.sources.versioned import (
+        maintain_group_agg,
+        read_version,
+        version_changelog,
+        write_version,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("grp", StringType()),
+        StructField("val", DoubleType()),
+    ])
+    path = str(tmp_path / "ivm_null")
+    write_version(
+        spark.createDataFrame(
+            [Row(id=1, grp=None, val=4.0), Row(id=2, grp="a", val=1.0)], schema
+        ),
+        path,
+    )
+    write_version(
+        spark.createDataFrame(
+            [Row(id=1, grp=None, val=4.0), Row(id=2, grp="a", val=1.0),
+             Row(id=3, grp=None, val=6.0)], schema
+        ),
+        path,
+    )
+
+    def full_agg(df):
+        return df.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("total")
+        )
+
+    prev = full_agg(read_version(spark, path, 0))
+    log = version_changelog(spark, path, 0, 1, key_cols=["id"])
+    rows = maintain_group_agg(prev, log, "grp", "val").collect()
+    got = {r.grp: (r.n_rows, r.total) for r in rows}
+    assert len(rows) == 2  # exactly one row per group incl. the NULL group
+    assert got[None] == (2, 10.0) and got["a"] == (1, 1.0)
