@@ -36,6 +36,7 @@ _LATE_ADDITIONS = frozenset(
         "q61_recursive_cte", "a04_asof_tolerance",
         "q62_set_ops_all", "t22_source_divergence",
         "p13_winsorize", "t23_token_fertility",
+        "d15_cluster_sizes", "q63_group_by_all",
     }
 )
 

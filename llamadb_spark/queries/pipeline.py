@@ -2391,6 +2391,34 @@ GROUP BY source
 """
 
 
+def d15_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-family size distribution: how many near-dup clusters exist
+    at each size — the diagnostic that distinguishes a corpus with a
+    million pairwise dupes (size-2 families, crawl artifacts) from
+    one dominated by a few giant boilerplate families (size-1000,
+    template farms), which need different remediation. Two tiny
+    aggregations on top of d06's component labels; oracled through
+    the same recursive-CTE closure.
+    """
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+ORACLE_D15 = rf"""
+WITH cc AS (
+  {ORACLE_D06}
+),
+sizes AS (SELECT cluster_id, count(*) AS size FROM cc GROUP BY cluster_id)
+SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size
+"""
+
+
 def p13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language winsorization of document lengths: clip n_chars
     at that language's [p05, p95] before computing summary stats —
@@ -2569,6 +2597,7 @@ QUERIES = {
     "t22_source_divergence": t22_source_divergence,
     "p13_winsorize": p13_winsorize,
     "t23_token_fertility": t23_token_fertility,
+    "d15_cluster_sizes": d15_cluster_sizes,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2625,6 +2654,7 @@ ORACLES = {
     "t22_source_divergence": ORACLE_T22,
     "p13_winsorize": ORACLE_P13,
     "t23_token_fertility": ORACLE_T23,
+    "d15_cluster_sizes": ORACLE_D15,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

@@ -323,6 +323,27 @@ GROUP BY nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# 223: GROUP BY ALL — the modern-SQL convenience both engines
+# implement natively (every non-aggregate select item becomes a
+# grouping key); identical text runs on both, like q54/q57/q61.
+# ---------------------------------------------------------------------------
+_Q63_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY ALL
+"""
+
+
+def q63_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q63_SQL)
+
+
+ORACLE_Q63 = _Q63_SQL
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -332,6 +353,7 @@ QUERIES = {
     "q60_rows_frame": q60_rows_frame,
     "q61_recursive_cte": q61_recursive_cte,
     "q62_set_ops_all": q62_set_ops_all,
+    "q63_group_by_all": q63_group_by_all,
 }
 
 ORACLES = {
@@ -343,4 +365,5 @@ ORACLES = {
     "q60_rows_frame": ORACLE_Q60,
     "q61_recursive_cte": ORACLE_Q61,
     "q62_set_ops_all": ORACLE_Q62,
+    "q63_group_by_all": ORACLE_Q63,
 }

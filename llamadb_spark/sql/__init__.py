@@ -1,6 +1,17 @@
 """llamadb SQL dialect on Spark: CREATE TABLE with llamadb types,
-INSERT, SELECT, lisp-style EXPLAIN."""
+INSERT/UPDATE/DELETE, CTAS, DROP, constraints, prepared statements,
+recursive CTEs, SELECT, lisp-style EXPLAIN."""
 
-from llamadb_spark.sql.dialect import LlamaSession, translate_type
+from llamadb_spark.sql.dialect import (
+    LlamaSession,
+    PreparedStatement,
+    recursive_sql,
+    translate_type,
+)
 
-__all__ = ["LlamaSession", "translate_type"]
+__all__ = [
+    "LlamaSession",
+    "PreparedStatement",
+    "recursive_sql",
+    "translate_type",
+]

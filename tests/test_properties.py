@@ -304,3 +304,27 @@ def test_containment_matches_python_reference(spark, texts):
         for r in containment_pairs(df, threshold=0.5).collect()
     }
     assert got == expected
+
+
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    start=st.integers(min_value=-5, max_value=5),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_recursive_series_matches_closed_form(spark, n, start):
+    """WITH RECURSIVE series generation agrees with the closed form
+    for arbitrary spans — the fixpoint loop neither drops nor
+    duplicates rounds."""
+    from llamadb_spark.sql.dialect import recursive_sql
+
+    rows = recursive_sql(
+        spark,
+        f"WITH RECURSIVE t(n) AS (SELECT {start} AS n UNION ALL "
+        f"SELECT n + 1 FROM t WHERE n < {start + n - 1}) "
+        "SELECT count(*) AS c, sum(n) AS s, min(n) AS lo, max(n) AS hi FROM t",
+    ).collect()
+    r = rows[0]
+    assert r.c == n
+    assert r.lo == start and r.hi == start + n - 1
+    assert r.s == sum(range(start, start + n))
