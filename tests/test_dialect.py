@@ -651,3 +651,42 @@ def test_drop_table_semantics(db):
         db.execute("DROP TABLE parent")
     db.execute("DROP TABLE child")
     db.execute("DROP TABLE parent")  # now droppable
+
+
+def test_full_dialect_script_integration(db):
+    """One execute_script exercising the session surface end-to-end:
+    DDL + constraints + CTAS + writes + recursive CTE + DROP — the
+    transcript a migrating user would actually run."""
+    n = db.execute_script(
+        """
+        -- inventory of products with a category lookup
+        CREATE TABLE category (cid U32 PRIMARY KEY, cname STRING);
+        INSERT INTO category VALUES (1, 'tool'), (2, 'toy');
+        CREATE TABLE product (
+            pid U32 PRIMARY KEY,
+            cid U32 REFERENCES category (cid),
+            price U32 CHECK (price > 0)
+        );
+        INSERT INTO product VALUES (10, 1, 500), (11, 1, 30), (12, 2, 80);
+        UPDATE product SET price = price + 20 WHERE cid = 2;
+        DELETE FROM product WHERE price < 60;
+        CREATE TABLE pricey AS
+            SELECT p.pid, c.cname, p.price
+            FROM product p, category c WHERE p.cid = c.cid;
+        DROP TABLE IF EXISTS scratch;
+        """
+    )
+    assert n == 8
+    rows = {r.pid: (r.cname, r.price) for r in db.table("pricey").collect()}
+    assert rows == {10: ("tool", 500), 12: ("toy", 100)}
+    # prepared statement over the CTAS result
+    stmt = db.prepare("SELECT pid FROM pricey WHERE price > ?")
+    db.table("pricey").createOrReplaceTempView("pricey")
+    assert {r.pid for r in stmt.execute(200).collect()} == {10}
+    # recursive CTE joining a session table
+    got = db.execute(
+        "WITH RECURSIVE r(n) AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM r WHERE n < 3) "
+        "SELECT count(*) AS c FROM r, pricey"
+    ).collect()
+    assert got[0].c == 3 * 2
