@@ -658,7 +658,38 @@ class LlamaSession:
                 f"  (step {step_plan})\n"
                 f"  (final {final_plan}))"
             )
-        return lisp_plan(self.spark.sql(_requote_idents(stripped)))
+        df = self.spark.sql(_requote_idents(stripped))
+        return lisp_plan(df) + self._search_notes(df)
+
+    def _search_notes(self, df: DataFrame) -> str:
+        """Append `(search …)` annotations — the reference planner's
+        index-range-scan op (docs/Query Planner.md: `(search TABLE
+        SOURCE-ID TABLE-INDEX MIN MAX)`) — for every scan that is
+        REALLY served by a clustered-index layout: the physical scan
+        must read that table's llamadb_idx_ materialization AND push
+        the indexed column into PushedFilters. Evidence-based, from
+        the executed plan, not the statement text."""
+        from llamadb_spark.plans.explain import formatted_plan
+
+        try:
+            phys = formatted_plan(df)
+        except Exception:  # noqa: BLE001 — notes are best-effort
+            return ""
+        notes = []
+        for name, spec in self.tables.items():
+            for idx, colname in spec.indexes:
+                for block in phys.split("Scan parquet"):
+                    if f"llamadb_idx_{name}_" not in block:
+                        continue
+                    m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+                    if m and colname in m.group(1):
+                        notes.append(
+                            f"\n;; (search `{name}` {idx} {colname}) — "
+                            "range served by the clustered index layout: "
+                            f"PushedFilters [{m.group(1)}]"
+                        )
+                        break
+        return "".join(notes)
 
     def _create_as_select(self, m: "re.Match") -> None:
         """CREATE TABLE … AS SELECT — schema inferred from the query

@@ -690,3 +690,20 @@ def test_full_dialect_script_integration(db):
         "SELECT count(*) AS c FROM r, pricey"
     ).collect()
     assert got[0].c == 3 * 2
+
+
+def test_explain_search_note_on_indexed_scan(db):
+    """EXPLAIN renders the reference planner's (search …) op (docs/
+    Query Planner.md) when — and only when — a filter is actually
+    served by the clustered-index layout's pushed filters."""
+    db.execute("CREATE TABLE metric (mid U32, reading U32)")
+    db.execute(
+        "INSERT INTO metric VALUES (1, 10), (2, 20), (3, 30), (4, 40)"
+    )
+    db.execute("CREATE INDEX ireading ON metric (reading)")
+    plan = db.explain("EXPLAIN SELECT mid FROM metric WHERE reading >= 25")
+    assert "(search `metric` ireading reading)" in plan
+    assert "PushedFilters" in plan
+    # no range predicate on the indexed column -> no search note
+    plain = db.explain("EXPLAIN SELECT mid FROM metric")
+    assert "(search" not in plain
