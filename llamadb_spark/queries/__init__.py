@@ -37,6 +37,7 @@ _LATE_ADDITIONS = frozenset(
         "q62_set_ops_all", "t22_source_divergence",
         "p13_winsorize", "t23_token_fertility",
         "d15_cluster_sizes", "q63_group_by_all",
+        "g03_triangle_count", "e20_user_concentration",
     }
 )
 

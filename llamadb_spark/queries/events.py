@@ -658,6 +658,64 @@ GROUP BY 1, 2
 """
 
 
+def e20_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration summary: Gini coefficient of events per
+    user plus the top-10-user share — the "is my event volume a few
+    whales or a broad base" number that decides whether per-user
+    sampling caps matter. Discrete Gini from the rank-weighted sum
+    (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over users sorted ascending.
+
+    Scale: one per-user aggregate, then a window over USERS (not
+    events) — the sort is user-cardinality-bounded; output is one
+    row.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
+    ranked = per_user.withColumn("i", F.row_number().over(w)).withColumn(
+        "nu", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("n")))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(F.col("i") > F.col("nu") - 10, F.col("n")).otherwise(0)
+            )
+            / F.sum("n"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
+ORACLE_E20 = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n ASC, user_id ASC) AS i,
+         count(*) OVER () AS nu
+  FROM per_user
+)
+SELECT count(*) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round((2.0 * sum(i * n)) / (count(*) * sum(n))
+             - (count(*) + 1.0) / count(*), 6) AS gini,
+       round(sum(CASE WHEN i > nu - 10 THEN n ELSE 0 END)
+             / CAST(sum(n) AS DOUBLE), 6) AS top10_share
+FROM ranked
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -678,6 +736,7 @@ QUERIES = {
     "e17_cep_match": e17_cep_match,
     "e18_bot_users": e18_bot_users,
     "e19_seasonality": e19_seasonality,
+    "e20_user_concentration": e20_user_concentration,
 }
 
 ORACLES = {
@@ -700,4 +759,5 @@ ORACLES = {
     "e17_cep_match": ORACLE_E17,
     "e18_bot_users": ORACLE_E18,
     "e19_seasonality": ORACLE_E19,
+    "e20_user_concentration": ORACLE_E20,
 }

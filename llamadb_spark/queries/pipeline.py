@@ -508,6 +508,95 @@ SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
 ORACLE_G02 = ORACLE_G02_TEMPLATE.replace("{d02}", ORACLE_D02)
 
 
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph + global clustering
+    coefficient — triangles distinguish transitive duplicate FAMILIES
+    (A~B~C~A: one boilerplate template) from coincidental pairwise
+    matches (A~B, B~C, A≁C: chained borderline similarity), which
+    decides whether cluster-level or pair-level remediation is right.
+
+    Classic two-join triangle counting on oriented edges: pairs
+    already carry a_id < b_id, so each triangle a<b<c is found
+    exactly once as (a,b)+(b,c) wedges closed by a semi-join on
+    (a,c). At 100 TB you'd orient by (degree, id) instead of raw id
+    to bound wedge fan-out by arboricity (the id orientation here is
+    equivalent work when ids are uncorrelated with degree); the
+    occupancy-capped pair graph keeps degrees bounded upstream.
+    Wedge count Σ d(d-1)/2 gives the clustering denominator.
+    """
+    from pyspark.sql.functions import col
+
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    pairs = pairs.localCheckpoint()  # 4 consumers below
+    wedges = (
+        pairs.select(col("a_id").alias("a"), col("b_id").alias("b"))
+        .join(
+            pairs.select(col("a_id").alias("b"), col("b_id").alias("c")), "b"
+        )
+        .select("a", "b", "c")
+    )
+    tris = wedges.join(
+        pairs.select(col("a_id").alias("a"), col("b_id").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    deg = (
+        pairs.select(F.explode(F.array("a_id", "b_id")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # three 1-row scalar aggregates cross-joined — fully declarative,
+    # nothing driver-side
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(
+            deg.agg(F.sum(col("d") * (col("d") - 1) / 2).alias("_w"))
+        )
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    col("_w") > 0, 3.0 * col("n_triangles") / col("_w")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+ORACLE_G03_TEMPLATE = r"""
+WITH pairs AS (
+  {d02}
+),
+e AS (SELECT a_id, b_id FROM pairs),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM e e1
+  JOIN e e2 ON e2.a_id = e1.b_id
+  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a_id AS node FROM e UNION ALL SELECT b_id FROM e
+  ) GROUP BY node
+),
+w AS (SELECT sum(d * (d - 1) / 2.0) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       CAST(n_tri AS BIGINT) AS n_triangles,
+       round(CASE WHEN n_wedges > 0 THEN 3.0 * n_tri / n_wedges
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM tri, w
+"""
+
+ORACLE_G03 = ORACLE_G03_TEMPLATE.replace("{d02}", ORACLE_D02)
+
+
 def t19_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective token yield per source: docs/tokens before and after
     lexical dedup (d07's survivor set) — the number a data team
@@ -2598,6 +2687,7 @@ QUERIES = {
     "p13_winsorize": p13_winsorize,
     "t23_token_fertility": t23_token_fertility,
     "d15_cluster_sizes": d15_cluster_sizes,
+    "g03_triangle_count": g03_triangle_count,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2655,6 +2745,7 @@ ORACLES = {
     "p13_winsorize": ORACLE_P13,
     "t23_token_fertility": ORACLE_T23,
     "d15_cluster_sizes": ORACLE_D15,
+    "g03_triangle_count": ORACLE_G03,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,
