@@ -38,6 +38,7 @@ _LATE_ADDITIONS = frozenset(
         "p13_winsorize", "t23_token_fertility",
         "d15_cluster_sizes", "q63_group_by_all",
         "g03_triangle_count", "e20_user_concentration",
+        "p14_shard_balance", "e21_transition_matrix",
     }
 )
 

@@ -716,6 +716,59 @@ FROM ranked
 """
 
 
+def e21_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts and conditional
+    probabilities of event-type transitions within each user's
+    timeline (P(next=B | prev=A)) — the Markov matrix behind
+    next-action prediction, funnel design, and bot fingerprinting
+    (bots have near-deterministic rows). Total ordering (ts,
+    event_id) makes the lag reproducible under retries.
+
+    Scale: one window shuffle on user_id, then a typeₓtype-bounded
+    aggregate; the probability normalization is a window over the
+    tiny matrix itself.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("p_next"),
+    )
+
+
+ORACLE_E21 = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p_next
+FROM counts
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -737,6 +790,7 @@ QUERIES = {
     "e18_bot_users": e18_bot_users,
     "e19_seasonality": e19_seasonality,
     "e20_user_concentration": e20_user_concentration,
+    "e21_transition_matrix": e21_transition_matrix,
 }
 
 ORACLES = {
@@ -760,4 +814,5 @@ ORACLES = {
     "e18_bot_users": ORACLE_E18,
     "e19_seasonality": ORACLE_E19,
     "e20_user_concentration": ORACLE_E20,
+    "e21_transition_matrix": ORACLE_E21,
 }

@@ -2611,6 +2611,50 @@ GROUP BY lang
 """
 
 
+#: Data-loader shard count for the p14 balance report.
+P14_N_SHARDS = 16
+
+
+def p14_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + balance report: every document is
+    deterministically hashed to one of N loader shards and the report
+    shows per-shard doc/token mass — the check that no data-loader
+    worker starves or hotspots (skew here directly serializes a
+    training run). Hash sharding is reproducible across runs and
+    cluster sizes (same contract as the p06 split).
+
+    Scale: one scan, one N-group aggregate; the token count is the
+    t03 whitespace contract.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.sampling import bucket_hash
+
+    docs = _docs(spark, sf_dir)
+    shard = bucket_hash(col("doc_id"), buckets=P14_N_SHARDS).alias("shard")
+    n_tok = F.size(F.filter(text_fns.tokens(col("text")), lambda x: x != ""))
+    return (
+        docs.select(shard, n_tok.alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_P14 = rf"""
+WITH d AS (
+  SELECT ((doc_id % 100003) * 2654435761) % {P14_N_SHARDS} AS shard,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM d GROUP BY shard
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2688,6 +2732,7 @@ QUERIES = {
     "t23_token_fertility": t23_token_fertility,
     "d15_cluster_sizes": d15_cluster_sizes,
     "g03_triangle_count": g03_triangle_count,
+    "p14_shard_balance": p14_shard_balance,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2746,6 +2791,7 @@ ORACLES = {
     "t23_token_fertility": ORACLE_T23,
     "d15_cluster_sizes": ORACLE_D15,
     "g03_triangle_count": ORACLE_G03,
+    "p14_shard_balance": ORACLE_P14,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,
