@@ -2655,6 +2655,147 @@ FROM d GROUP BY shard
 """
 
 
+def s13_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: nearest neighbors restricted to the
+    query's OWN label (metadata pre-filter + ANN — "similar items in
+    the same category", the retrieval shape recommendation and RAG
+    systems actually serve). The filter applies BEFORE scoring, so
+    the result is exact within the filtered corpus — not a post-hoc
+    filter of top-k from everywhere, which under-fills k for rare
+    labels.
+
+    Scale: the label equi-join IS the pre-filter (queries are a
+    broadcast-size set; each scores only its label's partition of
+    the corpus) — a selective filter shrinks compute proportionally,
+    the property a post-filter ANN lacks.
+    """
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.functions.vector import as_double, cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(col("vec_id").isin(KNN_QUERY_IDS)).select(
+        col("vec_id").alias("query_id"),
+        as_double(col("embedding")).alias("q_v"),
+        col("label").alias("q_label"),
+    )
+    c = emb.select(
+        col("vec_id").alias("neighbor_id"),
+        as_double(col("embedding")).alias("c_v"),
+        col("label").alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, col("q_label") == col("c_label"))
+        .filter(col("neighbor_id") != col("query_id"))
+        .withColumn("cos", F.round(cosine(col("q_v"), col("c_v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        col("cos").desc(), col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= KNN_K)
+        .select("query_id", col("q_label").alias("label"), "neighbor_id", "cos", "rank")
+    )
+
+
+ORACLE_S13 = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label, v AS q_v FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_v, e.v), 6) AS cos
+  FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.query_id
+)
+SELECT query_id, label, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {KNN_K}
+"""
+
+
+#: Lower bound for the d16 similarity sweep — spans BELOW the
+#: production JACCARD_THRESHOLD (0.12) so the curve shows both sides
+#: of the chosen operating point.
+D16_MIN_J = 0.05
+
+
+def d16_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold tuning curve: near-dup pair counts per
+    0.1-wide Jaccard band from 0.3 up — ONE pass at the lowered
+    threshold instead of re-running dedup per candidate threshold.
+    The curve is how the production threshold gets chosen (the knee
+    where pair volume explodes marks where 'near-dup' stops meaning
+    duplication and starts meaning topical similarity).
+    """
+    from pyspark.sql.functions import col
+
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=D16_MIN_J,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    )
+    bucket = F.round(F.floor(col("jaccard") * 10) / 10, 1)
+    # sum in integer micro-jaccards: float averaging is partition-
+    # order dependent in the last ulp, which flips a 6dp round on
+    # boundary values — integers can't
+    micro = F.round(col("jaccard") * 1_000_000).cast("bigint")
+    return pairs.groupBy(bucket.alias("j_band")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(micro).alias("sum_j_micros"),
+    )
+
+
+ORACLE_D16 = f"""
+WITH pairs AS (
+{ORACLE_D02.replace(f">= {JACCARD_THRESHOLD}", f">= {D16_MIN_J}")}
+)
+SELECT round(floor(jaccard * 10) / 10, 1) AS j_band,
+       count(*) AS n_pairs,
+       CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_j_micros
+FROM pairs GROUP BY 1
+"""
+
+# the sweep oracle must really carry the lowered threshold — a silent
+# failed replace would diverge from the Spark side's D16_MIN_J
+assert f">= {D16_MIN_J}" in ORACLE_D16
+
+
+def t24_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-band census (the CCNet bucketing step): documents
+    and token mass per 0.25-nat band of unigram log-prob — the table
+    a quality-filtered training mix is budgeted from ("keep the top
+    two bands, sample the middle, drop the tail"). Bands come from
+    t14's per-doc scores; both engines round scores to 6dp first, so
+    band edges agree exactly.
+    """
+    from pyspark.sql.functions import col
+
+    scored = textops.unigram_logprob(_docs(spark, sf_dir))
+    band = F.round(F.floor(col("avg_logprob") * 4) / 4, 2)
+    return scored.groupBy(band.alias("lp_band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+ORACLE_T24 = f"""
+WITH scored AS (
+{ORACLE_T14}
+)
+SELECT round(floor(avg_logprob * 4) / 4, 2) AS lp_band,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM scored GROUP BY 1
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2733,6 +2874,9 @@ QUERIES = {
     "d15_cluster_sizes": d15_cluster_sizes,
     "g03_triangle_count": g03_triangle_count,
     "p14_shard_balance": p14_shard_balance,
+    "s13_filtered_knn": s13_filtered_knn,
+    "d16_threshold_sweep": d16_threshold_sweep,
+    "t24_quality_bands": t24_quality_bands,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2792,6 +2936,9 @@ ORACLES = {
     "d15_cluster_sizes": ORACLE_D15,
     "g03_triangle_count": ORACLE_G03,
     "p14_shard_balance": ORACLE_P14,
+    "s13_filtered_knn": ORACLE_S13,
+    "d16_threshold_sweep": ORACLE_D16,
+    "t24_quality_bands": ORACLE_T24,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,
