@@ -92,6 +92,9 @@ _ALLOWED_HINTS = {
     "t21_source_overlap": 2,  # per-source set-size table, n_sources rows
     "s12_cluster_balance": 1,  # 1-row total scalar
     "p13_winsorize": 1,  # per-language clip-bounds table, n_langs rows
+    "s13_filtered_knn": 1,  # caller-bounded query set (|KNN_QUERY_IDS|)
+    "d16_threshold_sweep": 4,  # the d02 pair-generation plan's hints
+    "t24_quality_bands": 1,  # 1-row corpus-total scalar (t14's plan)
 }
 
 
