@@ -40,6 +40,7 @@ _LATE_ADDITIONS = frozenset(
         "g03_triangle_count", "e20_user_concentration",
         "p14_shard_balance", "e21_transition_matrix",
         "s13_filtered_knn", "d16_threshold_sweep", "t24_quality_bands",
+        "s14_silhouette",
     }
 )
 

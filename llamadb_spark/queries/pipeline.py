@@ -2796,6 +2796,103 @@ FROM scored GROUP BY 1
 """
 
 
+def s14_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette per label: for each vector, a = euclidean
+    distance to its OWN label centroid, b = distance to the nearest
+    OTHER centroid, silhouette = (b−a)/max(a,b) — the standard "are
+    these classes actually separated in embedding space" score
+    (negative mean ⇒ the label's members sit closer to another
+    class's prototype than their own: a labeling or embedding
+    problem). The centroid form is the O(N·k) approximation of full
+    silhouette's O(N²) pairwise distances — the only version that
+    scales.
+
+    Determinism: centroids are rounded to 6dp in BOTH engines before
+    any distance (the s05 contract), and per-vector silhouettes sum
+    as integer micro-units (the d16 rule) so partition order can't
+    flip the mean.
+
+    Scale: one k-row broadcast (the packed centroid table) against
+    the corpus → N·k distance rows → per-label aggregate.
+    """
+    from pyspark.sql.functions import broadcast, col
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        similarity.label_centroids(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select(col("label").alias("c_label"), "cv")
+    )
+    v = emb.select(
+        "vec_id", "label",
+        F.transform(col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(col("ev"), col("cv"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dists = v.crossJoin(broadcast(cents)).select(
+        "vec_id", "label", "c_label", dist.alias("d")
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(col("c_label") == col("label"), col("d"))).alias("a"),
+        F.min(F.when(col("c_label") != col("label"), col("d"))).alias("b"),
+    )
+    sil_micro = F.round(
+        1_000_000.0 * (col("b") - col("a")) / F.greatest("a", "b")
+    ).cast("bigint")
+    return ab.select("label", sil_micro.alias("sm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("sm") / 1_000_000.0 / F.count(F.lit(1)), 4).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+ORACLE_S14 = """
+WITH cent AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(x), 6) AS c
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  )
+  GROUP BY 1, 2
+),
+cent_arr AS (
+  SELECT label AS c_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label
+),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+dists AS (
+  SELECT v.vec_id, v.label, c.c_label, list_distance(v.ev, c.cv) AS d
+  FROM v CROSS JOIN cent_arr c
+),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN c_label = label THEN d END) AS a,
+         min(CASE WHEN c_label <> label THEN d END) AS b
+  FROM dists GROUP BY 1, 2
+),
+sil AS (
+  SELECT label,
+         CAST(round(1000000.0 * (b - a) / greatest(a, b)) AS BIGINT) AS sm
+  FROM ab
+)
+SELECT label, count(*) AS n_vecs,
+       round(sum(sm) / 1000000.0 / count(*), 4) AS mean_silhouette
+FROM sil GROUP BY label
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2877,6 +2974,7 @@ QUERIES = {
     "s13_filtered_knn": s13_filtered_knn,
     "d16_threshold_sweep": d16_threshold_sweep,
     "t24_quality_bands": t24_quality_bands,
+    "s14_silhouette": s14_silhouette,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -2939,6 +3037,7 @@ ORACLES = {
     "s13_filtered_knn": ORACLE_S13,
     "d16_threshold_sweep": ORACLE_D16,
     "t24_quality_bands": ORACLE_T24,
+    "s14_silhouette": ORACLE_S14,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

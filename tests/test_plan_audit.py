@@ -95,6 +95,7 @@ _ALLOWED_HINTS = {
     "s13_filtered_knn": 1,  # caller-bounded query set (|KNN_QUERY_IDS|)
     "d16_threshold_sweep": 4,  # the d02 pair-generation plan's hints
     "t24_quality_bands": 1,  # 1-row corpus-total scalar (t14's plan)
+    "s14_silhouette": 1,  # packed centroid table, |labels| rows
 }
 
 
