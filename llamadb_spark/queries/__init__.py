@@ -40,7 +40,8 @@ _LATE_ADDITIONS = frozenset(
         "g03_triangle_count", "e20_user_concentration",
         "p14_shard_balance", "e21_transition_matrix",
         "s13_filtered_knn", "d16_threshold_sweep", "t24_quality_bands",
-        "s14_silhouette",
+        "s14_silhouette", "q64_exists_projection",
+        "t25_vocab_growth", "e22_session_durations",
     }
 )
 

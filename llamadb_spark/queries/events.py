@@ -769,6 +769,89 @@ FROM counts
 """
 
 
+def e22_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: gap-based sessions (30-minute
+    inactivity boundary, the e02 contract) summarized as the
+    engagement numbers a product review actually reads — session
+    count, single-event share, and exact duration quartiles in
+    seconds.
+
+    Scale: one window shuffle on user_id for the lag/cumsum session
+    ids, one per-session aggregate, one global percentile pass over
+    SESSIONS (session-cardinality-bounded, not event-bounded).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts").cast("double")).over(w)
+        > 1800
+    )
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "sid",
+            F.sum(
+                F.when(new_sess, 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            (
+                F.max(F.col("ts").cast("double"))
+                - F.min(F.col("ts").cast("double"))
+            ).alias("dur_s"),
+        )
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("single_event_share"),
+        F.round(F.expr("percentile(dur_s, 0.25)"), 3).alias("p25_dur_s"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 3).alias("p50_dur_s"),
+        F.round(F.expr("percentile(dur_s, 0.75)"), 3).alias("p75_dur_s"),
+    )
+
+
+ORACLE_E22 = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_ids AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_ev,
+         epoch(max(ts)) - epoch(min(ts)) AS dur_s
+  FROM sess_ids GROUP BY 1, 2
+)
+SELECT count(*) AS n_sessions,
+       round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS single_event_share,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY dur_s), 3)
+         AS p25_dur_s,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY dur_s), 3)
+         AS p50_dur_s,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY dur_s), 3)
+         AS p75_dur_s
+FROM sess
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -791,6 +874,7 @@ QUERIES = {
     "e19_seasonality": e19_seasonality,
     "e20_user_concentration": e20_user_concentration,
     "e21_transition_matrix": e21_transition_matrix,
+    "e22_session_durations": e22_session_durations,
 }
 
 ORACLES = {
@@ -815,4 +899,5 @@ ORACLES = {
     "e19_seasonality": ORACLE_E19,
     "e20_user_concentration": ORACLE_E20,
     "e21_transition_matrix": ORACLE_E21,
+    "e22_session_durations": ORACLE_E22,
 }

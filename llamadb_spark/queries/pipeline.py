@@ -2893,6 +2893,55 @@ FROM sil GROUP BY label
 """
 
 
+def t25_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law view): processing sources
+    in a fixed (lexicographic) order, how many DISTINCT tokens does
+    each source add that no earlier source contained — the marginal
+    novelty a new crawl contributes, which is what decides whether
+    ingesting it is worth the compute. A flat tail means new sources
+    re-tread the same vocabulary (redundant with t21's pairwise
+    overlap; this is the cumulative view).
+
+    Scale: one (token → first source) aggregate over the distinct
+    (source, token) set — first-occurrence attribution is min(source)
+    per token, one shuffle, no per-prefix rescans.
+    """
+    from pyspark.sql.functions import col
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(text_fns.tokens(col("text"))).alias("token"))
+        .filter(col("token") != "")
+        .distinct()
+    )
+    first = tok.groupBy("token").agg(F.min("source").alias("source"))
+    per_src = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    new = first.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        per_src.join(new, "source", "left")
+        .select(
+            "source",
+            "n_vocab",
+            F.coalesce(col("n_new"), F.lit(0)).alias("n_new_tokens"),
+        )
+    )
+
+
+ORACLE_T25 = r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+clean AS (SELECT source, token FROM tok WHERE token <> ''),
+first AS (SELECT token, min(source) AS source FROM clean GROUP BY token),
+per_src AS (SELECT source, count(*) AS n_vocab FROM clean GROUP BY source),
+new AS (SELECT source, count(*) AS n_new FROM first GROUP BY source)
+SELECT p.source, p.n_vocab, coalesce(n.n_new, 0) AS n_new_tokens
+FROM per_src p LEFT JOIN new n ON n.source = p.source
+"""
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -2975,6 +3024,7 @@ QUERIES = {
     "d16_threshold_sweep": d16_threshold_sweep,
     "t24_quality_bands": t24_quality_bands,
     "s14_silhouette": s14_silhouette,
+    "t25_vocab_growth": t25_vocab_growth,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -3038,6 +3088,7 @@ ORACLES = {
     "d16_threshold_sweep": ORACLE_D16,
     "t24_quality_bands": ORACLE_T24,
     "s14_silhouette": ORACLE_S14,
+    "t25_vocab_growth": ORACLE_T25,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

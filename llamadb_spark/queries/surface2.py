@@ -344,6 +344,33 @@ def q63_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q63 = _Q63_SQL
 
 
+# ---------------------------------------------------------------------------
+# 233: EXISTS as a boolean PROJECTION (not a filter) — the flag-
+# column form reports use (`has_urgent_order`), decorrelated by
+# Spark into a left-semi-derived boolean rather than a per-row
+# subquery execution. Identical text both engines.
+# ---------------------------------------------------------------------------
+_Q64_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q64_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q64_SQL)
+
+
+ORACLE_Q64 = _Q64_SQL
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -354,6 +381,7 @@ QUERIES = {
     "q61_recursive_cte": q61_recursive_cte,
     "q62_set_ops_all": q62_set_ops_all,
     "q63_group_by_all": q63_group_by_all,
+    "q64_exists_projection": q64_exists_projection,
 }
 
 ORACLES = {
@@ -366,4 +394,5 @@ ORACLES = {
     "q61_recursive_cte": ORACLE_Q61,
     "q62_set_ops_all": ORACLE_Q62,
     "q63_group_by_all": ORACLE_Q63,
+    "q64_exists_projection": ORACLE_Q64,
 }
