@@ -593,3 +593,51 @@ def pmi_collocations(
         .orderBy(col("pmi").desc(), col("bigram"))
         .limit(k)
     )
+
+
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) —
+    the redundancy quality signal (Gopher-style filters drop docs
+    that compress too well: boilerplate/repetition; and docs that
+    barely compress: binary junk mis-labeled as text). Computed in an
+    Arrow-batched mapInPandas stage (zlib is stdlib — the one
+    justified Python hop, same class as the media decode stub); only
+    (id, n_raw) cross into Python, ratios come back as doubles.
+
+    Output: (id, n_raw_bytes, n_zlib_bytes, zlib_ratio) for docs
+    with non-empty text.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _ratio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            n_raw = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_raw_bytes": pd.Series(n_raw, dtype="int64"),
+                    "n_zlib_bytes": pd.Series(comp, dtype="int64"),
+                }
+            )
+
+    out = docs.select(id_col, text_col).filter(
+        F.length(col(text_col)) > 0
+    ).mapInPandas(
+        _ratio, f"{id_col} long, n_raw_bytes long, n_zlib_bytes long"
+    )
+    return out.select(
+        id_col,
+        "n_raw_bytes",
+        "n_zlib_bytes",
+        F.round(col("n_zlib_bytes") / col("n_raw_bytes"), 6).alias(
+            "zlib_ratio"
+        ),
+    )

@@ -2942,6 +2942,13 @@ FROM per_src p LEFT JOIN new n ON n.source = p.source
 """
 
 
+def t26_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: zlib has no DuckDB twin; monotonicity/bounds
+    # invariants (repetitive text compresses harder than diverse
+    # text, ratios bounded) are asserted in tests/test_text.py.
+    return textops.compression_ratio(_docs(spark, sf_dir))
+
+
 def s12_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: k-means assignment has no DuckDB twin; occupancy
     # mass/range invariants are asserted in tests/test_similarity.py.
@@ -3025,6 +3032,7 @@ QUERIES = {
     "t24_quality_bands": t24_quality_bands,
     "s14_silhouette": s14_silhouette,
     "t25_vocab_growth": t25_vocab_growth,
+    "t26_compression_ratio": t26_compression_ratio,
     "s12_cluster_balance": s12_cluster_balance,
 }
 

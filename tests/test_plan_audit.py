@@ -119,7 +119,7 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # hyperplane-LSH projection, media decode — higher-order-function
     # formulations of these run interpreted, never codegen). SQL
     # queries must stay fully JVM-side.
-    allowed_prefixes = ("d05", "m02", "s03", "s02", "d12", "m06", "s12")
+    allowed_prefixes = ("d05", "m02", "s03", "s02", "d12", "m06", "s12", "t26")
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):
             continue

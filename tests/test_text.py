@@ -104,3 +104,24 @@ def test_word_shingle_widths(spark):
 
     with _pytest.raises(ValueError):
         word_shingles_fast(docs, "doc_id", "text", n=0)
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """The zlib-ratio quality signal: repetitive text must compress
+    harder (lower ratio) than diverse text, and ratios stay in sane
+    bounds for non-trivial inputs."""
+    from pyspark.sql import Row
+
+    from llamadb_spark.operators.textops import compression_ratio
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="spam " * 400),                    # pure repetition
+        Row(doc_id=2, text=" ".join(f"w{i}x{i*7%13}" for i in range(400))),
+        Row(doc_id=3, text=""),                               # dropped
+    ])
+    rows = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].zlib_ratio < rows[2].zlib_ratio
+    for r in rows.values():
+        assert 0.0 < r.zlib_ratio <= 1.1
+        assert r.n_zlib_bytes > 0 and r.n_raw_bytes > 0
