@@ -42,7 +42,7 @@ _LATE_ADDITIONS = frozenset(
         "s13_filtered_knn", "d16_threshold_sweep", "t24_quality_bands",
         "s14_silhouette", "q64_exists_projection",
         "t25_vocab_growth", "e22_session_durations",
-        "t26_compression_ratio",
+        "t26_compression_ratio", "d17_pair_provenance", "e23_weekly_churn",
     }
 )
 

@@ -852,6 +852,76 @@ FROM sess
 """
 
 
+def e23_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of the users active in week W, how many never
+    appear in week W+1 — THE retention-health number (e10's cohort
+    matrix is the acquisition view; this is the ongoing-loss view).
+    The final week is excluded (it has no W+1 to churn into — keeping
+    it would report a 100% churn artifact).
+
+    Scale: distinct (user, week) is the only corpus-sized aggregate;
+    the churn join matches each active row against the same tiny
+    activity set shifted one week — both sides user-week-bounded.
+    """
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    active = active.localCheckpoint()  # both join sides + the max scalar
+    nxt = active.select(
+        "user_id",
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("week"),
+    )
+    flagged = active.join(nxt, ["user_id", "week"], "left_anti").select(
+        "week", F.lit(1).alias("churned")
+    )
+    per_week = (
+        active.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(
+            flagged.groupBy("week").agg(F.count(F.lit(1)).alias("n_churned")),
+            "week",
+            "left",
+        )
+    )
+    last_week = active.agg(F.max("week").alias("_mx"))
+    return (
+        per_week.join(F.broadcast(last_week), per_week.week < F.col("_mx"))
+        .select(
+            "week",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            F.round(
+                F.coalesce("n_churned", F.lit(0)) / F.col("n_active"), 6
+            ).alias("churn_rate"),
+        )
+    )
+
+
+ORACLE_E23 = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+churned AS (
+  SELECT a.week, count(*) AS n_churned
+  FROM active a
+  WHERE NOT EXISTS (SELECT 1 FROM active n
+                    WHERE n.user_id = a.user_id
+                      AND n.week = a.week + INTERVAL 7 DAY)
+  GROUP BY a.week
+)
+SELECT a.week, count(*) AS n_active,
+       coalesce(max(c.n_churned), 0) AS n_churned,
+       round(coalesce(max(c.n_churned), 0)
+             / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+FROM active a LEFT JOIN churned c ON c.week = a.week
+WHERE a.week < (SELECT max(week) FROM active)
+GROUP BY a.week
+"""
+
+
 QUERIES = {
     "e01_events_window": e01_events_window,
     "e02_sessionize": e02_sessionize,
@@ -875,6 +945,7 @@ QUERIES = {
     "e20_user_concentration": e20_user_concentration,
     "e21_transition_matrix": e21_transition_matrix,
     "e22_session_durations": e22_session_durations,
+    "e23_weekly_churn": e23_weekly_churn,
 }
 
 ORACLES = {
@@ -900,4 +971,5 @@ ORACLES = {
     "e20_user_concentration": ORACLE_E20,
     "e21_transition_matrix": ORACLE_E21,
     "e22_session_durations": ORACLE_E22,
+    "e23_weekly_churn": ORACLE_E23,
 }

@@ -2942,6 +2942,63 @@ FROM per_src p LEFT JOIN new n ON n.source = p.source
 """
 
 
+def d17_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do near-duplicates come from — the SAME source
+    (re-crawl/retry artifacts, fixable upstream) or ACROSS sources
+    (syndication/mirrors, inherent to the web)? Counts per canonical
+    source pair with an intra/cross flag; the answer decides whether
+    dedup budget goes into crawl hygiene or cross-source blocking.
+
+    Scale: two dim-bounded joins of the (tiny) pair list back onto
+    (doc_id → source); the aggregate key space is n_sources².
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    pairs = dedup.jaccard_ngram_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    tagged = (
+        pairs.join(
+            docs.select(col("doc_id").alias("a_id"), col("source").alias("src_a")),
+            "a_id",
+        )
+        .join(
+            docs.select(col("doc_id").alias("b_id"), col("source").alias("src_b")),
+            "b_id",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+        )
+    )
+    return tagged.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(F.when(col("src_lo") == col("src_hi"), "intra").otherwise("cross")).alias(
+            "kind"
+        ),
+    )
+
+
+ORACLE_D17 = rf"""
+WITH pairs AS (
+  {ORACLE_D02}
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a_id
+  JOIN documents db ON db.doc_id = p.b_id
+)
+SELECT src_lo, src_hi, count(*) AS n_pairs,
+       CASE WHEN src_lo = src_hi THEN 'intra' ELSE 'cross' END AS kind
+FROM tagged GROUP BY 1, 2
+"""
+
+
 def t26_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: zlib has no DuckDB twin; monotonicity/bounds
     # invariants (repetitive text compresses harder than diverse
@@ -3033,6 +3090,7 @@ QUERIES = {
     "s14_silhouette": s14_silhouette,
     "t25_vocab_growth": t25_vocab_growth,
     "t26_compression_ratio": t26_compression_ratio,
+    "d17_pair_provenance": d17_pair_provenance,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -3097,6 +3155,7 @@ ORACLES = {
     "t24_quality_bands": ORACLE_T24,
     "s14_silhouette": ORACLE_S14,
     "t25_vocab_growth": ORACLE_T25,
+    "d17_pair_provenance": ORACLE_D17,
     "m03_frame_sample": ORACLE_M03,
     "m04_payload_chunks": ORACLE_M04,
     "m05_media_dedup": ORACLE_M05,

@@ -96,6 +96,8 @@ _ALLOWED_HINTS = {
     "d16_threshold_sweep": 4,  # the d02 pair-generation plan's hints
     "t24_quality_bands": 1,  # 1-row corpus-total scalar (t14's plan)
     "s14_silhouette": 1,  # packed centroid table, |labels| rows
+    "d17_pair_provenance": 4,  # the d02 pair-generation plan's hints
+    "e23_weekly_churn": 1,  # 1-row max-week scalar
 }
 
 
