@@ -24,31 +24,22 @@ from llamadb_spark.queries import (
 
 _MODULES = (core, pipeline, events, olap, surface, advanced, surface2, tpch)
 
-#: Keys added AFTER the round-4 rotation was locked. They rank behind
-#: the never-checked r03-era keys so they can't push those out of the
-#: driver's bounded 50-key prefix; they get official rows in round 5.
+#: Keys added in round 5 (after the round-4 rotation was locked).
+#: They rank behind the 36 never-driver-checked keys plus s09 (whose
+#: r04 row is an `err`, not an attestation) so those close their
+#: evidence gap inside round 5's bounded 50-key prefix first.
 _LATE_ADDITIONS = frozenset(
     {
-        "q55_right_join", "q56_qualify_latest", "q57_values_inline",
-        "q58_date_arith", "q59_multi_pivot", "q60_rows_frame",
-        "m06_media_filter", "p12_dup_weights",
-        "t21_source_overlap", "s12_cluster_balance", "e19_seasonality",
-        "q61_recursive_cte", "a04_asof_tolerance",
-        "q62_set_ops_all", "t22_source_divergence",
-        "p13_winsorize", "t23_token_fertility",
-        "d15_cluster_sizes", "q63_group_by_all",
-        "g03_triangle_count", "e20_user_concentration",
-        "p14_shard_balance", "e21_transition_matrix",
-        "s13_filtered_knn", "d16_threshold_sweep", "t24_quality_bands",
-        "s14_silhouette", "q64_exists_projection",
-        "t25_vocab_growth", "e22_session_durations",
-        "t26_compression_ratio", "d17_pair_provenance", "e23_weekly_churn",
+        "q65_insert_select",
+        "e24_transition_stream",
     }
 )
 
-#: Keys with a green row in any CORRECTNESS_r0*.json — deprioritized
-#: so the driver's bounded 50-key check reaches the never-checked rest
-#: (h03-h21, q37-q53, p03, s09, s10, t13, a02 as of round 4).
+#: Keys with a green (or rows-only-by-design) row in some
+#: CORRECTNESS_r0*.json — deprioritized so the driver's bounded
+#: 50-key check reaches the never-checked rest (the 36 keys listed in
+#: VERDICT r04 "What's missing" §1, plus s09 whose r04 row was an
+#: output-contract error, fixed this round).
 _DRIVER_CHECKED = frozenset(
     {
         # round 3 (CORRECTNESS_r03.json)
@@ -87,6 +78,28 @@ _DRIVER_CHECKED = frozenset(
         "t01_langid", "t02_quality_score", "t03_token_count",
         "t04_fingerprint", "t05_vocab_topk", "t06_repetition",
         "t07_pii_scrub", "t08_chunk_documents",
+        # round 4 (CORRECTNESS_r04.json) — s09 excluded: its row was
+        # `err` (driver canonicalizer vs array<double>), so it stays
+        # in the front prefix for an attestable r05 row.
+        "a03_asof_forward", "d13_incremental_dedup",
+        "d14_containment_pairs", "e17_cep_match", "e18_bot_users",
+        "g01_pagerank", "g02_degree_histogram", "h03_shipping_priority",
+        "h04_priority_checking", "h05_local_supplier_volume",
+        "h06_revenue_forecast", "h07_volume_shipping",
+        "h09_product_type_profit", "h10_returned_items",
+        "h11_important_stock", "h12_ship_priority_class",
+        "h14_promo_effect", "h16_supplier_counts", "h18_large_orders",
+        "h19_discounted_revenue", "h20_potential_promotion",
+        "h21_waiting_suppliers", "m05_media_dedup", "p03_pack_sequences",
+        "p11_weighted_sample", "q37_decimal_exact", "q38_range_frame",
+        "q39_semi_join", "q40_conditional_agg", "q41_array_hof",
+        "q42_cte_top_supplier", "q43_min_cost_supplier",
+        "q44_market_share", "q45_unpivot", "q46_scd2_intervals",
+        "q47_window_dist", "q48_grouping_id", "q49_pagination",
+        "q50_nulls_order", "q51_string_agg", "q52_histogram",
+        "q53_mode_disc", "q54_lateral_topk", "s11_rerank_ann",
+        "t13_heavy_hitters", "t16_bigram_logprob", "t17_zipf_slope",
+        "t19_token_yield", "t20_quality_deciles",
     }
 )
 

@@ -2165,7 +2165,22 @@ FROM x GROUP BY dim
 def s09_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: eigendecomposition has no SQL twin; variance /
     # orthogonality invariants are asserted in tests/test_similarity.py.
-    return similarity.pca_project(_emb(spark, sf_dir), k=8)
+    #
+    # Driver output contract (VERDICT r04 §wrong-1): the raw
+    # (vec_id, pc array<double>) form broke the driver's pandas
+    # canonicalizer (`unhashable type: 'list'`), so the projection is
+    # exploded to hashable scalars (vec_id, component, value) —
+    # 6dp-rounded, N·k rows. Eigenvector SIGN is implementation-
+    # defined, so cross-engine/round comparisons must stay
+    # sign-invariant; within one run the values are deterministic.
+    proj = similarity.pca_project(_emb(spark, sf_dir), k=8)
+    return proj.select(
+        "vec_id", F.posexplode("pc").alias("component", "value")
+    ).select(
+        "vec_id",
+        F.col("component").cast("long").alias("component"),
+        F.round("value", 6).alias("value"),
+    )
 
 
 def s10_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
