@@ -58,8 +58,15 @@ def main() -> None:
             else:
                 out = db.execute(joined)
                 if out is not None:
-                    out.show(50, truncate=False)
-                    print(f"{out.count()} rows selected.")
+                    from llamadb_spark.sql.pretty import pretty_select
+
+                    # reference-format table (prettyselect.rs parity,
+                    # 32-row pages like cli/src/main.rs:108); a CLI
+                    # result set is user-bounded, so collect() is the
+                    # same full iteration the reference performs
+                    text, n = pretty_select(out.columns, out.collect())
+                    print(text)
+                    print(f"{n} rows selected.")
         except LlamaError as exc:
             print(f"error: {exc}")
         except Exception as exc:  # noqa: BLE001

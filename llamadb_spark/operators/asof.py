@@ -98,8 +98,14 @@ def asof_join(
             )
             <= float(tolerance_s)
         )
+        # drop exactly the carried columns generated above — an
+        # endswith(suffix) test would also drop a LEFT column that
+        # happens to end with "_right" and break the final select
+        carried_names = {f"{c}{suffix}" for c in right_value_cols} | {
+            f"{right_ts}{suffix}"
+        }
         out = out.select(
-            *[c for c in out.columns if not c.endswith(suffix)],
+            *[c for c in out.columns if c not in carried_names],
             *[
                 F.when(within, col(f"{c}{suffix}"))
                 .otherwise(lit(None))

@@ -56,7 +56,7 @@ def embed_neardup_pairs(
 
     def _to_mat(series) -> "np.ndarray":
         m = np.array([np.asarray(t, dtype=np.float64) for t in series])
-        return m / np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
     if strategy == "broadcast":
         rows = (
@@ -214,7 +214,9 @@ def ivf_train_centroids(
         .collect()
     )
     cents = np.array([np.asarray(r._v, dtype=np.float64) for r in seeds])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # clamp: a zero-norm seed/vector must not poison the matrix with
+    # NaNs (it normalizes to the zero vector and lands in cell 0)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)
@@ -225,7 +227,7 @@ def ivf_train_centroids(
                 m = np.array(
                     [np.asarray(x, dtype=np.float64) for x in batch["_v"]]
                 )
-                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
                 cell = np.argmax(m_n @ c.T, axis=1)
                 yield pd.DataFrame({"cell": cell, "_v": batch["_v"]})
 
@@ -284,7 +286,7 @@ def ivf_cluster_sizes(
         c = bc.value
         for batch in batches:
             m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
-            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             yield pd.DataFrame({"cell": np.argmax(m_n @ c.T, axis=1)})
 
     assigned = v.mapInPandas(_assign, "cell int")
@@ -341,7 +343,7 @@ def ivf_topk(
         c = bc.value
         for batch in batches:
             m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
-            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(m_n @ c.T, axis=1)
             yield pd.DataFrame(
                 {"neighbor_id": batch["_id"], "cell": cell, "c_v": batch["_v"]}
@@ -355,7 +357,7 @@ def ivf_topk(
         c = bc.value
         for batch in batches:
             m = np.array([np.asarray(x, dtype=np.float64) for x in batch["_v"]])
-            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m_n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             order = np.argsort(-(m_n @ c.T), axis=1)[:, :nprobe]
             n = len(batch)
             yield pd.DataFrame(
@@ -605,7 +607,7 @@ def mmr_rerank(
     ids = np.array([r._id for r in rows], dtype=np.int64)
     rel = np.array([r._rel for r in rows], dtype=np.float64)
     mat = np.array([np.asarray(r._v, dtype=np.float64) for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     selected: list[int] = []
     remaining = list(range(len(ids)))

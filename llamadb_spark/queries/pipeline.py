@@ -2304,31 +2304,42 @@ def p12_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sha2 groupBy (the d01 shuffle, digest+count only), then
     the per-doc weight rides a sha-keyed join back onto (doc_id,
     source, sha) — both sides pre-projected; one final 5-group agg.
+
+    Determinism: weights are summed as integer micro-units
+    (floor(1e6/n_copies), exact longs — the d16/s14 discipline)
+    because a double Σ(1/n) is partition-order dependent in the last
+    ulp and a 6dp round of it can flip between runs/engines.
     """
     docs = _docs(spark, sf_dir).select(
         "doc_id", "source", F.sha2("text", 256).alias("sha")
     )
     sizes = docs.groupBy("sha").agg(F.count(F.lit(1)).alias("n_copies"))
     weighted = docs.join(sizes, "sha").select(
-        "source", (F.lit(1.0) / F.col("n_copies")).alias("w")
+        "source",
+        F.floor(F.lit(1000000.0) / F.col("n_copies"))
+        .cast("long")
+        .alias("w_micro"),
     )
     return weighted.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("w"), 6).alias("effective_docs"),
-        F.round(F.lit(1.0) - F.sum("w") / F.count(F.lit(1)), 6).alias(
-            "dup_tax"
-        ),
+        F.round(F.sum("w_micro") / 1e6, 6).alias("effective_docs"),
+        F.round(
+            F.lit(1.0) - F.sum("w_micro") / (F.lit(1e6) * F.count(F.lit(1))),
+            6,
+        ).alias("dup_tax"),
     )
 
 
 ORACLE_P12 = """
 WITH sized AS (
-  SELECT source, 1.0 / count(*) OVER (PARTITION BY sha256(text)) AS w
+  SELECT source,
+         CAST(floor(1000000.0 / count(*) OVER (PARTITION BY sha256(text)))
+              AS BIGINT) AS w_micro
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       round(sum(w), 6) AS effective_docs,
-       round(1.0 - sum(w) / count(*), 6) AS dup_tax
+       round(sum(w_micro) / 1000000.0, 6) AS effective_docs,
+       round(1.0 - sum(w_micro) / (1000000.0 * count(*)), 6) AS dup_tax
 FROM sized
 GROUP BY source
 """
@@ -2453,15 +2464,31 @@ def t22_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("m", (col("p") + col("q")) / 2)
     )
+    # Determinism (the d16/s14 discipline): per-cell KL terms are
+    # quantized to integer micro-nats and summed as exact longs — a
+    # double Σ over |vocab|·n_sources cells is partition-order
+    # dependent in the last ulp, which can flip the 6dp round. The
+    # per-cell term is a pure function of exact counts (identical
+    # doubles both engines, ln agrees to ≤1 ulp), so the floor to a
+    # 1e-6 grid is stable; the quantization shifts js by at most
+    # |vocab|·5e-7, identically on both sides.
     kl_terms = cells.select(
         "source",
-        F.when(col("p") > 0, col("p") * F.log(col("p") / col("m")))
-        .otherwise(F.lit(0.0))
-        .alias("kl_p"),
-        (col("q") * F.log(col("q") / col("m"))).alias("kl_q"),
+        F.floor(
+            F.when(col("p") > 0, col("p") * F.log(col("p") / col("m")))
+            .otherwise(F.lit(0.0))
+            * 1e6
+        )
+        .cast("long")
+        .alias("kl_p_u"),
+        F.floor(col("q") * F.log(col("q") / col("m")) * 1e6)
+        .cast("long")
+        .alias("kl_q_u"),
     )
     return kl_terms.groupBy("source").agg(
-        F.round((F.sum("kl_p") + F.sum("kl_q")) / 2, 6).alias("js_divergence")
+        F.round((F.sum("kl_p_u") + F.sum("kl_q_u")) / 2e6, 6).alias(
+            "js_divergence"
+        )
     )
 
 
@@ -2485,11 +2512,13 @@ cells AS (
 ),
 terms AS (
   SELECT source,
-         CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END AS kl_p,
-         q * ln(q / ((p + q) / 2)) AS kl_q
+         CAST(floor((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                          ELSE 0.0 END) * 1000000.0) AS BIGINT) AS kl_p_u,
+         CAST(floor(q * ln(q / ((p + q) / 2)) * 1000000.0) AS BIGINT) AS kl_q_u
   FROM cells
 )
-SELECT source, round((sum(kl_p) + sum(kl_q)) / 2, 6) AS js_divergence
+SELECT source, round((sum(kl_p_u) + sum(kl_q_u)) / 2000000.0, 6)
+       AS js_divergence
 FROM terms
 GROUP BY source
 """

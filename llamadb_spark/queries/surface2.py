@@ -371,6 +371,49 @@ def q64_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q64 = _Q64_SQL
 
 
+# ---------------------------------------------------------------------------
+# q65: INSERT .. SELECT end-to-end through the dialect session — the
+# reference's write path (Usage.md INSERT flows; sqlsyntax/ast.rs
+# InsertStatement with a Select source) driven from a parquet-backed
+# relation into a managed llamadb table, then queried back. The whole
+# round trip (CREATE with llamadb types → INSERT..SELECT with the
+# dialect's insert-time validation → GROUP BY read) runs through
+# LlamaSession, so the key driver-attests the dialect write surface,
+# not just the read surface.
+#
+# Scale: the INSERT materializes nation⨝region (broadcast-sized dims
+# here; the same path handles any SELECT — the write inherits the
+# read plan); the final aggregate reads the managed table only.
+# ---------------------------------------------------------------------------
+def q65_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.session import register_views
+    from llamadb_spark.sql import LlamaSession
+
+    register_views(spark, sf_dir, ("nation", "region"))
+    db = LlamaSession(spark)
+    # fresh session instance per call: the managed-table registry is
+    # instance state, so re-running replaces the temp view cleanly
+    db.execute(
+        "CREATE TABLE q65_nation_regions (n_name STRING, r_name STRING)"
+    )
+    db.execute(
+        "INSERT INTO q65_nation_regions "
+        "SELECT n_name, r_name FROM nation, region "
+        "WHERE nation.n_regionkey = region.r_regionkey"
+    )
+    return db.execute(
+        "SELECT r_name, count(*) AS n_nations "
+        "FROM q65_nation_regions GROUP BY r_name"
+    )
+
+
+ORACLE_Q65 = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -382,6 +425,7 @@ QUERIES = {
     "q62_set_ops_all": q62_set_ops_all,
     "q63_group_by_all": q63_group_by_all,
     "q64_exists_projection": q64_exists_projection,
+    "q65_insert_select": q65_insert_select,
 }
 
 ORACLES = {
@@ -395,4 +439,5 @@ ORACLES = {
     "q62_set_ops_all": ORACLE_Q62,
     "q63_group_by_all": ORACLE_Q63,
     "q64_exists_projection": ORACLE_Q64,
+    "q65_insert_select": ORACLE_Q65,
 }

@@ -402,41 +402,65 @@ def recursive_sql(
     """
     name, cols, base_src, step_src, union_all, final = _parse_recursive(sql)
 
-    base = spark.sql(_requote_idents(base_src))
-    if cols:
-        base = base.toDF(*cols)
-    if not union_all:
-        base = base.distinct()
-    acc = base.localCheckpoint()
-    frontier = acc
-    for _ in range(max_iter):
-        frontier.createOrReplaceTempView(name)
-        step = spark.sql(_requote_idents(step_src))
+    # The fixpoint loop registers the CTE name as a temp view; a
+    # pre-existing user temp view of that name must be restored
+    # afterwards, not clobbered/left stale. Resolve it NOW (schema
+    # access forces analysis against the ORIGINAL view) so it can be
+    # re-registered from its resolved plan in the finally below.
+    prior = None
+    if any(
+        t.name == name and t.isTemporary and not t.namespace
+        for t in spark.catalog.listTables()
+    ):
+        prior = spark.table(name)
+        prior.schema  # force analysis before the view is replaced
+
+    try:
+        base = spark.sql(_requote_idents(base_src))
         if cols:
-            step = step.toDF(*cols)
+            base = base.toDF(*cols)
+        if not union_all:
+            base = base.distinct()
+        acc = base.localCheckpoint()
+        frontier = acc
+        for _ in range(max_iter):
+            frontier.createOrReplaceTempView(name)
+            step = spark.sql(_requote_idents(step_src))
+            if cols:
+                step = step.toDF(*cols)
+            else:
+                step = step.toDF(*acc.columns)
+            if not union_all:
+                # UNION: only rows never produced before extend the
+                # frontier (subtract = distinct set difference)
+                step = step.distinct().subtract(acc)
+            new = step.localCheckpoint()
+            if new.count() == 0:
+                break
+            acc = acc.unionAll(new)
+            if not union_all:
+                # UNION subtracts against acc every round — keep it
+                # materialized. UNION ALL never reads acc in-loop,
+                # and its union children are each checkpointed
+                # frontiers, so the lazy union is flat (no recompute,
+                # no deep lineage).
+                acc = acc.localCheckpoint()
+            frontier = new
         else:
-            step = step.toDF(*acc.columns)
-        if not union_all:
-            # UNION: only rows never produced before extend the
-            # frontier (subtract = distinct set difference)
-            step = step.distinct().subtract(acc)
-        new = step.localCheckpoint()
-        if new.count() == 0:
-            break
-        acc = acc.unionAll(new)
-        if not union_all:
-            # UNION subtracts against acc every round — keep it
-            # materialized. UNION ALL never reads acc in-loop, and
-            # its union children are each checkpointed frontiers, so
-            # the lazy union is flat (no recompute, no deep lineage).
-            acc = acc.localCheckpoint()
-        frontier = new
-    else:
-        raise LlamaError(
-            f"recursive CTE {name!r} did not converge in {max_iter} rounds"
-        )
-    acc.createOrReplaceTempView(name)
-    return spark.sql(_requote_idents(final))
+            raise LlamaError(
+                f"recursive CTE {name!r} did not converge in "
+                f"{max_iter} rounds"
+            )
+        acc.createOrReplaceTempView(name)
+        # safe to restore/drop the view after this resolves (spark.sql
+        # analyzes eagerly): acc is checkpointed and the returned plan
+        # no longer needs the name
+        return spark.sql(_requote_idents(final))
+    finally:
+        if prior is not None:
+            prior.createOrReplaceTempView(name)
+        else:
+            spark.catalog.dropTempView(name)
 
 
 def _count_placeholders(sql: str) -> int:

@@ -248,6 +248,40 @@ def purchases_without_recent_views_stream(
     return _purchase_view_interval_join(events, lag, watermark, "left_outer")
 
 
+def _await_drained(q, timeout_s: int) -> None:
+    """Wait until a finite availableNow query has consumed its
+    source, then stop it.
+
+    Plain availableNow queries self-terminate; but a stateful
+    operator with PROCESSING-TIME timers (applyInPandasWithState +
+    ProcessingTimeTimeout) keeps scheduling empty timer batches
+    forever, so `awaitTermination(timeout)` burns the FULL timeout on
+    every such drain (measured: ~124 s constant regardless of SF).
+    The committed-batch progress feed gives the real signal: a batch
+    with numInputRows == 0 means the source is exhausted and every
+    data batch before it has committed. One such no-data batch is
+    legitimate (watermarked APPEND queries flush final windows in it,
+    then terminate on their own), so only a SECOND distinct empty
+    batch — the signature of a timer loop — forces the stop."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    empty_seen, last_bid = 0, -1
+    while q.isActive and _time.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp.get("batchId", -1) != last_bid:
+            last_bid = lp.get("batchId", -1)
+            if lp.get("numInputRows", 0) == 0:
+                empty_seen += 1
+                if empty_seen >= 2:
+                    break
+            else:
+                empty_seen = 0
+        q.awaitTermination(0.5)
+    if q.isActive:
+        q.stop()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
 ) -> DataFrame:
@@ -262,7 +296,7 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        _await_drained(q, timeout_s)
     finally:
         if q.isActive:
             q.stop()
@@ -318,20 +352,41 @@ def run_with_progress(
       served the query)
 
     Returns (result DataFrame, metrics dict).
+
+    Progress-buffer cap: ``q.recentProgress`` keeps only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100), which would silently undercount input_rows /
+    rows_dropped_late on streams with >100 micro-batches — the exact
+    metric this function exists to surface. The conf is raised around
+    the run (listener delivery is asynchronous, so a listener could
+    miss trailing batches after awaitTermination; a deep synchronous
+    buffer cannot). n_batches_capped flags the (now ~unreachable)
+    truncation case instead of letting it pass silently.
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    cap_key = "spark.sql.streaming.numRecentProgressUpdates"
+    cap = 100_000
+    prev_cap = spark.conf.get(cap_key, None)
+    spark.conf.set(cap_key, str(cap))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            _await_drained(q, timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+        progresses = [p for p in q.recentProgress if p is not None]
     finally:
-        if q.isActive:
-            q.stop()
-    progresses = [p for p in q.recentProgress if p is not None]
+        if prev_cap is None:
+            spark.conf.unset(cap_key)
+        else:
+            spark.conf.set(cap_key, prev_cap)
     dropped = 0
     state_rows = 0
     metric_keys: set[str] = set()
@@ -345,6 +400,7 @@ def run_with_progress(
         "rows_dropped_late": dropped,
         "state_rows": state_rows,
         "n_batches": len(progresses),
+        "n_batches_capped": len(progresses) >= cap,
         "state_store_metric_keys": sorted(metric_keys),
     }
     return stream_df.sparkSession.table(name), metrics

@@ -223,6 +223,57 @@ def test_usage_md_transcript_replays(db):
     assert plan.count("(") == plan.count(")") and "album" in plan
 
 
+def test_pretty_select_renders_reference_table_format(db):
+    # The CLI's table rendering is prettyselect.rs parity: boxed
+    # header, 1-space padding, widths = max(header, widest cell),
+    # closing separator + blank line (prettyselect.rs:10-103;
+    # Usage.md:99-111 shows the shape). Golden-tested on the Chinook
+    # subset's album/artist join, ORDER BY for a stable row order.
+    from llamadb_spark.sql.pretty import pretty_select
+    from llamadb_spark.sql.testdata import load_chinook
+
+    load_chinook(db)
+    out = db.execute(
+        "SELECT title AS album, name AS artist "
+        "FROM album, artist WHERE album.artistid = artist.artistid "
+        "ORDER BY album"
+    )
+    text, n = pretty_select(out.columns, out.collect())
+    assert n == 7
+    assert text == (
+        "-------------------------------------------------------------\n"
+        "| album                                 | artist            |\n"
+        "-------------------------------------------------------------\n"
+        "| Balls to the Wall                     | Accept            |\n"
+        "| Big Ones                              | Aerosmith         |\n"
+        "| Facelift                              | Alice In Chains   |\n"
+        "| For Those About To Rock We Salute You | AC/DC             |\n"
+        "| Jagged Little Pill                    | Alanis Morissette |\n"
+        "| Let There Be Rock                     | AC/DC             |\n"
+        "| Restless and Wild                     | Accept            |\n"
+        "-------------------------------------------------------------\n"
+    )
+
+    # zero-row case: boxed header only (prettyselect.rs:54-60)
+    empty_text, zero = pretty_select(
+        ["a", "bb"], iter(())
+    )
+    assert zero == 0
+    assert empty_text == "-" * 10 + "\n| a | bb |\n" + "-" * 10 + "\n"
+
+    # pagination: each 32-row page re-measures widths and reprints
+    # the boxed header (prettyselect.rs:20-50)
+    many, cnt = pretty_select(["x"], ([str(i)] for i in range(33)))
+    assert cnt == 33
+    assert many.count("| x ") == 2  # two pages → two headers
+
+    # NULL / bytes rendering parity with the dialect's literal forms
+    from llamadb_spark.sql.pretty import render_value
+
+    assert render_value(None) == "NULL"
+    assert render_value(b"\xde\xad") == "X'DEAD'"
+
+
 # -- UPDATE / DELETE (lexer.rs:10,100-101 reserves both; the
 # -- reference parser never implements them — roadmap parity) --------
 

@@ -98,6 +98,8 @@ _ALLOWED_HINTS = {
     "s14_silhouette": 1,  # packed centroid table, |labels| rows
     "d17_pair_provenance": 4,  # the d02 pair-generation plan's hints
     "e23_weekly_churn": 1,  # 1-row max-week scalar
+    # partition-count-bounded offsets table + two 1-row scalars
+    "e20_user_concentration": 3,
 }
 
 
@@ -111,6 +113,57 @@ def test_broadcast_hints_only_on_bounded_relations(spark, sf_dir):
     assert not over, (
         "broadcast hints on relations not in the bounded allowlist "
         f"(actual, allowed): {over}"
+    )
+
+
+#: Window nodes with an EMPTY partition spec funnel their whole input
+#: through one task (Spark's "No Partition Defined for Window" path —
+#: the classic scale-up OOM). Forbidden suite-wide, except where the
+#: window's input is provably row-bounded, documented per key:
+#:   - t17_zipf_slope: window over the top-100 tokens (TakeOrdered
+#:     bound precedes it) — 100 rows max.
+#:   - q60_rows_frame: trailing-MA window over pre-aggregated DAILY
+#:     rows — calendar-bounded (~2.4k rows for the events span).
+#:   - e20_user_concentration: offsets running-sum over the
+#:     per-partition COUNTS table inside distributed_row_number —
+#:     one row per shuffle partition, cluster-config-bounded. (The
+#:     user-sized rank window this key used to have was removed in
+#:     round 5; the budget of 1 keeps it from coming back.)
+#: Any new unpartitioned window must add its row-bound here.
+_ALLOWED_GLOBAL_WINDOWS = {
+    "t17_zipf_slope": 1,
+    "q60_rows_frame": 1,
+    "e20_user_concentration": 1,
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    n = [0]
+
+    def walk(node):
+        if node.nodeName() == "Window":
+            try:
+                if node.partitionSpec().isEmpty():
+                    n[0] += 1
+            except Exception:
+                pass
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return n[0]
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    over = {}
+    for name, fn in entry_mod.queries().items():
+        n = _unpartitioned_windows(fn(spark, sf_dir))
+        if n > _ALLOWED_GLOBAL_WINDOWS.get(name, 0):
+            over[name] = (n, _ALLOWED_GLOBAL_WINDOWS.get(name, 0))
+    assert not over, (
+        "unpartitioned Window over unbounded input (single-task sort "
+        f"at scale) — (actual, allowed): {over}"
     )
 
 

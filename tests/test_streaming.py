@@ -361,6 +361,50 @@ def test_cep_stream_matches_batch(spark, sf_dir):
     assert len(batch_rows) > 0
 
 
+def test_transition_stream_matches_batch(spark, sf_dir):
+    """Stateful streaming transition extraction (one string of typed
+    state per user key): the per-pair step counts over the full file
+    stream must equal the batch e21 lag operator's counts, and the
+    e24 query key (stream drain + Markov aggregation) must reproduce
+    e21's full matrix row for row."""
+    from llamadb_spark.queries.events import (
+        e21_transition_matrix,
+        e24_transition_stream,
+    )
+    from llamadb_spark.streaming.streams import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from llamadb_spark.streaming.transitions import transitions_stream
+
+    steps = run_to_memory(
+        transitions_stream(read_events_stream(spark, sf_dir)),
+        "transitions_steps_test",
+        output_mode="append",
+    )
+    got_steps = {}
+    for r in steps.collect():
+        k = (r.prev_type, r.next_type)
+        got_steps[k] = got_steps.get(k, 0) + 1
+
+    batch = {
+        (r.prev_type, r.next_type): r.n
+        for r in e21_transition_matrix(spark, sf_dir).collect()
+    }
+    assert got_steps == batch
+    assert len(batch) > 0
+
+    e24 = {
+        (r.prev_type, r.next_type): (r.n, r.p_next)
+        for r in e24_transition_stream(spark, sf_dir).collect()
+    }
+    e21 = {
+        (r.prev_type, r.next_type): (r.n, r.p_next)
+        for r in e21_transition_matrix(spark, sf_dir).collect()
+    }
+    assert e24 == e21
+
+
 def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     """Kill a checkpointed stream after its first micro-batch,
     restart it from the same checkpoint, and assert the final sink
