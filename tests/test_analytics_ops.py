@@ -261,3 +261,38 @@ def test_pagerank_star_center_ranks_highest(spark):
     )
     rranks = {r.node: r.rank for r in pagerank(ring).collect()}
     assert all(abs(v - 1.0) < 1e-9 for v in rranks.values())
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """The two-pass rank (range-repartition + local row_number +
+    partition offsets) must equal row_number() OVER (ORDER BY ...)
+    exactly for a total order — including when the row count is
+    smaller than the partition count and when keys are heavily
+    skewed across the range."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.ranking import distributed_row_number
+
+    # skewed values: many ties on v, tie-broken by id (total order)
+    rows = [(i, i % 7 if i % 3 else 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.i
+        for r in distributed_row_number(df, ["v", "id"], "i").collect()
+    }
+    want = {
+        r.id: r.i
+        for r in df.withColumn(
+            "i", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+    # tiny input (fewer rows than partitions)
+    tiny = spark.createDataFrame([(3, 1), (1, 2), (2, 3)], "k long, id long")
+    got_tiny = sorted(
+        (r.k, r.i)
+        for r in distributed_row_number(tiny, ["k"], "i").collect()
+    )
+    assert got_tiny == [(1, 1), (2, 2), (3, 3)]
