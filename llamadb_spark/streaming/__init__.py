@@ -1,6 +1,8 @@
 """Structured Streaming surface over the events table."""
 
 from llamadb_spark.streaming.cep import cep_matches_stream
+from llamadb_spark.streaming.ivm import ivm_group_agg_stream
+from llamadb_spark.streaming.transitions import transitions_stream
 from llamadb_spark.streaming.streams import (
     dedup_stream,
     enriched_counts_stream,
@@ -22,4 +24,6 @@ __all__ = [
     "purchases_with_recent_views_stream",
     "purchases_without_recent_views_stream",
     "cep_matches_stream",
+    "transitions_stream",
+    "ivm_group_agg_stream",
 ]

@@ -583,3 +583,97 @@ def test_chained_stateful_rollup_matches_batch(spark, sf_dir):
     assert all(batch_rows[k] == v for k, v in got_rows.items())
     n_types = len({k[1] for k in batch_rows})
     assert len(got_rows) >= len(batch_rows) - n_types
+
+
+def test_ivm_stream_matches_recompute(spark, tmp_path):
+    """Streaming incremental view maintenance: draining a changelog
+    file stream through the foreachBatch IVM sink must leave the
+    versioned MV equal to a full recompute of the final snapshot;
+    each micro-batch commits exactly one MV version stamped with its
+    batch id, and a replayed batch is a no-op (the exactly-once
+    ledger is the version directory itself)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.sources.versioned import (
+        read_version,
+        version_changelog,
+        versions,
+        write_version,
+    )
+    from llamadb_spark.streaming.ivm import (
+        apply_changelog_batch,
+        committed_batches,
+        ivm_group_agg_stream,
+    )
+
+    base = str(tmp_path / "ivm_base")
+    schema = "id long, grp string, val double"
+    write_version(spark.createDataFrame([], schema), base)  # v0: empty
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], schema
+        ),
+        base,
+    )  # v1
+    write_version(
+        spark.createDataFrame(
+            # id=1 updates in place, id=2 moves a->b, id=3 deleted
+            # (b loses one), id=4 inserts into new group c
+            [(1, "a", 11.0), (2, "b", 20.0), (4, "c", 7.0)], schema
+        ),
+        base,
+    )  # v2
+
+    log01 = version_changelog(spark, base, 0, 1, key_cols=["id"])
+    log12 = version_changelog(spark, base, 1, 2, key_cols=["id"])
+
+    # stage the two changelogs as ordered file drops (one file = one
+    # micro-batch; mtimes force batch order)
+    drop = tmp_path / "ivm_drop"
+    drop.mkdir()
+    for i, log in enumerate((log01, log12)):
+        staged = str(tmp_path / f"stage{i}")
+        log.coalesce(1).write.parquet(staged)
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = str(drop / f"{i:02d}-changelog.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(log01.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    mv_path = str(tmp_path / "ivm_mv")
+    mv = ivm_group_agg_stream(stream, mv_path, "grp", "val")
+
+    got = {r.grp: (r.n_rows, r.total) for r in mv.collect()}
+    want = {
+        r.grp: (r.n_rows, r.total)
+        for r in read_version(spark, base, 2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-6
+
+    # one MV version per micro-batch, each stamped with its batch id
+    assert versions(mv_path) == [0, 1]
+    assert committed_batches(mv_path) == {0: 0, 1: 1}
+
+    # replaying an already-committed batch must be a no-op
+    apply_changelog_batch(spark, log01, 0, mv_path, "grp", "val")
+    assert versions(mv_path) == [0, 1]
+    after = {
+        r.grp: (r.n_rows, r.total)
+        for r in read_version(spark, mv_path).collect()
+    }
+    assert after == got
