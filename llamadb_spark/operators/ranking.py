@@ -73,3 +73,55 @@ def distributed_row_number(
         .withColumn(out_col, (F.col("_lr") + F.col("_off")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running sum of ``value_col`` over the
+    global order given by ``order_cols`` (strings or Column
+    expressions, so ``F.col("q").desc()`` works) — the same two-pass
+    construction as distributed_row_number: range-repartition on the
+    order, per-partition window cumsum, then per-partition TOTALS
+    (one row per partition) accumulated into offsets and
+    broadcast-joined back. Identical to
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single-task global sort.
+
+    The canonical consumer is budget-cut selection: order by a score,
+    keep rows while the running total fits the budget (p15).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lc",
+            F.sum(value_col).over(
+                Window.partitionBy("_pid")
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
+    )

@@ -2699,6 +2699,85 @@ FROM d GROUP BY shard
 """
 
 
+#: p15: whitespace-token budget for the selected corpus — fixed
+#: absolute so the cut bites harder as SF grows (top ~50% at
+#: sf0.001, top ~5% at sf0.01), exactly how a real token budget
+#: behaves against a growing crawl.
+P15_TOKEN_BUDGET = 50_000
+
+
+def p15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality
+    documents whose cumulative whitespace-token count fits a fixed
+    training budget — the "I can afford N tokens, which docs make the
+    cut" decision every pretraining data plan ends with. Selection is
+    the maximal prefix of the quality-descending order (t02's quality
+    score, doc_id tie-break) whose running token total stays within
+    budget; reported per source (where the surviving mass comes
+    from).
+
+    Scale: the running total comes from operators/ranking.py
+    distributed_cumsum — range-repartition on the order + per-
+    partition window + partition-count-bounded offsets — NOT a
+    global-order window, which would single-task the whole corpus
+    (the e20 hazard, audited suite-wide). One scan for scoring, one
+    range shuffle, one final ≤n_sources-group aggregate.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.ranking import distributed_cumsum
+
+    docs = _docs(spark, sf_dir)
+    scored = textops.quality_score(docs).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    base = scored.join(docs.select("doc_id", "source"), "doc_id")
+    cum = distributed_cumsum(
+        base,
+        [col("quality").desc(), col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        cum.filter(col("cum_tokens") <= P15_TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+        )
+    )
+
+
+ORACLE_P15 = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE) AS n_dis,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\s+')), {_EN})) AS DOUBLE) AS hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+         round((n_dis / n_tok) * least(1.0, n_tok / 100.0)
+               * (1 - n_punct / n_chars)
+               * (0.5 + 0.5 * least(1.0, 4 * hits / n_dis)), 6) AS quality
+  FROM d
+),
+c AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+)
+SELECT source, count(*) AS n_docs_selected,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_selected
+FROM c WHERE cum_tokens <= {P15_TOKEN_BUDGET}
+GROUP BY source
+"""
+
+
 def s13_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: nearest neighbors restricted to the
     query's OWN label (metadata pre-filter + ANN — "similar items in
@@ -3128,6 +3207,7 @@ QUERIES = {
     "d15_cluster_sizes": d15_cluster_sizes,
     "g03_triangle_count": g03_triangle_count,
     "p14_shard_balance": p14_shard_balance,
+    "p15_token_budget_select": p15_token_budget_select,
     "s13_filtered_knn": s13_filtered_knn,
     "d16_threshold_sweep": d16_threshold_sweep,
     "t24_quality_bands": t24_quality_bands,
@@ -3194,6 +3274,7 @@ ORACLES = {
     "d15_cluster_sizes": ORACLE_D15,
     "g03_triangle_count": ORACLE_G03,
     "p14_shard_balance": ORACLE_P14,
+    "p15_token_budget_select": ORACLE_P15,
     "s13_filtered_knn": ORACLE_S13,
     "d16_threshold_sweep": ORACLE_D16,
     "t24_quality_bands": ORACLE_T24,

@@ -296,3 +296,33 @@ def test_distributed_row_number_matches_global_window(spark):
         for r in distributed_row_number(tiny, ["k"], "i").collect()
     )
     assert got_tiny == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """Two-pass distributed prefix sum must equal
+    sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING), including
+    with a descending order expression and skewed values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.ranking import distributed_cumsum
+
+    rows = [(i, float((i * 37) % 11 + 1), (i * 13) % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, q double, w long")
+    order = [F.col("q").desc(), F.col("id").asc()]
+    got = {
+        r.id: r.cum
+        for r in distributed_cumsum(df, order, "w", "cum").collect()
+    }
+    want = {
+        r.id: r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want

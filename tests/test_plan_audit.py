@@ -100,6 +100,8 @@ _ALLOWED_HINTS = {
     "e23_weekly_churn": 1,  # 1-row max-week scalar
     # partition-count-bounded offsets table + two 1-row scalars
     "e20_user_concentration": 3,
+    # partition-count-bounded offsets table (distributed_cumsum)
+    "p15_token_budget_select": 1,
 }
 
 
@@ -134,6 +136,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     "t17_zipf_slope": 1,
     "q60_rows_frame": 1,
     "e20_user_concentration": 1,
+    # offsets running-sum inside distributed_cumsum — one row per
+    # shuffle partition, cluster-config-bounded
+    "p15_token_budget_select": 1,
 }
 
 
