@@ -33,6 +33,7 @@ _LATE_ADDITIONS = frozenset(
         "q65_insert_select",
         "e24_transition_stream",
         "p15_token_budget_select",
+        "p16_epoch_upsample",
     }
 )
 

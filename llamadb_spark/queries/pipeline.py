@@ -2778,6 +2778,75 @@ GROUP BY source
 """
 
 
+#: p16: per-source epoch multipliers — the mixture weights a
+#: pretraining run actually trains with (>1 = upsample by repetition,
+#: <1 = deterministic subsample, absent = 1.0 pass-through).
+P16_EPOCHS = {"src0": 2.5, "src1": 0.25, "src2": 1.75, "src3": 3.0}
+
+
+def p16_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture materialization: emit each document
+    floor(m) times plus one more copy with probability frac(m), where
+    m is its source's epoch multiplier — how "wiki × 3.2 epochs, web
+    × 0.8" becomes an actual training manifest. The fractional draw
+    is the repo's deterministic doc_id hash (the p06/p14 contract),
+    so retries and reruns materialize the identical corpus. Output:
+    the manifest rows (doc_id, source, copy_id).
+
+    Scale: no join and no shuffle at all — a literal CASE for the
+    multiplier, one hash, one explode whose fan-out is bounded by
+    ceil(max multiplier) (a small constant); the manifest streams
+    straight to the sink. Down-sampled sources (m < 1) drop docs by
+    the same hash, so a source's keep-set is stable as m grows.
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    m = F.lit(1.0)
+    for src, mult in P16_EPOCHS.items():
+        m = F.when(col("source") == src, F.lit(float(mult))).otherwise(m)
+    draw = ((col("doc_id") % 100003) * 2654435761) % 1000000
+    whole = F.floor(m).cast("long")
+    frac = m - F.floor(m)
+    n_copies = whole + F.when(draw < frac * 1e6, 1).otherwise(0)
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .filter(col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), col("n_copies")))
+            .alias("copy_id"),
+        )
+    )
+
+
+def _p16_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {m}" for s, m in P16_EPOCHS.items()
+    )
+    return f"CASE source {arms} ELSE 1.0 END"
+
+
+ORACLE_P16 = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         {_p16_case_sql()} AS m,
+         ((doc_id % 100003) * 2654435761) % 1000000 AS draw
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(m) AS BIGINT)
+         + CASE WHEN draw < (m - floor(m)) * 1000000 THEN 1 ELSE 0 END AS n
+  FROM d
+)
+SELECT doc_id, source,
+       unnest(generate_series(1, n)) AS copy_id
+FROM c WHERE n > 0
+"""
+
+
 def s13_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: nearest neighbors restricted to the
     query's OWN label (metadata pre-filter + ANN — "similar items in
@@ -3208,6 +3277,7 @@ QUERIES = {
     "g03_triangle_count": g03_triangle_count,
     "p14_shard_balance": p14_shard_balance,
     "p15_token_budget_select": p15_token_budget_select,
+    "p16_epoch_upsample": p16_epoch_upsample,
     "s13_filtered_knn": s13_filtered_knn,
     "d16_threshold_sweep": d16_threshold_sweep,
     "t24_quality_bands": t24_quality_bands,
@@ -3275,6 +3345,7 @@ ORACLES = {
     "g03_triangle_count": ORACLE_G03,
     "p14_shard_balance": ORACLE_P14,
     "p15_token_budget_select": ORACLE_P15,
+    "p16_epoch_upsample": ORACLE_P16,
     "s13_filtered_knn": ORACLE_S13,
     "d16_threshold_sweep": ORACLE_D16,
     "t24_quality_bands": ORACLE_T24,
