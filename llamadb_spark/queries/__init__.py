@@ -34,6 +34,7 @@ _LATE_ADDITIONS = frozenset(
         "e24_transition_stream",
         "p15_token_budget_select",
         "p16_epoch_upsample",
+        "q66_sort_key",
     }
 )
 

@@ -414,6 +414,53 @@ GROUP BY r_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q66: memcmp-sortable composite keys (docs/Indexing and Sorting.md)
+# — the reference's one indexing design document, re-expressed. The
+# encoded (int, string, int) key must order EXACTLY like the typed
+# tuple; the proof is structural: Spark selects the top-20 rows by
+# the ENCODED key while the oracle selects them by the TYPED columns
+# — the result sets (and the key strings both engines compute) only
+# match if the encoding is order-preserving over real data.
+#
+# Scale: the encoder is pure built-ins (hex/lpad/concat — codegen);
+# top-20 is TakeOrdered (per-partition heaps), no global sort.
+# ---------------------------------------------------------------------------
+def q66_sort_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.functions.keycodec import (
+        int64_key,
+        sort_key,
+        string_key,
+    )
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    k = sort_key(
+        int64_key("o_custkey"),
+        string_key("o_orderpriority"),
+        int64_key("o_orderkey"),
+    ).alias("k")
+    return (
+        od.select("o_orderkey", "o_custkey", "o_orderpriority", k)
+        .orderBy("k")
+        .limit(20)
+    )
+
+
+ORACLE_Q66 = """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       printf('%016x', xor(CAST(o_custkey AS BIGINT),
+                           CAST(-9223372036854775808 AS BIGINT)))
+       || o_orderpriority || chr(0)
+       || printf('%016x', xor(CAST(o_orderkey AS BIGINT),
+                              CAST(-9223372036854775808 AS BIGINT))) AS k
+FROM orders
+ORDER BY o_custkey, o_orderpriority, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -426,6 +473,7 @@ QUERIES = {
     "q63_group_by_all": q63_group_by_all,
     "q64_exists_projection": q64_exists_projection,
     "q65_insert_select": q65_insert_select,
+    "q66_sort_key": q66_sort_key,
 }
 
 ORACLES = {
@@ -440,4 +488,5 @@ ORACLES = {
     "q63_group_by_all": ORACLE_Q63,
     "q64_exists_projection": ORACLE_Q64,
     "q65_insert_select": ORACLE_Q65,
+    "q66_sort_key": ORACLE_Q66,
 }

@@ -328,3 +328,48 @@ def test_recursive_series_matches_closed_form(spark, n, start):
     assert r.c == n
     assert r.lo == start and r.hi == start + n - 1
     assert r.s == sum(range(start, start + n))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=1, max_codepoint=0x2FF
+                ),
+                max_size=6,
+            ),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sort_key_encoding_preserves_typed_order(spark, rows):
+    """docs/Indexing and Sorting.md parity: the memcmp-sortable
+    composite key must order (int64, string, int64) tuples exactly
+    like the typed comparison — full int range, prefixes, empty
+    strings, multi-byte codepoints. (NUL is excluded from the string
+    alphabet — the encoder's documented terminator assumption.)"""
+    from llamadb_spark.functions.keycodec import (
+        int64_key,
+        sort_key,
+        string_key,
+    )
+
+    df = spark.createDataFrame(rows, "a long, s string, b long")
+    got = [
+        (r.a, r.s, r.b)
+        for r in df.select(
+            "a", "s", "b",
+            sort_key(
+                int64_key("a"), string_key("s"), int64_key("b")
+            ).alias("k"),
+        )
+        .orderBy("k", "a", "s", "b")
+        .collect()
+    ]
+    assert got == sorted(rows)
