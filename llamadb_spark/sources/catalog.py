@@ -281,3 +281,28 @@ def read_text_whole(spark: SparkSession, path: str) -> DataFrame:
     """
     rdd = spark.sparkContext.wholeTextFiles(path)
     return rdd.toDF(["source_file", "text"])
+
+
+def analyze_for_cbo(spark: SparkSession, tables: list[str]) -> None:
+    """Collect table + column statistics so Spark's cost-based
+    optimizer can estimate cardinalities: row counts, sizes, and
+    per-column NDV/min/max/null counts (``ANALYZE TABLE … COMPUTE
+    STATISTICS FOR ALL COLUMNS``).
+
+    Why it matters at 100 TB: with ``spark.sql.cbo.enabled`` +
+    ``spark.sql.cbo.joinReorder.enabled`` the optimizer REORDERS
+    multi-way joins from estimated cardinalities — building small
+    dimension⨝dimension intermediates before touching the fact table
+    — instead of executing joins in the order the query was written.
+    AQE fixes sizes at runtime per stage; CBO fixes the JOIN ORDER at
+    plan time, which AQE cannot change. The reorder is asserted in
+    tests/test_sources.py (same star query, order flips once stats
+    exist), reference analogue: llamadb has no optimizer statistics
+    at all — docs/Query Planner.md plans purely syntactically.
+
+    Stats go stale as data changes: re-run after large writes (the
+    dialect's versioned commits re-cluster instead — different
+    mechanism, same freshness discipline).
+    """
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")

@@ -404,3 +404,90 @@ def test_incremental_agg_null_group_not_double_counted(spark, tmp_path):
     got = {r.grp: (r.n_rows, r.total) for r in rows}
     assert len(rows) == 2  # exactly one row per group incl. the NULL group
     assert got[None] == (2, 10.0) and got["a"] == (1, 1.0)
+
+
+def test_cbo_stats_drive_join_reorder(spark, sf_dir, tmp_path):
+    """Cost-based optimization: after ANALYZE TABLE, (1) the
+    optimizer's rowCount estimates equal the true table sizes, and
+    (2) with CBO + joinReorder enabled the star query's join order
+    CHANGES — the two small dimensions join first and the fact table
+    joins once, instead of the as-written fact-first order. Results
+    must be identical either way."""
+    import re
+
+    from llamadb_spark.sources.catalog import analyze_for_cbo
+
+    names = ["cbo_t_orders", "cbo_t_cust", "cbo_t_nat"]
+    srcs = {
+        "cbo_t_orders": ("orders", ["o_orderkey", "o_custkey"]),
+        "cbo_t_cust": ("customer", ["c_custkey", "c_nationkey"]),
+        "cbo_t_nat": ("nation", ["n_nationkey", "n_name"]),
+    }
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    try:
+        for name in names:
+            tbl, cols = srcs[name]
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        analyze_for_cbo(spark, names)
+
+        # (1) exact rowCount statistics on every analyzed scan
+        # (rowCount is only surfaced by the CBO stats visitor — with
+        # cbo off, plans carry sizeInBytes alone)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        for name in names:
+            stats = (
+                spark.table(name)
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert int(str(stats.rowCount().get())) == spark.table(
+                name
+            ).count()
+
+        q = (
+            "SELECT n_name, count(*) AS c "
+            "FROM cbo_t_orders, cbo_t_nat, cbo_t_cust "
+            "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        )
+
+        def join_order(cbo: str) -> list[str]:
+            spark.conf.set("spark.sql.cbo.enabled", cbo)
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo)
+            p = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            return re.findall(r"default\.(cbo_t_\w+)", p)
+
+        off = join_order("false")
+        on = join_order("true")
+        # as written, the fact table leads; CBO must move it off the
+        # build-first position (dims join each other before the fact)
+        assert off[0] == "cbo_t_orders"
+        assert on != off and on[0] != "cbo_t_orders", (off, on)
+
+        # (2) same answers with and without CBO
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        want = {(r.n_name, r.c) for r in spark.sql(q).collect()}
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        got = {(r.n_name, r.c) for r in spark.sql(q).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
