@@ -491,3 +491,50 @@ def test_cbo_stats_drive_join_reorder(spark, sf_dir, tmp_path):
             spark.conf.set(k, v)
         for name in names:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the fact table is partitioned
+    on the join key and the dim side carries a runtime-only filter,
+    Spark injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this skips whole partition
+    directories the dim filter rules out, before any fact bytes are
+    read. Asserted on the executed plan, with result equality against
+    the statically-filtered equivalent."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.sources.catalog import write_partitioned
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(od, path, ["o_year"])
+    fact = spark.read.parquet(path)
+
+    # dim filter the fact scan cannot fold statically (derived flag)
+    dim = (
+        fact.select("o_year")
+        .distinct()
+        .withColumn("flag", (F.col("o_year") % 7 == 0).cast("int"))
+        .filter(F.col("flag") == 1)
+        .select("o_year")
+    )
+    j = fact.join(dim, "o_year").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    got = j.collect()[0]
+    years = [r.o_year for r in dim.collect()]
+    want = (
+        fact.filter(F.col("o_year").isin(years))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (got.s, got.n) == (want.s, want.n) and got.n > 0
