@@ -213,3 +213,30 @@ def maintain_group_agg(
         ).alias("total"),
     )
     return merged.filter(col("n_rows") > 0)
+
+
+def vacuum(path: str, keep_last: int = 10) -> list[int]:
+    """Retention for versioned tables: delete snapshot directories
+    older than the newest ``keep_last`` committed versions and return
+    the versions removed. Time travel keeps working for everything
+    retained; the manifest (and with it the latest version) is never
+    touched, so readers of current data are unaffected and the
+    operation is safe to run concurrently with writers (writers only
+    ever create NEW v= directories above the manifest).
+
+    Why it exists: every commit is a full immutable snapshot, so a
+    busy table's storage grows linearly with commit count — at
+    production cadence (the streaming IVM commits one version per
+    micro-batch) retention is not optional. keep_last must be ≥ 1;
+    orphaned uncommitted directories (crash debris above the
+    manifest) are left for the next commit's own cleanup.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    vs = versions(path)
+    doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return doomed

@@ -1,0 +1,90 @@
+"""Static source audit: the scale anti-patterns that the plan audit
+can't see (they hide inside operator bodies, not plans) must never
+grow silently. Every driver-side materialization in non-test source
+is enumerated here WITH its boundedness argument; adding one means
+adding an allowlist entry and a justification, same discipline as
+the broadcast-hint and global-window audits in test_plan_audit.py.
+
+Rules:
+- `.toPandas()`, `.coalesce(1)`, `.repartition(1)`: forbidden
+  outright in llamadb_spark/ (single-task materializations).
+- `.collect()`: only at the allowlisted (file, count) sites below,
+  each provably bounded.
+- `.rdd` / `sparkContext.parallelize`: forbidden in queries/
+  (the DataFrame-first contract); operators may touch the context
+  only for broadcast variables.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
+
+#: file (repo-relative) -> max allowed comment-stripped .collect()
+#: occurrences, each justified:
+#:   dialect.py:  constraint-violation check — one agg row of scalars
+#:   dedup.py:    CC fixpoint round check — exactly 2 scalars/round
+#:   similarity.py: (1) capped broadcast collect with explicit raise
+#:     beyond max_broadcast_rows, (2) n_cells centroid seeds,
+#:     (3) K·d per-cell means, (4) MMR pool collect ≤ pool rows
+#:   pipeline.py: s10's 1-row query-vector fetch (orderBy+limit(1))
+_COLLECT_ALLOW = {
+    "sql/dialect.py": 1,
+    "operators/dedup.py": 1,
+    "operators/similarity.py": 4,
+    "queries/pipeline.py": 1,
+}
+
+_FORBIDDEN = re.compile(r"\.toPandas\(\)|\.coalesce\(1\)|\.repartition\(1\)")
+_COLLECT = re.compile(r"\.collect\(\)")
+# .rdd.getNumPartitions() is exempt: a metadata-only partition-count
+# probe (the loader's single-row-group rebalance check), no RDD
+# compute path involved
+_RDD = re.compile(
+    r"\.rdd\b(?!\.getNumPartitions)|sparkContext\.parallelize"
+)
+
+
+def _code_lines(path: str):
+    for line in open(path, encoding="utf-8").read().splitlines():
+        yield line.split("#")[0]
+
+
+def _sources():
+    for f in glob.glob(os.path.join(ROOT, "**", "*.py"), recursive=True):
+        yield os.path.relpath(f, ROOT).replace(os.sep, "/"), f
+
+
+def test_no_single_task_materializations():
+    hits = {}
+    for rel, f in _sources():
+        n = sum(len(_FORBIDDEN.findall(c)) for c in _code_lines(f))
+        if n:
+            hits[rel] = n
+    assert not hits, f"single-task materializations: {hits}"
+
+
+def test_collect_only_at_bounded_allowlisted_sites():
+    over = {}
+    for rel, f in _sources():
+        n = sum(len(_COLLECT.findall(c)) for c in _code_lines(f))
+        if n > _COLLECT_ALLOW.get(rel, 0):
+            over[rel] = (n, _COLLECT_ALLOW.get(rel, 0))
+    assert not over, (
+        "unallowlisted driver-side collect (actual, allowed) — add a "
+        f"boundedness justification above: {over}"
+    )
+
+
+def test_no_rdd_in_query_layer():
+    hits = {}
+    for rel, f in _sources():
+        if not rel.startswith("queries/"):
+            continue
+        n = sum(len(_RDD.findall(c)) for c in _code_lines(f))
+        if n:
+            hits[rel] = n
+    assert not hits, f"RDD usage in the DataFrame-first query layer: {hits}"

@@ -538,3 +538,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         .collect()[0]
     )
     assert (got.s, got.n) == (want.s, want.n) and got.n > 0
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    """vacuum keeps the newest N snapshots readable (time travel
+    intact), removes older directories, never touches the manifest,
+    and refuses keep_last < 1."""
+    import pytest
+
+    from llamadb_spark.sources.versioned import (
+        latest_version,
+        read_version,
+        vacuum,
+        versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "vtab")
+    for i in range(5):
+        write_version(
+            spark.createDataFrame([(i,)], "x long"), path
+        )
+    assert versions(path) == [0, 1, 2, 3, 4]
+
+    removed = vacuum(path, keep_last=2)
+    assert removed == [0, 1, 2]
+    assert versions(path) == [3, 4]
+    assert latest_version(path) == 4
+    assert read_version(spark, path, 3).collect()[0].x == 3
+    assert read_version(spark, path).collect()[0].x == 4
+
+    # vacuum below the retained window is a no-op
+    assert vacuum(path, keep_last=10) == []
+    with pytest.raises(ValueError):
+        vacuum(path, keep_last=0)
+
+    # a new commit after vacuum lands at the next version number
+    write_version(spark.createDataFrame([(99,)], "x long"), path)
+    assert versions(path) == [3, 4, 5]
