@@ -170,3 +170,29 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     # match exists but exceeds tolerance -> nulled, row retained
     assert out["stale"] == (None, None)
     assert out["none"] == (None, None)
+
+
+def test_asof_tolerance_left_column_named_like_suffix(spark):
+    """Regression (round-5 advisory): the tolerance branch used to
+    drop every column ENDING with the carry suffix, so a LEFT column
+    literally named '*_right' was dropped and the final select threw
+    an unresolved-column error. It must ride through untouched."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from llamadb_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([
+        Row(k=1, ts=t0, price_right=7.5),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t0 - dt.timedelta(minutes=5), rv="quote"),
+    ])
+    rows = asof_join(
+        left, right, key="k", right_value_cols=["rv"], tolerance_s=1800
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].price_right == 7.5      # left column survives
+    assert rows[0].rv_right == "quote"     # carried right column too
