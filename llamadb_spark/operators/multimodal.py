@@ -227,3 +227,89 @@ def sample_frames(
             ).alias("frame_sha"),
         )
     )
+
+
+def embed_media_stub(
+    media: DataFrame, id_col: str = "doc_id", dim: int = 64
+) -> DataFrame:
+    """Deterministic STUB media encoder (the CLIP-image-tower stand-
+    in this container can't run): payload bytes → unit-norm
+    ``dim``-vector derived from chained sha256 digests, so the same
+    payload always embeds identically on any executor/rerun. The
+    Spark-side plumbing is the real contract: Arrow-batched
+    mapInPandas over a pre-projected (id, payload) relation — payload
+    bytes enter Python ONCE, as record batches, and only (id, vector)
+    comes back; a real encoder drops into ``_embed`` unchanged.
+
+    Output: (id, media_vec array<double>), unit L2 norm.
+    """
+    import hashlib
+
+    import numpy as np
+
+    n_blocks = (dim + 31) // 32  # sha256 = 32 bytes per block
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vecs = []
+            for payload in batch["payload"]:
+                raw = bytes(payload)
+                blocks = [
+                    hashlib.sha256(raw + bytes([i])).digest()
+                    for i in range(n_blocks)
+                ]
+                x = np.frombuffer(
+                    b"".join(blocks)[:dim], dtype=np.uint8
+                ).astype(np.float64)
+                x -= 127.5
+                x /= np.maximum(np.linalg.norm(x), 1e-12)
+                vecs.append(x.tolist())
+            yield pd.DataFrame(
+                {"id": batch["id"], "media_vec": vecs}
+            )
+
+    src = media.select(
+        col(id_col).alias("id"), col("payload")
+    )
+    return src.mapInPandas(_embed, "id long, media_vec array<double>")
+
+
+def crossmodal_knn(
+    media_vecs: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal retrieval: for each (stub-)embedded media item in
+    ``query_ids``, the top-k cosine neighbors from the TEXT embedding
+    corpus — the image→text retrieval shape (CLIP-style shared
+    space). Same scale contract as knn_bruteforce: the query set is
+    caller-bounded → broadcast; the corpus streams once; the only
+    shuffle is the per-query top-k window over ≤ k·|queries| rows.
+
+    Output: (media_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.similarity import as_double, cosine
+
+    queries = media_vecs.filter(col("id").isin(query_ids)).select(
+        col("id").alias("media_id"), col("media_vec").alias("q_v")
+    )
+    corpus = emb.select(
+        col(emb_id_col).alias("neighbor_id"),
+        as_double(col(emb_vec_col)).alias("c_v"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos", F.round(cosine(col("q_v"), col("c_v")), 6)
+    )
+    w = Window.partitionBy("media_id").orderBy(
+        col("cos").desc(), col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("media_id", "neighbor_id", "cos", "rank")
+    )

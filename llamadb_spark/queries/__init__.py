@@ -35,6 +35,7 @@ _LATE_ADDITIONS = frozenset(
         "p15_token_budget_select",
         "p16_epoch_upsample",
         "q66_sort_key",
+        "m07_crossmodal_knn",
     }
 )
 

@@ -2292,6 +2292,36 @@ GROUP BY 1
 """
 
 
+#: m07: media items acting as cross-modal queries (caller-bounded —
+#: the broadcast-side contract of crossmodal_knn).
+M07_QUERY_DOCS = [0, 1, 2, 3, 4]
+
+
+def m07_crossmodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval plumbing: stub-embed a bounded set of
+    media payloads into the text-embedding space (CLIP-image-tower
+    stand-in — deterministic sha-chain features, unit norm) and
+    retrieve each one's top-5 cosine neighbors from the embeddings
+    corpus. rows-only: the stub features have no SQL twin;
+    determinism/unit-norm/row-count invariants live in
+    tests/test_multimodal.py.
+
+    Scale order matters: the query FILTER runs before the Arrow
+    embed stage, so only |query_ids| payloads ever cross to Python;
+    the corpus streams once against the broadcast query vectors and
+    the only shuffle is the k·|queries|-row top-k window.
+    """
+    from pyspark.sql.functions import col
+
+    media = multimodal.attach_payload(_docs(spark, sf_dir)).filter(
+        col("doc_id").isin(M07_QUERY_DOCS)
+    )
+    vecs = multimodal.embed_media_stub(media)
+    return multimodal.crossmodal_knn(
+        vecs, _emb(spark, sf_dir), M07_QUERY_DOCS, k=5
+    )
+
+
 def p12_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware training weights: every exact-duplicate copy
     of a document gets weight 1/cluster_size, so each distinct text
@@ -3268,6 +3298,7 @@ QUERIES = {
     "d10_dedup_clusters_star": d10_dedup_clusters_star,
     "d11_editdist_pairs": d11_editdist_pairs,
     "m06_media_filter": m06_media_filter,
+    "m07_crossmodal_knn": m07_crossmodal_knn,
     "p12_dup_weights": p12_dup_weights,
     "t21_source_overlap": t21_source_overlap,
     "t22_source_divergence": t22_source_divergence,

@@ -93,3 +93,52 @@ def test_chunk_payload_reconstructs_exactly(spark):
     for d, i, c, ln, sh in rows:
         assert ln == len(c) and sh == hashlib.sha256(c).hexdigest()
         assert ln == 8 or (d, i) == max((dd, ii) for dd, ii, *_ in rows if dd == d)
+
+
+def test_embed_media_stub_deterministic_unit_norm(spark, sf_dir):
+    """Stub media encoder: same payload → identical vector across
+    runs; every vector unit-norm; distinct payloads diverge."""
+    import math
+
+    from llamadb_spark.operators.multimodal import (
+        attach_payload,
+        embed_media_stub,
+    )
+    from llamadb_spark.queries.pipeline import _docs
+
+    media = attach_payload(_docs(spark, sf_dir)).filter(
+        "doc_id IN (0, 1, 2)"
+    )
+    a = {r.id: r.media_vec for r in embed_media_stub(media).collect()}
+    b = {r.id: r.media_vec for r in embed_media_stub(media).collect()}
+    assert a == b and len(a) == 3
+    for v in a.values():
+        assert len(v) == 64
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    assert a[0] != a[1]
+
+
+def test_crossmodal_knn_shape_and_ranks(spark, sf_dir):
+    """m07 plumbing: exactly k ranked neighbors per media query, cos
+    non-increasing within each query, neighbors drawn from the
+    embeddings corpus."""
+    from llamadb_spark.queries.pipeline import (
+        M07_QUERY_DOCS,
+        m07_crossmodal_knn,
+        _emb,
+    )
+
+    out = m07_crossmodal_knn(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.media_id, []).append(r)
+    assert set(by_q) == set(M07_QUERY_DOCS)
+    vec_ids = {
+        r.vec_id for r in _emb(spark, sf_dir).select("vec_id").collect()
+    }
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        cs = [r.cos for r in rows]
+        assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
+        assert all(r.neighbor_id in vec_ids for r in rows)

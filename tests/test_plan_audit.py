@@ -102,6 +102,8 @@ _ALLOWED_HINTS = {
     "e20_user_concentration": 3,
     # partition-count-bounded offsets table (distributed_cumsum)
     "p15_token_budget_select": 1,
+    # caller-bounded cross-modal query set (|M07_QUERY_DOCS| rows)
+    "m07_crossmodal_knn": 1,
 }
 
 
@@ -179,7 +181,9 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # hyperplane-LSH projection, media decode — higher-order-function
     # formulations of these run interpreted, never codegen). SQL
     # queries must stay fully JVM-side.
-    allowed_prefixes = ("d05", "m02", "s03", "s02", "d12", "m06", "s12", "t26")
+    allowed_prefixes = (
+        "d05", "m02", "s03", "s02", "d12", "m06", "s12", "t26", "m07",
+    )
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):
             continue
