@@ -36,6 +36,7 @@ _LATE_ADDITIONS = frozenset(
         "p16_epoch_upsample",
         "q66_sort_key",
         "m07_crossmodal_knn",
+        "p17_alpha_mixture",
     }
 )
 

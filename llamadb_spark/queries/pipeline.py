@@ -2322,6 +2322,126 @@ def m07_crossmodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: p17: temperature exponent + doc budget for α-smoothed sampling.
+P17_ALPHA = 0.7
+P17_BUDGET = 300
+
+
+def p17_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multilingual sampling (the mBERT/XLM-R
+    mixture scheme): target share of language l ∝ (raw share)^α with
+    α<1, so low-resource languages are upsampled relative to their
+    raw mass and high-resource ones capped — then a doc budget turns
+    shares into per-language keep rates applied with the repo's
+    deterministic hash draw. Report per language: raw vs kept counts
+    and raw vs target share.
+
+    Determinism discipline (d16/p12): smoothed weights are quantized
+    to integer nano-units BEFORE normalizing, and keep thresholds
+    come from pure BIGINT division — no partition-order double sums,
+    no cross-engine floor flips. Scale: two n_langs-row aggregates
+    broadcast onto one corpus pass; the final report is an
+    n_langs-group rollup.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.sampling import bucket_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # the scalar totals derive from `counts` itself, so each
+    # crossJoin is a self-join by lineage — qualified aliases keep
+    # column resolution unambiguous under Spark's self-join detection
+    total = counts.agg(F.sum("n").alias("n_total"))
+    w = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(total.alias("t")))
+        .select(
+            col("c.lang").alias("lang"),
+            col("c.n").alias("n"),
+            col("t.n_total").alias("n_total"),
+            F.floor(
+                F.lit(1e9)
+                * F.pow(col("c.n") / col("t.n_total"), F.lit(P17_ALPHA))
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    wsum = w.agg(F.sum("wq").alias("sumwq"))
+    th = (
+        w.alias("w")
+        .crossJoin(F.broadcast(wsum.alias("s")))
+        .selectExpr(
+            "w.lang AS lang",
+            "w.n AS n",
+            "w.n_total AS n_total",
+            "w.wq AS wq",
+            "s.sumwq AS sumwq",
+            f"least(CAST(1000 AS BIGINT), "
+            f"(w.wq * {P17_BUDGET} * 1000) div (s.sumwq * w.n)) "
+            f"AS _thresh",
+        )
+    )
+    # one corpus pass: the n_langs-row threshold table broadcasts
+    # onto docs and BOTH counts (raw + kept) come out of one agg —
+    # no join-back between derived frames
+    flagged = docs.join(
+        F.broadcast(th.select("lang", "_thresh", "n_total", "wq", "sumwq")),
+        "lang",
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(
+                F.when(
+                    bucket_hash(col("doc_id")) < col("_thresh"), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.first("n_total").alias("_N"),
+            F.first("wq").alias("_wq"),
+            F.first("sumwq").alias("_sumwq"),
+        )
+        .select(
+            "lang",
+            "n_raw",
+            "n_kept",
+            F.round(col("n_raw") / col("_N"), 6).alias("raw_share"),
+            F.round(col("_wq") / col("_sumwq"), 6).alias("target_share"),
+        )
+    )
+
+
+ORACLE_P17 = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS n_total FROM counts),
+w AS (
+  SELECT lang, n, n_total,
+         CAST(floor(1e9 * pow(n / CAST(n_total AS DOUBLE), {P17_ALPHA}))
+              AS BIGINT) AS wq
+  FROM counts CROSS JOIN tot
+),
+sw AS (SELECT sum(wq) AS sumwq FROM w),
+th AS (
+  SELECT lang, n, n_total, wq, sumwq,
+         least(CAST(1000 AS BIGINT),
+               (wq * {P17_BUDGET} * 1000) // (sumwq * n)) AS thresh
+  FROM w CROSS JOIN sw
+),
+kc AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN th ON th.lang = d.lang
+  WHERE ((doc_id % 100003) * 2654435761) % 1000 < th.thresh
+  GROUP BY d.lang
+)
+SELECT t.lang, t.n AS n_raw, coalesce(kc.n_kept, 0) AS n_kept,
+       round(t.n / CAST(t.n_total AS DOUBLE), 6) AS raw_share,
+       round(t.wq / CAST(t.sumwq AS DOUBLE), 6) AS target_share
+FROM th t LEFT JOIN kc ON kc.lang = t.lang
+"""
+
+
 def p12_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-aware training weights: every exact-duplicate copy
     of a document gets weight 1/cluster_size, so each distinct text
@@ -3309,6 +3429,7 @@ QUERIES = {
     "p14_shard_balance": p14_shard_balance,
     "p15_token_budget_select": p15_token_budget_select,
     "p16_epoch_upsample": p16_epoch_upsample,
+    "p17_alpha_mixture": p17_alpha_mixture,
     "s13_filtered_knn": s13_filtered_knn,
     "d16_threshold_sweep": d16_threshold_sweep,
     "t24_quality_bands": t24_quality_bands,
@@ -3377,6 +3498,7 @@ ORACLES = {
     "p14_shard_balance": ORACLE_P14,
     "p15_token_budget_select": ORACLE_P15,
     "p16_epoch_upsample": ORACLE_P16,
+    "p17_alpha_mixture": ORACLE_P17,
     "s13_filtered_knn": ORACLE_S13,
     "d16_threshold_sweep": ORACLE_D16,
     "t24_quality_bands": ORACLE_T24,

@@ -104,6 +104,8 @@ _ALLOWED_HINTS = {
     "p15_token_budget_select": 1,
     # caller-bounded cross-modal query set (|M07_QUERY_DOCS| rows)
     "m07_crossmodal_knn": 1,
+    # three n_langs-row count/weight/threshold tables
+    "p17_alpha_mixture": 3,
 }
 
 
