@@ -37,6 +37,7 @@ _LATE_ADDITIONS = frozenset(
         "q66_sort_key",
         "m07_crossmodal_knn",
         "p17_alpha_mixture",
+        "d18_minhash_calibration",
     }
 )
 

@@ -3284,6 +3284,62 @@ FROM per_src p LEFT JOIN new n ON n.source = p.source
 """
 
 
+#: d18: lowered LSH threshold so the calibration sees the whole
+#: mid-similarity range, not just the near-dup tail.
+D18_CAL_THRESHOLD = 0.2
+
+
+def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the SIGNATURE-estimated Jaccard (matching positions / k,
+    what d03 filters on) against the EXACT Jaccard of the same word
+    3-gram shingle sets, banded by estimate — the report that tells
+    you whether k=32 hashes is enough before trusting a threshold at
+    corpus scale (estimator std ≈ sqrt(s(1-s)/k) ≈ 0.09 at s=0.5).
+
+    rows-only: the xxhash64 signature has no DuckDB twin; the
+    unbiasedness/RMSE envelope is asserted in tests/test_dedup.py.
+
+    Scale: exact sets join back ONLY onto the candidate pairs
+    (LSH-bounded, never all-pairs); the report is a ≤10-band rollup.
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(
+        docs, threshold=D18_CAL_THRESHOLD
+    ).select("a_id", "b_id", "est_jaccard")
+    sets = text_fns.word_shingle_arrays(docs, "doc_id", "text", n=3)
+    j = (
+        cand.join(
+            sets.select(
+                col("doc_id").alias("a_id"), col("shingles").alias("a_s")
+            ),
+            "a_id",
+        )
+        .join(
+            sets.select(
+                col("doc_id").alias("b_id"), col("shingles").alias("b_s")
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "exact",
+            F.size(F.array_intersect("a_s", "b_s"))
+            / F.size(F.array_union("a_s", "b_s")),
+        )
+    )
+    band = (F.floor(col("est_jaccard") * 10) / 10).alias("est_band")
+    err = col("est_jaccard") - col("exact")
+    return j.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
+        F.round(F.avg("exact"), 6).alias("mean_exact"),
+        F.round(F.avg(err), 6).alias("bias"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )
+
+
 def d17_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where do near-duplicates come from — the SAME source
     (re-crawl/retry artifacts, fixable upstream) or ACROSS sources
@@ -3437,6 +3493,7 @@ QUERIES = {
     "t25_vocab_growth": t25_vocab_growth,
     "t26_compression_ratio": t26_compression_ratio,
     "d17_pair_provenance": d17_pair_provenance,
+    "d18_minhash_calibration": d18_minhash_calibration,
     "s12_cluster_balance": s12_cluster_balance,
 }
 

@@ -294,3 +294,22 @@ def test_containment_flags_excerpt_jaccard_misses(spark):
     assert [(r.inner_id, r.outer_id, r.containment) for r in cont] == [(1, 2, 1.0)]
     jac = jaccard_ngram_pairs(docs, threshold=0.12).collect()
     assert jac == []  # union-denominator metric misses the excerpt
+
+
+def test_minhash_calibration_envelope(spark, sf_dir):
+    """d18: the signature-estimated Jaccard must track the exact
+    shingle-set Jaccard within the k=32 estimator envelope
+    (std ~ sqrt(s(1-s)/32) <= 0.09) in every populated band — the
+    check that the d03 threshold is trustworthy."""
+    from llamadb_spark.queries.pipeline import d18_minhash_calibration
+
+    rows = d18_minhash_calibration(spark, sf_dir).collect()
+    assert rows, "no candidate pairs - calibration vacuous"
+    for r in rows:
+        assert r.n_pairs > 0
+        # estimate stays inside its own band
+        assert r.est_band <= r.mean_est <= r.est_band + 0.1 + 1e-9
+        # unbiasedness + spread within the k=32 envelope (plus
+        # LSH-selection slack)
+        assert abs(r.bias) <= 0.1, (r.est_band, r.bias)
+        assert r.rmse <= 0.15, (r.est_band, r.rmse)

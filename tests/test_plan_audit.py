@@ -106,6 +106,8 @@ _ALLOWED_HINTS = {
     "m07_crossmodal_knn": 1,
     # three n_langs-row count/weight/threshold tables
     "p17_alpha_mixture": 3,
+    # the d03 minhash pair-generation plan's hints
+    "d18_minhash_calibration": 4,
 }
 
 
