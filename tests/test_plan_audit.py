@@ -104,8 +104,9 @@ _ALLOWED_HINTS = {
     "p15_token_budget_select": 1,
     # caller-bounded cross-modal query set (|M07_QUERY_DOCS| rows)
     "m07_crossmodal_knn": 1,
-    # three n_langs-row count/weight/threshold tables
-    "p17_alpha_mixture": 3,
+    # n_langs-row count/weight/threshold tables (the third hint's
+    # subtree nests the first two, so the analyzed plan counts 4)
+    "p17_alpha_mixture": 4,
     # the d03 minhash pair-generation plan's hints
     "d18_minhash_calibration": 4,
 }
