@@ -758,3 +758,102 @@ def test_explain_search_note_on_indexed_scan(db):
     # no range predicate on the indexed column -> no search note
     plain = db.explain("EXPLAIN SELECT mid FROM metric")
     assert "(search" not in plain
+
+
+# -- MERGE INTO (upsert verb completing the DML family; the reference
+# -- AST stops at INSERT — ast.rs:179-184) ---------------------------
+
+
+def _merge_db(db):
+    db.execute("CREATE TABLE inv (id U32, qty I32, price F64)")
+    db.execute(
+        "INSERT INTO inv VALUES (1, 10, 2.5), (2, 5, 1.0), (3, 7, 4.0)"
+    )
+    db.execute("CREATE TABLE delta (id U32, qty I32, price F64)")
+    db.execute(
+        "INSERT INTO delta VALUES (2, 3, 1.5), (4, 9, 8.0)"
+    )
+    return db
+
+
+def test_merge_upsert_update_and_insert(db):
+    _merge_db(db)
+    db.execute(
+        "MERGE INTO inv USING delta ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, "
+        "price = s.price "
+        "WHEN NOT MATCHED THEN INSERT (id, qty, price) "
+        "VALUES (s.id, s.qty, s.price)"
+    )
+    got = {
+        r.id: (r.qty, r.price)
+        for r in db.execute("SELECT id, qty, price FROM inv").collect()
+    }
+    assert got == {
+        1: (10, 2.5),    # untouched
+        2: (8, 1.5),     # matched: qty summed, price replaced
+        3: (7, 4.0),     # untouched
+        4: (9, 8.0),     # inserted
+    }
+
+
+def test_merge_matched_delete(db):
+    _merge_db(db)
+    db.execute("MERGE INTO inv USING delta ON t.id = s.id "
+               "WHEN MATCHED THEN DELETE")
+    ids = sorted(r.id for r in db.execute("SELECT id FROM inv").collect())
+    assert ids == [1, 3]
+
+
+def test_merge_insert_only(db):
+    _merge_db(db)
+    db.execute(
+        "MERGE INTO inv USING delta ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, qty, price) "
+        "VALUES (s.id, s.qty * 2, s.price)"
+    )
+    got = {
+        r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()
+    }
+    assert got == {1: 10, 2: 5, 3: 7, 4: 18}
+
+
+def test_merge_cardinality_violation_raises(db):
+    import pytest
+
+    _merge_db(db)
+    db.execute("INSERT INTO delta VALUES (2, 100, 9.9)")  # second match
+    with pytest.raises(LlamaError, match="cardinality"):
+        db.execute(
+            "MERGE INTO inv USING delta ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+        )
+    # failed MERGE left the target untouched (rollback contract)
+    got = {r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()}
+    assert got == {1: 10, 2: 5, 3: 7}
+
+
+def test_merge_validation_rolls_back(db):
+    import pytest
+
+    _merge_db(db)
+    # qty is implicitly NOT NULL: a NULL-producing update must fail
+    # and leave the table untouched
+    with pytest.raises(LlamaError):
+        db.execute(
+            "MERGE INTO inv USING delta ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = NULL"
+        )
+    got = {r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()}
+    assert got == {1: 10, 2: 5, 3: 7}
+
+
+def test_merge_explain_renders_without_committing(db):
+    _merge_db(db)
+    plan = db.explain(
+        "EXPLAIN MERGE INTO inv USING delta ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty"
+    )
+    assert plan.count("(") == plan.count(")") and "join" in plan
+    got = {r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()}
+    assert got == {1: 10, 2: 5, 3: 7}  # explain committed nothing
