@@ -38,6 +38,7 @@ _LATE_ADDITIONS = frozenset(
         "m07_crossmodal_knn",
         "p17_alpha_mixture",
         "d18_minhash_calibration",
+        "q67_merge_upsert",
     }
 )
 

@@ -461,6 +461,55 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q67: MERGE INTO end-to-end through the dialect session — the upsert
+# verb (#255) driver-attested the same way q65 attests INSERT..SELECT.
+# The target starts with a SUBSET of regions at zero counts; one MERGE
+# both UPDATEs the matched rows from the source aggregate and INSERTs
+# the missing regions — so the final table equals the plain join
+# aggregate the oracle computes, only if BOTH merge arms fired.
+#
+# Scale: the merge source is an n_regions-row aggregate; the rewrite
+# is one LEFT join + one LEFT ANTI join on a 5-row table.
+# ---------------------------------------------------------------------------
+def q67_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llamadb_spark.session import register_views
+    from llamadb_spark.sql import LlamaSession
+
+    register_views(spark, sf_dir, ("nation", "region"))
+    db = LlamaSession(spark)
+    db.execute(
+        "CREATE TABLE q67_region_stats "
+        "(rkey U32, r_name STRING, n_nations I32)"
+    )
+    db.execute(
+        "INSERT INTO q67_region_stats "
+        "SELECT r_regionkey, r_name, 0 FROM region WHERE r_regionkey < 3"
+    )
+    spark.sql(
+        "SELECT r_regionkey AS rkey, r_name, "
+        "CAST(count(n_nationkey) AS INT) AS cnt "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "GROUP BY r_regionkey, r_name"
+    ).createOrReplaceTempView("q67_src")
+    db.execute(
+        "MERGE INTO q67_region_stats USING q67_src ON t.rkey = s.rkey "
+        "WHEN MATCHED THEN UPDATE SET n_nations = s.cnt "
+        "WHEN NOT MATCHED THEN INSERT (rkey, r_name, n_nations) "
+        "VALUES (s.rkey, s.r_name, s.cnt)"
+    )
+    return db.execute(
+        "SELECT r_name, n_nations FROM q67_region_stats"
+    )
+
+
+ORACLE_Q67 = """
+SELECT r_name, CAST(count(*) AS INT) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -474,6 +523,7 @@ QUERIES = {
     "q64_exists_projection": q64_exists_projection,
     "q65_insert_select": q65_insert_select,
     "q66_sort_key": q66_sort_key,
+    "q67_merge_upsert": q67_merge_upsert,
 }
 
 ORACLES = {
@@ -489,4 +539,5 @@ ORACLES = {
     "q64_exists_projection": ORACLE_Q64,
     "q65_insert_select": ORACLE_Q65,
     "q66_sort_key": ORACLE_Q66,
+    "q67_merge_upsert": ORACLE_Q67,
 }
