@@ -35,9 +35,10 @@ def asof_join(
     """For each left row: the nearest right row on `key`'s timeline —
     ``direction="backward"`` (default) takes the latest right row
     with right.ts <= left.ts; ``"forward"`` the earliest right row
-    with right.ts >= left.ts. Right rows at the exact same timestamp
-    DO match in both directions (sort tag orders right before left
-    at ties).
+    with right.ts >= left.ts; ``"nearest"`` whichever of the two is
+    closer in absolute time (exact ties go backward — deterministic).
+    Right rows at the exact same timestamp DO match in all directions
+    (sort tag orders right before left at ties).
 
     ``tolerance_s`` bounds the match: a right row further than that
     many seconds from the left timestamp is rejected and the right
@@ -53,8 +54,10 @@ def asof_join(
     Output: all left columns + right_value_cols renamed with suffix
     (null when no right row exists in the chosen direction).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (key, right_ts)]
 
@@ -75,20 +78,72 @@ def asof_join(
         col(right_ts).alias("_r_ts"),
     )
     unioned = lt.unionByName(rt)
-    ts_order = col("_ts").asc() if direction == "backward" else col("_ts").desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts_order, col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
-    )
+    if direction == "nearest":
+        # pandas merge_asof(direction="nearest") parity: carry the
+        # latest-at-or-before AND earliest-at-or-after right row with
+        # two windows over the SAME key partitioning (one Exchange,
+        # two in-partition sorts), then pick whichever is closer in
+        # time per row; exact ties go backward. Still a single
+        # shuffle — never a range join.
+        wb = (
+            Window.partitionBy(key)
+            .orderBy(col("_ts").asc(), col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(key)
+            .orderBy(col("_ts").desc(), col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        both = unioned.select(
+            "*",
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+                for c in right_value_cols
+            ],
+            F.last("_r_ts", ignorenulls=True).over(wb).alias("_b_ts"),
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+                for c in right_value_cols
+            ],
+            F.last("_r_ts", ignorenulls=True).over(wf).alias("_f_ts"),
+        )
+        back_wins = col("_f_ts").isNull() | (
+            col("_b_ts").isNotNull()
+            & (
+                (col("_ts").cast("double") - col("_b_ts").cast("double"))
+                <= (col("_f_ts").cast("double") - col("_ts").cast("double"))
+            )
+        )
+        carried = both.select(
+            "*",
+            *[
+                F.when(back_wins, col(f"_b_{c}"))
+                .otherwise(col(f"_f_{c}"))
+                .alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
+            F.when(back_wins, col("_b_ts"))
+            .otherwise(col("_f_ts"))
+            .alias(f"{right_ts}{suffix}"),
+        )
+    else:
+        ts_order = (
+            col("_ts").asc() if direction == "backward" else col("_ts").desc()
+        )
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_order, col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = unioned.select(
+            "*",
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
+            F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        )
     out = carried.filter(col("_side") == 1)
     if tolerance_s is not None:
         within = (

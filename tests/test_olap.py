@@ -196,3 +196,52 @@ def test_asof_tolerance_left_column_named_like_suffix(spark):
     assert len(rows) == 1
     assert rows[0].price_right == 7.5      # left column survives
     assert rows[0].rv_right == "quote"     # carried right column too
+
+
+def test_asof_nearest_direction(spark):
+    """direction="nearest" (pandas merge_asof parity): each left row
+    takes whichever right row is closer in time, ties going backward;
+    tolerance still nulls a too-far nearest match."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from llamadb_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([
+        Row(k=1, ts=t0, lv="back_wins"),        # back 5 min, fwd 20 min
+        Row(k=1, ts=t0 + dt.timedelta(minutes=14), lv="fwd_wins"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=5), lv="tie"),  # 10 / 10
+        Row(k=2, ts=t0, lv="only_fwd"),         # no earlier right row
+        Row(k=3, ts=t0, lv="none"),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t0 - dt.timedelta(minutes=5), rv="B"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=15), rv="F"),
+        Row(k=2, ts=t0 + dt.timedelta(hours=2), rv="LATE"),
+    ])
+    out = {
+        r.lv: r.rv_right
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["rv"],
+            direction="nearest",
+        ).collect()
+    }
+    assert out == {
+        "back_wins": "B",
+        "fwd_wins": "F",
+        "tie": "B",          # exact tie -> backward
+        "only_fwd": "LATE",  # forward is the only candidate
+        "none": None,
+    }
+
+    with_tol = {
+        r.lv: r.rv_right
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["rv"],
+            direction="nearest", tolerance_s=1800,
+        ).collect()
+    }
+    assert with_tol["back_wins"] == "B"
+    assert with_tol["only_fwd"] is None  # nearest is 2h away -> nulled
