@@ -306,3 +306,25 @@ def analyze_for_cbo(spark: SparkSession, tables: list[str]) -> None:
     """
     for t in tables:
         spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def write_parquet_tuned(
+    df: DataFrame,
+    path: str,
+    codec: str = "zstd",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with the two knobs a 100 TB layout is actually
+    tuned by: the COMPRESSION CODEC (zstd ≈ 1.3-1.6× smaller than
+    snappy at comparable scan speed — at petabyte scale that ratio is
+    the storage bill) and MAX RECORDS PER FILE (bounds file size
+    independent of partition count, so one skewed partition can't
+    emit a multi-GB file that breaks downstream split planning).
+    Codec is recorded per column chunk in the footer, so readers
+    need no configuration and mixed-codec datasets read fine.
+    """
+    w = df.write.mode(mode).option("compression", codec)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)

@@ -373,3 +373,52 @@ def test_sort_key_encoding_preserves_typed_order(spark, rows):
         .collect()
     ]
     assert got == sorted(rows)
+
+
+@given(
+    target=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_reference_model(spark, target, source):
+    """MERGE fuzz: for arbitrary unique-keyed target/source tables,
+    UPDATE-matched + INSERT-unmatched must equal the dict-merge
+    reference model computed in plain Python."""
+    from llamadb_spark.sql import LlamaSession
+
+    db = LlamaSession(spark)
+    db.execute("CREATE TABLE fz_t (id I32, v I32)")
+    db.execute("CREATE TABLE fz_s (id I32, v I32)")
+    for rows, name in ((target, "fz_t"), (source, "fz_s")):
+        if rows:
+            vals = ", ".join(f"({k}, {v})" for k, v in rows)
+            db.execute(f"INSERT INTO {name} VALUES {vals}")
+    db.execute(
+        "MERGE INTO fz_t USING fz_s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"
+    )
+    got = {
+        r.id: r.v for r in db.execute("SELECT id, v FROM fz_t").collect()
+    }
+    model = dict(target)
+    for k, v in source:
+        model[k] = model[k] + v if k in model else v
+    assert got == model

@@ -576,3 +576,33 @@ def test_versioned_vacuum_retention(spark, tmp_path):
     # a new commit after vacuum lands at the next version number
     write_version(spark.createDataFrame([(99,)], "x long"), path)
     assert versions(path) == [3, 4, 5]
+
+
+def test_write_parquet_tuned_codec_and_file_bound(spark, tmp_path):
+    """Tuned writer: the requested codec lands in every parquet
+    column chunk's footer, maxRecordsPerFile bounds file sizes, and
+    the data round-trips exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from llamadb_spark.sources.catalog import write_parquet_tuned
+
+    df = spark.range(10_000).selectExpr(
+        "id", "concat('v', id) AS v"
+    ).repartition(2)
+    dst = str(tmp_path / "tuned")
+    write_parquet_tuned(df, dst, codec="zstd", max_records_per_file=3000)
+
+    files = glob.glob(f"{dst}/*.parquet")
+    # 2 partitions x 5000 rows, capped at 3000/file -> 2 files each
+    assert len(files) == 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.num_rows <= 3000
+        for g in range(md.num_row_groups):
+            for c in range(md.row_group(g).num_columns):
+                assert md.row_group(g).column(c).compression == "ZSTD"
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
