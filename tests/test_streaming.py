@@ -677,3 +677,55 @@ def test_ivm_stream_matches_recompute(spark, tmp_path):
         for r in read_version(spark, mv_path).collect()
     }
     assert after == got
+
+
+def test_ingest_dedup_stream_gates_cross_batch_duplicates(spark, tmp_path):
+    """Streaming ingest dedup: batch 2's near-duplicate of a batch-1
+    document must be matched against the ALREADY-ACCEPTED corpus and
+    gated out; non-duplicates from both batches land in the corpus;
+    batch ids are stamped per corpus version (exactly-once ledger)."""
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import versions
+    from llamadb_spark.streaming.ingest_dedup import ingest_dedup_stream
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs1 = [
+        (1, base),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    docs2 = [
+        (3, base + " extra"),             # near-dup of doc 1
+        (4, "completely different words nothing shared here at all ok"),
+    ]
+    schema = "doc_id long, text string"
+    drop = tmp_path / "doc_drop"
+    drop.mkdir()
+    for i, rows in enumerate((docs1, docs2)):
+        staged = str(tmp_path / f"docs_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-docs.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    corpus, matches = ingest_dedup_stream(
+        stream,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "matches"),
+        threshold=0.5,
+    )
+    kept = sorted(r.doc_id for r in corpus.collect())
+    assert kept == [1, 2, 4]  # doc 3 gated as a near-dup of doc 1
+    m = {(r.doc_id, r.match_id) for r in matches.collect()}
+    assert m == {(3, 1)}
+    # one corpus version per micro-batch, stamped with its batch id
+    assert versions(str(tmp_path / "corpus")) == [0, 1]
+    assert committed_batches(str(tmp_path / "corpus")) == {0: 0, 1: 1}
