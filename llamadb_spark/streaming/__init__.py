@@ -1,6 +1,7 @@
 """Structured Streaming surface over the events table."""
 
 from llamadb_spark.streaming.cep import cep_matches_stream
+from llamadb_spark.streaming.ingest_dedup import ingest_dedup_stream
 from llamadb_spark.streaming.ivm import ivm_group_agg_stream
 from llamadb_spark.streaming.transitions import transitions_stream
 from llamadb_spark.streaming.streams import (
@@ -26,4 +27,5 @@ __all__ = [
     "cep_matches_stream",
     "transitions_stream",
     "ivm_group_agg_stream",
+    "ingest_dedup_stream",
 ]
