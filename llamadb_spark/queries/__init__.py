@@ -39,6 +39,7 @@ _LATE_ADDITIONS = frozenset(
         "p17_alpha_mixture",
         "d18_minhash_calibration",
         "q67_merge_upsert",
+        "a05_asof_nearest",
     }
 )
 

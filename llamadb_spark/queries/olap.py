@@ -196,6 +196,67 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 
+def a05_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (#256 driver-attested): for each purchase, the
+    user's closest view in EITHER time direction, exact ties going
+    backward — pandas merge_asof(direction="nearest") semantics. The
+    plan is the same single key shuffle with two in-partition sorts
+    (operators/asof.py); the oracle reconstructs it from DuckDB's
+    native backward + forward ASOF joins and a closer-of pick, so a
+    hash match proves the direction logic, not just the carry."""
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        right_value_cols=["event_id"],
+        direction="nearest",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        col("event_id_right").alias("view_event_id"),
+        col("ts_right").alias("view_ts"),
+    )
+
+
+ORACLE_A05 = """
+WITH p AS (SELECT user_id, event_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT p.user_id, p.event_id, p.ts, p.value,
+         v.event_id AS b_id, v.ts AS b_ts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+f AS (
+  SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT b.user_id, b.event_id, b.ts, b.value,
+       CASE WHEN f.f_ts IS NULL THEN b.b_id
+            WHEN b.b_ts IS NULL THEN f.f_id
+            WHEN (epoch(b.ts) - epoch(b.b_ts))
+                 <= (epoch(f.f_ts) - epoch(b.ts)) THEN b.b_id
+            ELSE f.f_id END AS view_event_id,
+       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+            WHEN b.b_ts IS NULL THEN f.f_ts
+            WHEN (epoch(b.ts) - epoch(b.b_ts))
+                 <= (epoch(f.f_ts) - epoch(b.ts)) THEN b.b_ts
+            ELSE f.f_ts END AS view_ts
+FROM b JOIN f ON f.event_id = b.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 51: approximate aggregates — HLL distinct + t-digest quantiles.
 # The 100 TB staple: one pass, fixed memory, mergeable sketches.
@@ -315,6 +376,7 @@ QUERIES = {
     "a01_asof_join": a01_asof_join,
     "a03_asof_forward": a03_asof_forward,
     "a04_asof_tolerance": a04_asof_tolerance,
+    "a05_asof_nearest": a05_asof_nearest,
     "a02_approx_stats": a02_approx_stats,
     "r01_range_join": r01_range_join,
     "q31_percentiles": q31_percentiles,
@@ -327,6 +389,7 @@ ORACLES = {
     "a01_asof_join": ORACLE_A01,
     "a03_asof_forward": ORACLE_A03,
     "a04_asof_tolerance": ORACLE_A04,
+    "a05_asof_nearest": ORACLE_A05,
     "r01_range_join": ORACLE_R01,
     "q31_percentiles": ORACLE_Q31,
     "q32_stats_agg": ORACLE_Q32,
