@@ -126,11 +126,18 @@ def ivm_group_agg_stream(
     value_col: str,
     name: str = "ivm_group_agg",
     timeout_s: int = 120,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drain a finite changelog stream (availableNow), applying each
     micro-batch to the versioned MV at ``mv_path``. Returns the final
     MV DataFrame. Bootstrap = replaying the full insert changelog
-    against an empty MV (schema derived from the `_new` struct)."""
+    against an empty MV (schema derived from the `_new` struct).
+
+    ``checkpoint_dir`` makes the drain RESUMABLE: a later invocation
+    with the same checkpoint processes only changelog files that
+    arrived since, and a LOST checkpoint (full source replay) is
+    harmless — every replayed batch finds its id in the version
+    ledger and skips (tested in tests/test_streaming.py)."""
     spark = changelog_stream.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -138,12 +145,10 @@ def ivm_group_agg_stream(
             spark, batch_df, batch_id, mv_path, group_col, value_col
         )
 
-    q = (
-        changelog_stream.writeStream.foreachBatch(_apply)
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = changelog_stream.writeStream.foreachBatch(_apply)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.queryName(name).trigger(availableNow=True).start()
     try:
         # no stateful timers in this query — availableNow terminates
         # on its own once the source is drained

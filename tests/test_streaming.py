@@ -729,3 +729,97 @@ def test_ingest_dedup_stream_gates_cross_batch_duplicates(spark, tmp_path):
     # one corpus version per micro-batch, stamped with its batch id
     assert versions(str(tmp_path / "corpus")) == [0, 1]
     assert committed_batches(str(tmp_path / "corpus")) == {0: 0, 1: 1}
+
+
+def test_ivm_stream_checkpoint_resume_and_ledger_replay(spark, tmp_path):
+    """IVM durability: (1) a checkpointed drain applies only NEW
+    changelog files on re-invocation (restart-resume), and (2) losing
+    the checkpoint entirely — the at-least-once disaster case where
+    Spark replays the whole source — changes nothing, because every
+    replayed batch finds its id in the version ledger and skips."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.sources.versioned import (
+        read_version,
+        version_changelog,
+        versions,
+        write_version,
+    )
+    from llamadb_spark.streaming.ivm import ivm_group_agg_stream
+
+    base = str(tmp_path / "ivmck_base")
+    schema = "id long, grp string, val double"
+    write_version(spark.createDataFrame([], schema), base)
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 5.0)], schema
+        ),
+        base,
+    )
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 11.0), (2, "b", 5.0), (3, "c", 2.0)], schema
+        ),
+        base,
+    )
+    log01 = version_changelog(spark, base, 0, 1, key_cols=["id"])
+    log12 = version_changelog(spark, base, 1, 2, key_cols=["id"])
+
+    drop = tmp_path / "ivmck_drop"
+    drop.mkdir()
+
+    def stage(i, log):
+        staged = str(tmp_path / f"ivmck_stage{i}")
+        log.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-log.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def run():
+        return ivm_group_agg_stream(
+            spark.readStream.schema(log01.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop)),
+            mv_path,
+            "grp",
+            "val",
+            checkpoint_dir=str(tmp_path / "ivmck_ckpt"),
+        )
+
+    mv_path = str(tmp_path / "ivmck_mv")
+    stage(0, log01)
+    run()
+    assert versions(mv_path) == [0]
+
+    # restart with the same checkpoint: only the NEW file is applied
+    stage(1, log12)
+    mv = run()
+    assert versions(mv_path) == [0, 1]
+    want = {
+        r.grp: (r.n_rows, r.total)
+        for r in read_version(spark, base, 2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("total"))
+        .collect()
+    }
+    got = {r.grp: (r.n_rows, r.total) for r in mv.collect()}
+    assert got == want
+
+    # checkpoint loss: full source replay, every batch id already in
+    # the ledger -> nothing re-applies, MV identical
+    shutil.rmtree(str(tmp_path / "ivmck_ckpt"))
+    mv2 = ivm_group_agg_stream(
+        spark.readStream.schema(log01.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop)),
+        mv_path,
+        "grp",
+        "val",
+        checkpoint_dir=str(tmp_path / "ivmck_ckpt2"),
+    )
+    assert versions(mv_path) == [0, 1]
+    assert {r.grp: (r.n_rows, r.total) for r in mv2.collect()} == want
