@@ -553,9 +553,9 @@ class PreparedStatement:
     SELECTs bind through Spark's native parameterized-SQL API
     (``spark.sql(query, args=[...])`` — the markers never become
     string literals, so binding is injection-safe and plan-cached
-    by parameter shape). Write statements (INSERT/UPDATE/DELETE) go
-    through the dialect's regex front end, so parameters are
-    rendered as SQL literals quote-aware before parsing.
+    by parameter shape). Write statements (INSERT/UPDATE/DELETE/
+    MERGE) go through the dialect's regex front end, so parameters
+    are rendered as SQL literals quote-aware before parsing.
     """
 
     def __init__(self, session: "LlamaSession", sql: str):
@@ -563,7 +563,7 @@ class PreparedStatement:
         sql = _strip_comments(sql)
         self._sql = sql.strip().rstrip(";").strip()
         self._head = self._sql.split(None, 1)[0].upper() if self._sql else ""
-        if self._head not in ("SELECT", "INSERT", "UPDATE", "DELETE"):
+        if self._head not in ("SELECT", "INSERT", "UPDATE", "DELETE", "MERGE"):
             raise LlamaError(
                 f"cannot prepare statement: {self._head or '<empty>'}"
             )

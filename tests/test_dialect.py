@@ -857,3 +857,20 @@ def test_merge_explain_renders_without_committing(db):
     assert plan.count("(") == plan.count(")") and "join" in plan
     got = {r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()}
     assert got == {1: 10, 2: 5, 3: 7}  # explain committed nothing
+
+
+def test_prepare_merge_with_parameters(db):
+    _merge_db(db)
+    stmt = db.prepare(
+        "MERGE INTO inv USING delta ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET qty = t.qty + ? "
+        "WHEN NOT MATCHED THEN INSERT (id, qty, price) "
+        "VALUES (s.id, ?, s.price)"
+    )
+    assert stmt.n_params == 2
+    stmt.execute(100, 1)
+    got = {
+        r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()
+    }
+    # matched row 2 gets +100; unmatched row 4 inserts with qty=1
+    assert got == {1: 10, 2: 105, 3: 7, 4: 1}
