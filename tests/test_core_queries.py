@@ -89,3 +89,26 @@ def test_q23_cube_single_pass(spark, sf_dir):
     leaves = [r for r in rows if r.l_returnflag is not None and r.l_linestatus is not None]
     assert len(total) == 1
     assert total[0].n_rows == sum(r.n_rows for r in leaves)
+
+
+def test_run_with_observation_rides_the_plan(spark, sf_dir):
+    """Observation metrics must equal the independently computed
+    aggregates WITHOUT a second pass over the data (one job, the
+    metrics ride the same action that materializes the rows)."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.plans.explain import run_with_observation
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    rows, m = run_with_observation(
+        df,
+        n=F.count(F.lit(1)),
+        total=F.round(F.sum("o_totalprice"), 2),
+    )
+    assert m["n"] == len(rows)
+    assert m["total"] == round(sum(r.o_totalprice for r in rows), 2)
+    assert m["n"] > 0
