@@ -14,4 +14,15 @@ Layout:
 
 from llamadb_spark.session import get_spark, load_tables, register_views
 
-__all__ = ["get_spark", "load_tables", "register_views"]
+
+def session(spark=None):
+    """Convenience entry point: a LlamaSession (the llamadb-dialect
+    front end — CREATE/INSERT/SELECT/UPDATE/DELETE/MERGE, prepared
+    statements, recursive CTEs, EXPLAIN) over an existing or fresh
+    SparkSession."""
+    from llamadb_spark.sql import LlamaSession
+
+    return LlamaSession(spark or get_spark())
+
+
+__all__ = ["get_spark", "load_tables", "register_views", "session"]
