@@ -31,11 +31,16 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 #:     beyond max_broadcast_rows, (2) n_cells centroid seeds,
 #:     (3) K·d per-cell means, (4) MMR pool collect ≤ pool rows
 #:   pipeline.py: s10's 1-row query-vector fetch (orderBy+limit(1))
+#:   plans/explain.py: run_with_observation returns the caller's own
+#:     materialized result — the collect IS the caller's action (the
+#:     observe node rides along); boundedness is the caller's query,
+#:     not a loop this helper introduces
 _COLLECT_ALLOW = {
     "sql/dialect.py": 1,
     "operators/dedup.py": 1,
     "operators/similarity.py": 4,
     "queries/pipeline.py": 1,
+    "plans/explain.py": 1,
 }
 
 _FORBIDDEN = re.compile(r"\.toPandas\(\)|\.coalesce\(1\)|\.repartition\(1\)")
