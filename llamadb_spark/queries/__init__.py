@@ -40,6 +40,7 @@ _LATE_ADDITIONS = frozenset(
         "d18_minhash_calibration",
         "q67_merge_upsert",
         "a05_asof_nearest",
+        "a06_sketch_rollup",
     }
 )
 

@@ -370,6 +370,38 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Re-aggregatable distinct-count rollup via Datasketches HLL — the
+# 100 TB incremental-distinct pattern. Daily ingest stores ONE
+# pre-aggregated sketch row per (event_type, day) — hll_sketch_agg
+# over that day's users — and every later rollup (weekly, global,
+# ad-hoc) merges those few sketch rows with hll_union_agg instead of
+# rescanning raw events. The union is register-wise max: commutative,
+# associative and idempotent, so estimates are deterministic under
+# partition order AND a re-ingested day merges harmlessly. Here both
+# phases run in one plan; only n_types × n_days sketch rows (fixed
+# lgConfigK=12, ≤ ~2.5 KB each) cross the second exchange — raw
+# events are scanned exactly once. Complements a02: approx_count_
+# distinct gives one number, this gives a STORED mergeable state.
+# rows-only (sketch estimates are engine-specific by design);
+# tests/test_olap.py bounds estimates against exact distincts and
+# asserts the union path equals the direct single-pass sketch.
+# Reference has only full-rescan aggregation (src/executequery.rs
+# group-by path); no incremental aggregate state exists there.
+# ---------------------------------------------------------------------------
+def a06_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", lit(12)).alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+
+
 QUERIES = {
     "q19_rollup": q19_rollup,
     "q20_pivot": q20_pivot,
@@ -378,6 +410,7 @@ QUERIES = {
     "a04_asof_tolerance": a04_asof_tolerance,
     "a05_asof_nearest": a05_asof_nearest,
     "a02_approx_stats": a02_approx_stats,
+    "a06_sketch_rollup": a06_sketch_rollup,
     "r01_range_join": r01_range_join,
     "q31_percentiles": q31_percentiles,
     "q32_stats_agg": q32_stats_agg,

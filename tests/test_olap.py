@@ -66,6 +66,42 @@ def test_approx_stats_near_exact(spark, sf_dir):
         assert abs(a.p50 - e.p50) <= abs(e.p50) * 0.25 + 1.0
 
 
+def test_sketch_rollup_bounds_and_merge_identity(spark, sf_dir):
+    """a06: merged daily HLL sketches stay within HLL_4/lgK=12 error
+    of exact distincts, and the union-of-dailies path gives the SAME
+    estimate as one direct sketch over all rows (register-wise max is
+    associative — the property that makes stored sketches safe to
+    roll up along any grouping)."""
+    rolled = {
+        r.event_type: r
+        for r in olap.a06_sketch_rollup(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.users
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for et, r in rolled.items():
+        assert r.n_days >= 1
+        # lgK=12 relative standard error ≈ 1.04/sqrt(2^12) ≈ 1.6%;
+        # 5% bound gives ~3 sigma headroom
+        assert abs(r.est_users - exact[et]) / max(exact[et], 1) < 0.05
+        assert r.est_users == direct[et]
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
