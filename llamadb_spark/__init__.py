@@ -15,14 +15,16 @@ Layout:
 from llamadb_spark.session import get_spark, load_tables, register_views
 
 
-def session(spark=None):
+def connect(spark=None):
     """Convenience entry point: a LlamaSession (the llamadb-dialect
     front end — CREATE/INSERT/SELECT/UPDATE/DELETE/MERGE, prepared
     statements, recursive CTEs, EXPLAIN) over an existing or fresh
-    SparkSession."""
+    SparkSession. Named ``connect`` (not ``session``) so the package
+    attribute does not shadow the ``llamadb_spark.session``
+    submodule."""
     from llamadb_spark.sql import LlamaSession
 
     return LlamaSession(spark or get_spark())
 
 
-__all__ = ["get_spark", "load_tables", "register_views", "session"]
+__all__ = ["connect", "get_spark", "load_tables", "register_views"]

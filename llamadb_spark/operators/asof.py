@@ -108,6 +108,43 @@ def asof_join(
             ],
             F.last("_r_ts", ignorenulls=True).over(wf).alias("_f_ts"),
         )
+        if tolerance_s is not None:
+            # pandas merge_asof restricts candidates to the tolerance
+            # window PER DIRECTION before choosing the nearest: when
+            # the closer side is out of tolerance but the other side
+            # is within it, the in-tolerance side must win (not come
+            # back null). So null out each side's candidate here,
+            # before the back_wins comparison; the post-hoc tolerance
+            # filter below is then skipped for this path.
+            tol = float(tolerance_s)
+            b_ok = (
+                col("_ts").cast("double") - col("_b_ts").cast("double")
+            ) <= tol
+            f_ok = (
+                col("_f_ts").cast("double") - col("_ts").cast("double")
+            ) <= tol
+            cand_names = (
+                {f"_b_{c}" for c in right_value_cols}
+                | {f"_f_{c}" for c in right_value_cols}
+                | {"_b_ts", "_f_ts"}
+            )
+            both = both.select(
+                *[c for c in both.columns if c not in cand_names],
+                *[
+                    F.when(b_ok, col(f"_b_{c}"))
+                    .otherwise(lit(None))
+                    .alias(f"_b_{c}")
+                    for c in right_value_cols
+                ],
+                F.when(b_ok, col("_b_ts")).otherwise(lit(None)).alias("_b_ts"),
+                *[
+                    F.when(f_ok, col(f"_f_{c}"))
+                    .otherwise(lit(None))
+                    .alias(f"_f_{c}")
+                    for c in right_value_cols
+                ],
+                F.when(f_ok, col("_f_ts")).otherwise(lit(None)).alias("_f_ts"),
+            )
         back_wins = col("_f_ts").isNull() | (
             col("_b_ts").isNotNull()
             & (
@@ -145,7 +182,9 @@ def asof_join(
             F.last("_r_ts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
         )
     out = carried.filter(col("_side") == 1)
-    if tolerance_s is not None:
+    # nearest applies tolerance per-direction pre-choice (above);
+    # backward/forward apply it post-window here
+    if tolerance_s is not None and direction != "nearest":
         within = (
             F.abs(
                 col("_ts").cast("double")

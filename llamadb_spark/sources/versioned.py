@@ -237,6 +237,28 @@ def vacuum(path: str, keep_last: int = 10) -> list[int]:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     vs = versions(path)
     doomed = vs[:-keep_last] if len(vs) > keep_last else []
+    # Preserve streaming replay ledgers before deleting snapshots: an
+    # IVM/ingest sink stamps its micro-batch id INSIDE the version
+    # directory (streaming/ivm.py _BATCH_MARKER); deleting the
+    # directory must not forget that the batch committed, or a
+    # checkpoint-loss replay would re-apply it (double-counting
+    # deltas). Markers of doomed versions are appended to an
+    # append-only `_batches` file at the table root, which vacuum
+    # never deletes and committed_batches() reads alongside the
+    # in-directory markers.
+    ledger_lines = []
+    for v in doomed:
+        marker = os.path.join(path, f"v={v}", "_ivm_batch")
+        try:
+            with open(marker) as fh:
+                ledger_lines.append(f"{int(fh.read().strip())} {v}\n")
+        except (OSError, ValueError):
+            continue
+    if ledger_lines:
+        with open(os.path.join(path, "_batches"), "a") as fh:
+            fh.writelines(ledger_lines)
+            fh.flush()
+            os.fsync(fh.fileno())
     for v in doomed:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return doomed

@@ -1139,23 +1139,27 @@ class LlamaSession:
         on = F.expr(cond)
 
         # cardinality check: >1 source match for one target row is
-        # nondeterministic — standard MERGE raises, so do we
-        tid = self._data[name].withColumn(
-            "_tid", F.monotonically_increasing_id()
-        ).alias("t")
-        dup = (
-            tid.join(src.alias("s"), on, "inner")
-            .groupBy("_tid")
-            .agg(F.count(F.lit(1)).alias("_nm"))
-            .filter(F.col("_nm") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise LlamaError(
-                "MERGE cardinality violation: a target row matches "
-                "more than one source row"
+        # nondeterministic — standard MERGE raises, so do we. Only a
+        # WHEN MATCHED clause can act on a match, so insert-only
+        # MERGE is exempt (standard/Delta semantics) and skips the
+        # extra join+count job entirely.
+        if matched_action is not None:
+            tid = self._data[name].withColumn(
+                "_tid", F.monotonically_increasing_id()
+            ).alias("t")
+            dup = (
+                tid.join(src.alias("s"), on, "inner")
+                .groupBy("_tid")
+                .agg(F.count(F.lit(1)).alias("_nm"))
+                .filter(F.col("_nm") > 1)
+                .limit(1)
+                .count()
             )
+            if dup:
+                raise LlamaError(
+                    "MERGE cardinality violation: a target row matches "
+                    "more than one source row"
+                )
 
         joined = t.join(s, on, "left")
         matched = F.col("_s_matched").isNotNull()

@@ -50,22 +50,47 @@ def ingest_dedup_stream(
     spark = doc_stream.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batches(corpus_path):
+        # Each table is gated on its OWN committed-batch ledger: a
+        # crash between the two commits leaves one table a batch
+        # ahead, and the replay must re-commit only the missing
+        # piece instead of skipping the whole batch (which would
+        # permanently lose that batch's rows in the lagging table).
+        corpus_ledger = committed_batches(corpus_path)
+        corpus_done = batch_id in corpus_ledger
+        matches_done = batch_id in committed_batches(matches_path)
+        if corpus_done and matches_done:
             return
-        lv = versioned.latest_version(corpus_path)
-        if lv is None:
-            corpus = batch_df.limit(0)
+        if corpus_done:
+            # replaying the half-committed window: probe the corpus
+            # as it was BEFORE this batch's append, or the batch's
+            # own docs would match themselves and all be flagged dup
+            base_v = corpus_ledger[batch_id] - 1
+            corpus = (
+                batch_df.limit(0)
+                if base_v < 0
+                else versioned.read_version(spark, corpus_path, base_v)
+            )
         else:
-            corpus = versioned.read_version(spark, corpus_path, lv)
+            lv = versioned.latest_version(corpus_path)
+            corpus = (
+                batch_df.limit(0)
+                if lv is None
+                else versioned.read_version(spark, corpus_path, lv)
+            )
         matches = incremental_jaccard_matches(
             batch_df, corpus, threshold=threshold
         ).localCheckpoint()
-        dup_ids = matches.select("doc_id")
-        accepted = batch_df.join(dup_ids, "doc_id", "left_anti")
-        _commit_version(
-            corpus.unionByName(accepted), corpus_path, batch_id
-        )
-        _commit_version(matches, matches_path, batch_id)
+        # matches first: if we crash between the commits, the replay
+        # recomputes identical matches against the unchanged corpus,
+        # skips the matches commit, and lands the corpus append.
+        if not matches_done:
+            _commit_version(matches, matches_path, batch_id)
+        if not corpus_done:
+            dup_ids = matches.select("doc_id")
+            accepted = batch_df.join(dup_ids, "doc_id", "left_anti")
+            _commit_version(
+                corpus.unionByName(accepted), corpus_path, batch_id
+            )
 
     q = (
         doc_stream.writeStream.foreachBatch(_apply)

@@ -49,9 +49,34 @@ _BATCH_MARKER = "_ivm_batch"
 
 
 def committed_batches(mv_path: str) -> dict[int, int]:
-    """batch_id -> MV version for every committed version that was
-    produced by the IVM sink (bounded by version count)."""
+    """batch_id -> MV version for every committed batch: the union of
+    in-directory markers (retained versions) and the append-only
+    ``_batches`` ledger at the table root, into which
+    versioned.vacuum copies a doomed version's marker before deleting
+    the directory. The ledger survives retention, so a checkpoint-
+    loss replay still skips batches whose snapshots were vacuumed
+    (bounded by total commit count — one short line per batch).
+
+    Replay caveat (documented contract): skip-on-replay assumes the
+    replayed source produces the SAME batch boundaries and ids as the
+    original run. availableNow file streams with a retained
+    checkpoint satisfy this (the offset log pins file→batch
+    assignment); after a LOST checkpoint, batch ids restart from 0,
+    so the caller must pin boundaries externally — e.g. one file per
+    trigger via maxFilesPerTrigger=1 with lexicographic file order,
+    the configuration the checkpoint-loss test uses. Replays with
+    different batching are NOT exactly-once and must bootstrap a
+    fresh MV path instead."""
     out: dict[int, int] = {}
+    ledger = os.path.join(mv_path, "_batches")
+    try:
+        with open(ledger) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2:
+                    out[int(parts[0])] = int(parts[1])
+    except (OSError, ValueError):
+        pass
     for v in versioned.versions(mv_path):
         marker = os.path.join(mv_path, f"v={v}", _BATCH_MARKER)
         try:

@@ -874,3 +874,41 @@ def test_prepare_merge_with_parameters(db):
     }
     # matched row 2 gets +100; unmatched row 4 inserts with qty=1
     assert got == {1: 10, 2: 105, 3: 7, 4: 1}
+
+
+def test_merge_insert_only_multi_match_ok(db):
+    """Insert-only MERGE (no WHEN MATCHED clause) is exempt from the
+    cardinality check — standard/Delta semantics only raise when a
+    matched clause exists. A target row matching several source rows
+    must not fail; unmatched source rows insert exactly once."""
+    _merge_db(db)
+    db.execute("INSERT INTO delta VALUES (2, 100, 9.9)")  # 2nd match on id=2
+    db.execute(
+        "MERGE INTO inv USING delta ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, qty, price) "
+        "VALUES (s.id, s.qty, s.price)"
+    )
+    got = {
+        r.id: r.qty for r in db.execute("SELECT id, qty FROM inv").collect()
+    }
+    assert got == {1: 10, 2: 5, 3: 7, 4: 9}
+
+
+def test_connect_entry_point_no_module_shadow(spark):
+    """llamadb_spark.connect() returns a LlamaSession over the given
+    SparkSession, and the llamadb_spark.session SUBMODULE remains
+    importable/addressable (the old session() name shadowed it)."""
+    import llamadb_spark
+    from llamadb_spark.sql import LlamaSession
+
+    db = llamadb_spark.connect(spark)
+    assert isinstance(db, LlamaSession)
+    db.execute("CREATE TABLE conn_t (a INT)")
+    db.execute("INSERT INTO conn_t VALUES (7)")
+    assert db.execute("SELECT a FROM conn_t").collect()[0].a == 7
+
+    # the submodule is reachable as an attribute and via import
+    import llamadb_spark.session as sess_mod
+
+    assert hasattr(sess_mod, "get_spark")
+    assert hasattr(llamadb_spark.session, "get_spark")

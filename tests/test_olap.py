@@ -281,3 +281,41 @@ def test_asof_nearest_direction(spark):
     }
     assert with_tol["back_wins"] == "B"
     assert with_tol["only_fwd"] is None  # nearest is 2h away -> nulled
+
+
+def test_asof_nearest_tolerance_per_direction(spark):
+    """pandas merge_asof parity: in nearest mode tolerance restricts
+    each direction's candidate BEFORE the closer-side choice. Rows
+    where only one side is within tolerance take that side; rows
+    where both sides are out come back null."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from llamadb_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([
+        # back 10 min (in tol), fwd 50 min (out) -> back
+        Row(k=1, ts=t0, lv="back_in"),
+        # back 50 min (out), fwd 10 min (in) -> fwd
+        Row(k=2, ts=t0, lv="fwd_in"),
+        # back 40 min (out), fwd 50 min (out) -> null
+        Row(k=3, ts=t0, lv="both_out"),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t0 - dt.timedelta(minutes=10), rv="B1"),
+        Row(k=1, ts=t0 + dt.timedelta(minutes=50), rv="F1"),
+        Row(k=2, ts=t0 - dt.timedelta(minutes=50), rv="B2"),
+        Row(k=2, ts=t0 + dt.timedelta(minutes=10), rv="F2"),
+        Row(k=3, ts=t0 - dt.timedelta(minutes=40), rv="B3"),
+        Row(k=3, ts=t0 + dt.timedelta(minutes=50), rv="F3"),
+    ])
+    out = {
+        r.lv: r.rv_right
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["rv"],
+            direction="nearest", tolerance_s=1200,
+        ).collect()
+    }
+    assert out == {"back_in": "B1", "fwd_in": "F2", "both_out": None}

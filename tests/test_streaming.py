@@ -823,3 +823,150 @@ def test_ivm_stream_checkpoint_resume_and_ledger_replay(spark, tmp_path):
     )
     assert versions(mv_path) == [0, 1]
     assert {r.grp: (r.n_rows, r.total) for r in mv2.collect()} == want
+
+
+def test_ivm_ledger_survives_vacuum(spark, tmp_path):
+    """Retention must not forget exactly-once history: vacuum deletes
+    old MV snapshot directories (and with them their in-directory
+    _ivm_batch markers), but first copies the markers into the
+    append-only _batches ledger at the table root. A checkpoint-loss
+    full replay after vacuum therefore still skips every committed
+    batch instead of double-applying vacuumed ones."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        version_changelog,
+        versions,
+        write_version,
+    )
+    from llamadb_spark.streaming.ivm import (
+        committed_batches,
+        ivm_group_agg_stream,
+    )
+
+    base = str(tmp_path / "ivmvac_base")
+    schema = "id long, grp string, val double"
+    write_version(spark.createDataFrame([], schema), base)
+    write_version(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 5.0)], schema), base
+    )
+    write_version(
+        spark.createDataFrame(
+            [(1, "a", 11.0), (2, "b", 5.0), (3, "c", 2.0)], schema
+        ),
+        base,
+    )
+    log01 = version_changelog(spark, base, 0, 1, key_cols=["id"])
+    log12 = version_changelog(spark, base, 1, 2, key_cols=["id"])
+
+    drop = tmp_path / "ivmvac_drop"
+    drop.mkdir()
+    for i, log in enumerate((log01, log12)):
+        staged = str(tmp_path / f"ivmvac_stage{i}")
+        log.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-log.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def replay(ckpt):
+        return ivm_group_agg_stream(
+            spark.readStream.schema(log01.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop)),
+            mv_path,
+            "grp",
+            "val",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    mv_path = str(tmp_path / "ivmvac_mv")
+    replay("ck1")
+    assert committed_batches(mv_path) == {0: 0, 1: 1}
+
+    # production retention cadence: keep only the newest snapshot —
+    # v=0 (and its in-directory marker) is deleted, ledger keeps it
+    assert vacuum(mv_path, keep_last=1) == [0]
+    assert versions(mv_path) == [1]
+    assert committed_batches(mv_path) == {0: 0, 1: 1}
+
+    # checkpoint loss -> full source replay; batch 0 must skip via
+    # the ledger (before the fix it re-applied, double-counting)
+    mv = replay("ck2")
+    assert versions(mv_path) == [1]
+    want = {
+        r.grp: (r.n_rows, r.total)
+        for r in read_version(spark, base, 2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert {r.grp: (r.n_rows, r.total) for r in mv.collect()} == want
+
+
+def test_ingest_dedup_per_table_replay_gating(spark, tmp_path):
+    """Crash between the matches commit and the corpus commit: the
+    replayed batch must re-commit ONLY the missing table (per-table
+    ledger gating), probing the corpus as it was before the batch.
+    Before the fix the replay skipped entirely when the corpus ledger
+    had the batch, permanently losing the matches version (or, with
+    matches-first ordering, never landing the corpus append)."""
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import latest_version, versions
+    from llamadb_spark.streaming.ingest_dedup import ingest_dedup_stream
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs1 = [(1, base), (2, "one two three four five six seven eight")]
+    docs2 = [(3, base + " extra"), (4, "unrelated fresh tokens only here")]
+    schema = "doc_id long, text string"
+    drop = tmp_path / "pt_drop"
+    drop.mkdir()
+    for i, rows in enumerate((docs1, docs2)):
+        staged = str(tmp_path / f"pt_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-docs.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    corpus_path = str(tmp_path / "pt_corpus")
+    matches_path = str(tmp_path / "pt_matches")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        return ingest_dedup_stream(
+            stream, corpus_path, matches_path, threshold=0.5
+        )
+
+    corpus, matches = run()
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
+    assert {(r.doc_id, r.match_id) for r in matches.collect()} == {(3, 1)}
+
+    # simulate the crash window: roll the CORPUS back one version
+    # (batch 1's append lost) while the matches commit survived
+    shutil.rmtree(os.path.join(corpus_path, "v=1"))
+    with open(os.path.join(corpus_path, "_latest"), "w") as fh:
+        fh.write("0")
+    assert latest_version(corpus_path) == 0
+    assert committed_batches(corpus_path) == {0: 0}
+    assert committed_batches(matches_path) == {0: 0, 1: 1}
+
+    # full replay (no checkpoint retained): batch 0 skips both
+    # tables, batch 1 re-commits the corpus only
+    corpus2, matches2 = run()
+    assert sorted(r.doc_id for r in corpus2.collect()) == [1, 2, 4]
+    assert {(r.doc_id, r.match_id) for r in matches2.collect()} == {(3, 1)}
+    assert versions(corpus_path) == [0, 1]
+    assert versions(matches_path) == [0, 1]  # no duplicate commit
