@@ -264,12 +264,51 @@ FROM b JOIN f ON f.event_id = b.event_id
 # tests/test_olap.py bounds them against exact answers.
 # ---------------------------------------------------------------------------
 def a02_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + t-digest quantiles)
+    with a driver-attestable banded-boolean contract: alongside the
+    exact-computable columns (group, exact distinct, row count), each
+    approximate statistic is emitted as a WITHIN-BOUND boolean — the
+    DuckDB twin recomputes the exact quantities and claims TRUE, so
+    the value hash matches iff every sketch landed inside its error
+    band. Bands: HLL rel-err ≤ 10% (default rsd is 5%); approx
+    percentile inside the exact inter-quantile envelope ±5 rank
+    points. Both sketches are deterministic for fixed data, so the
+    booleans are stable across runs at a given SF."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50"),
-        F.percentile_approx("value", 0.95).alias("p95"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(lit(1)).alias("n_events"),
+        F.percentile_approx("value", 0.5).alias("ap50"),
+        F.percentile_approx("value", 0.95).alias("ap95"),
+        F.expr("percentile(value, 0.45)").alias("e45"),
+        F.expr("percentile(value, 0.55)").alias("e55"),
+        F.expr("percentile(value, 0.90)").alias("e90"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(col("approx_users") - col("exact_users"))
+            <= 0.10 * col("exact_users")
+        ).alias("users_within_10pct"),
+        col("ap50").between(col("e45"), col("e55")).alias("p50_in_band"),
+        col("ap95").between(col("e90"), col("e99")).alias("p95_in_band"),
+    )
+
+
+ORACLE_A02 = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS users_within_10pct,
+       TRUE AS p50_in_band,
+       TRUE AS p95_in_band
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -396,10 +435,38 @@ def a06_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", lit(12)).alias("sk")
     )
-    return daily.groupBy("event_type").agg(
+    rolled = daily.groupBy("event_type").agg(
         F.count(lit(1)).alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
+    # banded-boolean attestation (same contract as a02): the merged
+    # sketch's estimate must land within 10% of the exact distinct
+    # count, which the DuckDB twin recomputes exactly. n_days and
+    # exact_users hash-match exactly; the band boolean is the sketch
+    # evidence. Datasketches HLL at lgK=12 has rse ≈ 1.6%, so 10% is
+    # a >6σ band — and the sketch is deterministic for fixed data.
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(col("est_users") - col("exact_users"))
+            <= 0.10 * col("exact_users")
+        ).alias("rollup_within_10pct"),
+    )
+
+
+ORACLE_A06 = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS rollup_within_10pct
+FROM events
+GROUP BY event_type
+"""
 
 
 QUERIES = {
@@ -423,6 +490,8 @@ ORACLES = {
     "a03_asof_forward": ORACLE_A03,
     "a04_asof_tolerance": ORACLE_A04,
     "a05_asof_nearest": ORACLE_A05,
+    "a02_approx_stats": ORACLE_A02,
+    "a06_sketch_rollup": ORACLE_A06,
     "r01_range_join": ORACLE_R01,
     "q31_percentiles": ORACLE_Q31,
     "q32_stats_agg": ORACLE_Q32,

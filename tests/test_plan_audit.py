@@ -80,7 +80,11 @@ _ALLOWED_HINTS = {
     "e18_bot_users": 1,  # 1-row mean+3sigma scalar
     "t20_quality_deciles": 1,  # 9-value cut-point array scalar
     "d09_shared_longrun": 4, "d11_editdist_pairs": 4,
-    "s01_knn_bruteforce": 1, "s02_lsh_ann": 4, "s03_ivf_ann": 1,
+    "s01_knn_bruteforce": 1, "s02_lsh_ann": 4,
+    # IVF probe set + the exact-twin knn's query broadcast + recall
+    # join: all bounded by |KNN_QUERY_IDS| (8) x nprobe
+    "s03_ivf_ann": 3,
+    "t13_heavy_hitters": 1,  # 1-row token-total scalar
     "s11_rerank_ann": 1,  # caller-bounded query set
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,
     "p02_contamination": 1, "p05_tombstone_delete": 1,
@@ -146,6 +150,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # offsets running-sum inside distributed_cumsum — one row per
     # shuffle partition, cluster-config-bounded
     "p15_token_budget_select": 1,
+    # mean-recall band over the per-query recall table —
+    # |KNN_QUERY_IDS| (8) rows max
+    "s03_ivf_ann": 1,
 }
 
 
