@@ -3,10 +3,24 @@ callable(spark, sf_dir) -> DataFrame) and ``ORACLES`` (name ->
 DuckDB-runnable ANSI SQL). Keys match SURVEY.md §2.
 
 Key order matters operationally: the driver's correctness run checks
-a bounded prefix of the dict (50 keys in rounds 1-2), so keys that
-already have official green rows in CORRECTNESS_r01/r02 are rotated
-to the back and keys never checked by the driver come first. Rounds
-accumulate: after this rotation every key has an official row.
+a bounded 50-key prefix of the dict, so ordering is an evidence-
+freshness policy. Round-6 policy (VERDICT r05 "Next round" #1+#2):
+
+  1. keys whose oracle is NEW this round (the 13 rows-only keys
+     converted to banded-boolean/exact oracles — they have never had
+     a hash-green driver row and the judge ranked attesting them
+     highest-leverage);
+  2. then keys by OLDEST driver evidence first (r01/r02-attested
+     core-SQL and early pipeline keys, whose rows predate three
+     rounds of code movement), then r03, r04, r05;
+  3. rows-only-by-design keys (s02, d12 — scale-path keys whose
+     exact twin would pollute their own plan; evidence lives in
+     recall/property tests) last: a driver row for them adds little.
+
+The resulting 50-key r06 prefix = the 13 newly-oracled keys + the 37
+oldest r01/r02 keys; its only overlap with r05's prefix is the
+newly-oracled keys themselves (which r05 could record only as
+``no_oracle``).
 """
 
 from __future__ import annotations
@@ -24,52 +38,19 @@ from llamadb_spark.queries import (
 
 _MODULES = (core, pipeline, events, olap, surface, advanced, surface2, tpch)
 
-#: Keys added in round 5 (after the round-4 rotation was locked).
-#: They rank behind the 36 never-driver-checked keys plus s09 (whose
-#: r04 row is an `err`, not an attestation) so those close their
-#: evidence gap inside round 5's bounded 50-key prefix first.
-_LATE_ADDITIONS = frozenset(
-    {
-        "q65_insert_select",
-        "e24_transition_stream",
-        "p15_token_budget_select",
-        "p16_epoch_upsample",
-        "q66_sort_key",
-        "m07_crossmodal_knn",
-        "p17_alpha_mixture",
-        "d18_minhash_calibration",
-        "q67_merge_upsert",
-        "a05_asof_nearest",
-        "a06_sketch_rollup",
-    }
+#: Rows-only keys converted to banded-boolean/exact oracles in round
+#: 6 — front of the queue for their first hash-attestable driver row.
+_BANDED_R06 = (
+    "a02_approx_stats", "a06_sketch_rollup", "t13_heavy_hitters",
+    "s03_ivf_ann", "d18_minhash_calibration", "d03_minhash_lsh",
+    "d04_simhash", "p03_pack_sequences", "s09_pca_project",
+    "s10_mmr_rerank", "s12_cluster_balance", "t26_compression_ratio",
+    "m07_crossmodal_knn",
 )
 
-#: Keys with a green (or rows-only-by-design) row in some
-#: CORRECTNESS_r0*.json — deprioritized so the driver's bounded
-#: 50-key check reaches the never-checked rest (the 36 keys listed in
-#: VERDICT r04 "What's missing" §1, plus s09 whose r04 row was an
-#: output-contract error, fixed this round).
-_DRIVER_CHECKED = frozenset(
+#: Driver-attested in CORRECTNESS_r01/r02 (oldest evidence).
+_EVIDENCE_R12 = frozenset(
     {
-        # round 3 (CORRECTNESS_r03.json)
-        "a01_asof_join", "d08_semantic_dedup_apply", "d09_shared_longrun",
-        "d10_dedup_clusters_star", "d11_editdist_pairs", "e01_events_window",
-        "e02_sessionize", "e03_event_topk", "e04_sliding_window",
-        "e05_running_totals", "e06_resample_ffill", "e07_stream_enrich",
-        "e08_rate_anomaly", "e09_funnel", "e10_retention",
-        "e11_session_window", "e12_cdc_snapshot", "e13_gap_detection",
-        "e14_conversion_latency", "e15_rolling_wau", "e16_interarrival_stats",
-        "m03_frame_sample", "m04_payload_chunks", "p04_profile",
-        "p05_tombstone_delete", "p06_dataset_split", "p07_mixture_sample",
-        "p08_dq_report", "p09_exact_k_sample", "p10_leakproof_split",
-        "q19_rollup", "q20_pivot", "q31_percentiles", "q32_stats_agg",
-        "q33_full_outer_join", "q34_explode_tokens", "q35_json_extract",
-        "q36_regexp_extract", "r01_range_join", "s04_embed_quantize",
-        "s05_label_centroids", "s06_centroid_sim", "s07_centroid_classify",
-        "s08_embed_dim_stats", "t09_tfidf_rank", "t10_token_entropy",
-        "t11_langid_confusion", "t12_pmi_collocations", "t14_unigram_logprob",
-        "t15_doc_keywords",
-        # rounds 1-2 (CORRECTNESS_r01.json == r02.json)
         "d01_exact_dedup", "d02_jaccard_ngram", "d03_minhash_lsh",
         "d04_simhash", "d05_embed_neardup", "d06_dedup_clusters",
         "d07_dedup_apply", "m01_multimodal_meta", "m02_decode_resize",
@@ -87,9 +68,35 @@ _DRIVER_CHECKED = frozenset(
         "t01_langid", "t02_quality_score", "t03_token_count",
         "t04_fingerprint", "t05_vocab_topk", "t06_repetition",
         "t07_pii_scrub", "t08_chunk_documents",
-        # round 4 (CORRECTNESS_r04.json) — s09 excluded: its row was
-        # `err` (driver canonicalizer vs array<double>), so it stays
-        # in the front prefix for an attestable r05 row.
+    }
+)
+
+#: Driver-attested in CORRECTNESS_r03.
+_EVIDENCE_R3 = frozenset(
+    {
+        "a01_asof_join", "d08_semantic_dedup_apply", "d09_shared_longrun",
+        "d10_dedup_clusters_star", "d11_editdist_pairs", "e01_events_window",
+        "e02_sessionize", "e03_event_topk", "e04_sliding_window",
+        "e05_running_totals", "e06_resample_ffill", "e07_stream_enrich",
+        "e08_rate_anomaly", "e09_funnel", "e10_retention",
+        "e11_session_window", "e12_cdc_snapshot", "e13_gap_detection",
+        "e14_conversion_latency", "e15_rolling_wau", "e16_interarrival_stats",
+        "m03_frame_sample", "m04_payload_chunks", "p04_profile",
+        "p05_tombstone_delete", "p06_dataset_split", "p07_mixture_sample",
+        "p08_dq_report", "p09_exact_k_sample", "p10_leakproof_split",
+        "q19_rollup", "q20_pivot", "q31_percentiles", "q32_stats_agg",
+        "q33_full_outer_join", "q34_explode_tokens", "q35_json_extract",
+        "q36_regexp_extract", "r01_range_join", "s04_embed_quantize",
+        "s05_label_centroids", "s06_centroid_sim", "s07_centroid_classify",
+        "s08_embed_dim_stats", "t09_tfidf_rank", "t10_token_entropy",
+        "t11_langid_confusion", "t12_pmi_collocations", "t14_unigram_logprob",
+        "t15_doc_keywords",
+    }
+)
+
+#: Driver-attested in CORRECTNESS_r04.
+_EVIDENCE_R4 = frozenset(
+    {
         "a03_asof_forward", "d13_incremental_dedup",
         "d14_containment_pairs", "e17_cep_match", "e18_bot_users",
         "g01_pagerank", "g02_degree_histogram", "h03_shipping_priority",
@@ -112,31 +119,44 @@ _DRIVER_CHECKED = frozenset(
     }
 )
 
-
-def _rotated(merged, oracled: frozenset):
-    """Order: never-checked oracled keys (full hash compare) first,
-    then never-checked rows-only keys, then already-checked keys —
-    maximizes new official hash-match rows per bounded driver run."""
-
-    def rank(k):
-        return (k in _DRIVER_CHECKED, k in _LATE_ADDITIONS, k not in oracled)
-
-    return {k: merged[k] for k in sorted(merged, key=lambda k: (rank(k),))}
+#: Rows-only BY DESIGN (not convertible without polluting the scale
+#: path's own plan with its exact O(N^2) twin): evidence is
+#: recall/property tests, so a driver prefix slot is better spent on
+#: a hash-attestable key.
+_ROWS_ONLY_BY_DESIGN = frozenset({"s02_lsh_ann", "d12_semantic_dedup_lsh"})
 
 
-def _oracle_keys() -> frozenset:
-    return frozenset(k for mod in _MODULES for k in mod.ORACLES)
+def _rank(k: str) -> tuple:
+    if k in _ROWS_ONLY_BY_DESIGN:
+        tier = 9
+    elif k in _BANDED_R06:
+        tier = 0
+    elif k in _EVIDENCE_R12:
+        tier = 1
+    elif k in _EVIDENCE_R3:
+        tier = 2
+    elif k in _EVIDENCE_R4:
+        tier = 3
+    else:
+        tier = 4  # r05-attested (everything else has a row by now)
+    # within tier 0 keep the explicit _BANDED_R06 order
+    sub = _BANDED_R06.index(k) if tier == 0 else 0
+    return (tier, sub)
+
+
+def _rotated(merged):
+    return {k: merged[k] for k in sorted(merged, key=_rank)}
 
 
 def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return _rotated(out, _oracle_keys())
+    return _rotated(out)
 
 
 def all_oracles():
     out = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    return _rotated(out, _oracle_keys())
+    return _rotated(out)

@@ -119,16 +119,28 @@ def test_embed_media_stub_deterministic_unit_norm(spark, sf_dir):
 
 
 def test_crossmodal_knn_shape_and_ranks(spark, sf_dir):
-    """m07 plumbing: exactly k ranked neighbors per media query, cos
-    non-increasing within each query, neighbors drawn from the
-    embeddings corpus."""
+    """m07 plumbing at the OPERATOR level (the query key now emits
+    the banded attestation summary): exactly k ranked neighbors per
+    media query, cos non-increasing within each query, neighbors
+    drawn from the embeddings corpus; and the query-level summary
+    attests the same per query."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import multimodal
     from llamadb_spark.queries.pipeline import (
         M07_QUERY_DOCS,
-        m07_crossmodal_knn,
+        _docs,
         _emb,
+        m07_crossmodal_knn,
     )
 
-    out = m07_crossmodal_knn(spark, sf_dir).collect()
+    media = multimodal.attach_payload(_docs(spark, sf_dir)).filter(
+        col("doc_id").isin(M07_QUERY_DOCS)
+    )
+    vecs = multimodal.embed_media_stub(media)
+    out = multimodal.crossmodal_knn(
+        vecs, _emb(spark, sf_dir), M07_QUERY_DOCS, k=5
+    ).collect()
     by_q = {}
     for r in out:
         by_q.setdefault(r.media_id, []).append(r)
@@ -142,3 +154,10 @@ def test_crossmodal_knn_shape_and_ranks(spark, sf_dir):
         cs = [r.cos for r in rows]
         assert all(cs[i] >= cs[i + 1] for i in range(len(cs) - 1))
         assert all(r.neighbor_id in vec_ids for r in rows)
+
+    summary = m07_crossmodal_knn(spark, sf_dir).collect()
+    assert {r.media_id for r in summary} == set(M07_QUERY_DOCS)
+    assert all(
+        r.n_neighbors == 5 and r.neighbors_distinct and r.cos_bounded
+        for r in summary
+    )

@@ -85,6 +85,9 @@ _ALLOWED_HINTS = {
     # join: all bounded by |KNN_QUERY_IDS| (8) x nprobe
     "s03_ivf_ann": 3,
     "t13_heavy_hitters": 1,  # 1-row token-total scalar
+    # MMR attestation: 2x pairwise-diversity joins (pick lists,
+    # k-bounded) + three 1-row scalar crossJoins
+    "s10_mmr_rerank": 7,
     "s11_rerank_ann": 1,  # caller-bounded query set
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,
     "p02_contamination": 1, "p05_tombstone_delete": 1,
