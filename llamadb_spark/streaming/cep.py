@@ -47,22 +47,44 @@ def _us(ts) -> int:
     return int(pd.Timestamp(ts).value // 1000)
 
 
+#: carry + out-of-order buffer (see cep_matches_stream).
+_BUF_STATE_SCHEMA = (
+    "trig_us long, neg_us long, buf_eid array<long>, buf_us array<long>, "
+    "buf_type array<string>"
+)
+
+#: end-of-stream watermark sentinel user (output-filtered; an input
+#: filter would be pushed below the EventTimeWatermark node).
+SENTINEL_USER = -1
+
+
 def cep_matches_stream(
     events: DataFrame,
     trigger: str = "view",
     target: str = "purchase",
     negation: str = "error",
     within_seconds: int = 1800,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming pattern-with-negation matches, keyed on user_id.
 
-    Same ordering assumption as the sessionize stream: a user's
-    events arrive in event-time order across micro-batches (in-batch
-    rows are sorted here; cross-batch disorder is a source-contract
-    question, as in any CEP engine). Output rows are identical to
-    the batch operator's over the events the stream has seen —
-    asserted stream≡batch in tests/test_streaming.py.
+    Default (ordered) mode assumes a user's events arrive in
+    event-time order across micro-batches (in-batch rows are sorted
+    here). With ``watermark_delay`` set (round-6 out-of-order fix),
+    events buffer in array-typed state until the watermark passes
+    them and are processed in exact event-time order — any arrival
+    order with disorder ≤ the delay reproduces the batch operator
+    exactly. State stays active-user-bounded: the buffer holds only
+    events inside the watermark horizon, and a user whose trigger
+    aged past `within` is evicted once the buffer drains. Output rows
+    are identical to the batch operator's over the events the stream
+    has seen — asserted stream≡batch in tests/test_streaming.py.
     """
+    if watermark_delay is not None:
+        return _cep_unordered(
+            events, trigger, target, negation, within_seconds,
+            watermark_delay,
+        )
     within_us = within_seconds * 1_000_000
 
     def fn(
@@ -119,4 +141,101 @@ def cep_matches_stream(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _cep_unordered(
+    events: DataFrame,
+    trigger: str,
+    target: str,
+    negation: str,
+    within_seconds: int,
+    watermark_delay: str,
+) -> DataFrame:
+    """Watermark-buffered CEP (see cep_matches_stream)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    within_us = within_seconds * 1_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            trig_us, neg_us, b_eid, b_us, b_type = state.get
+        else:
+            trig_us, neg_us, b_eid, b_us, b_type = -1, -1, [], [], []
+
+        merged = list(zip(b_us, b_eid, b_type))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                merged.extend(
+                    zip(
+                        (_us(t) for t in pdf["ts"]),
+                        (int(e) for e in pdf["event_id"]),
+                        pdf["event_type"],
+                    )
+                )
+        merged.sort()
+        ready = [r for r in merged if r[0] <= wm_us]
+        held = [r for r in merged if r[0] > wm_us]
+
+        out = []
+        for t, eid, etype in ready:
+            if etype == target:
+                if (
+                    trig_us >= 0
+                    and t - trig_us <= within_us
+                    and (neg_us < trig_us)
+                ):
+                    out.append((int(eid), trig_us, t))
+            if etype == trigger:
+                trig_us = t
+            elif etype == negation:
+                neg_us = t
+
+        if held:
+            state.update(
+                (
+                    trig_us, neg_us,
+                    [r[1] for r in held],
+                    [r[0] for r in held],
+                    [r[2] for r in held],
+                )
+            )
+            state.setTimeoutTimestamp(min(r[0] for r in held) // 1000 + 1)
+        elif trig_us >= 0 and wm_us <= trig_us + within_us:
+            # trigger still inside its match window: keep it
+            state.update((trig_us, neg_us, [], [], []))
+            state.setTimeoutTimestamp(
+                max((trig_us + within_us) // 1000,
+                    state.getCurrentWatermarkMs()) + 1
+            )
+        else:
+            # expired trigger (or none) and empty buffer: evict
+            if state.exists:
+                state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "match_id": [o[0] for o in out],
+                    "trigger_ts": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "target_ts": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "gap_us": [o[2] - o[1] for o in out],
+                }
+            )
+
+    withwm = events.withWatermark("ts", watermark_delay)
+    return (
+        withwm.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CEP_SCHEMA,
+            stateStructType=_BUF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .filter(F.col("user_id") != SENTINEL_USER)
     )

@@ -970,3 +970,168 @@ def test_ingest_dedup_per_table_replay_gating(spark, tmp_path):
     assert {(r.doc_id, r.match_id) for r in matches2.collect()} == {(3, 1)}
     assert versions(corpus_path) == [0, 1]
     assert versions(matches_path) == [0, 1]  # no duplicate commit
+
+
+def _stage_shuffled_events(
+    spark, tmp_path, n_files=3, tag="ooo", cols=None
+):
+    """Stage the sf0.001 events table as n interleaved files (file i
+    holds event_id % n == i — every file spans the WHOLE timeline, so
+    consecutive micro-batches are massively out of event-time order)
+    plus far-future watermark sentinel files (user_id = -1)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        *(cols or ["user_id", "event_id", "event_type", "ts"])
+    )
+    drop = tmp_path / f"{tag}_drop"
+    drop.mkdir()
+    for i in range(n_files):
+        staged = str(tmp_path / f"{tag}_stage{i}")
+        ev.filter(F.col("event_id") % n_files == i).coalesce(1).write.parquet(
+            staged
+        )
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-events.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    # sentinels: two far-future events (user_id = -1). The first
+    # advances the global watermark past every real timestamp; the
+    # second is a data batch processed AFTER that advancement, which
+    # is when the expired flush timers actually fire (availableNow
+    # does not run a trailing no-data batch for timers).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    for j in range(2):
+        svals = {
+            "user_id": -1, "event_id": -1, "event_type": "x",
+            "value": 0.0, "ts": max_ts + dt.timedelta(days=8000 + j),
+        }
+        sentinel = spark.createDataFrame(
+            [tuple(svals[f.name] for f in ev.schema.fields)],
+            schema=ev.schema,
+        )
+        staged = str(tmp_path / f"{tag}_sentinel{j}")
+        sentinel.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{n_files + j:02d}-sentinel.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + n_files + j,) * 2)
+    return ev, str(drop), ev.schema
+
+
+def test_transitions_stream_out_of_order_batches(spark, tmp_path):
+    """VERDICT r05 robustness gap: deliver the events table as 3
+    SHUFFLED micro-batches (every batch spans the full timeline) and
+    the watermark-buffered transitions operator must still reproduce
+    the batch lag exactly — no ordered-arrival assumption."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.streaming.streams import run_to_memory
+    from llamadb_spark.streaming.transitions import transitions_stream
+
+    ev, drop, schema = _stage_shuffled_events(spark, tmp_path, tag="tr")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    steps = transitions_stream(stream, watermark_delay="7000 days")
+    got = {
+        (r.user_id, r.prev_type, r.next_type, r.ts)
+        for r in run_to_memory(
+            steps, "tr_ooo", output_mode="append"
+        ).collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.prev_type, r.next_type, r.ts)
+        for r in ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "ts",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stream_out_of_order_batches(spark, tmp_path):
+    """Watermark-buffered sessionization over 3 shuffled micro-
+    batches must reproduce the batch sessionizer EXACTLY — including
+    each user's final session, which closes by event-time once the
+    sentinel-advanced watermark passes its gap horizon (not by
+    wall-clock idleness)."""
+    from llamadb_spark.operators.events import sessionize
+    from llamadb_spark.queries.events import _events
+    from llamadb_spark.streaming.sessions import sessionize_stream
+    from llamadb_spark.streaming.streams import run_to_memory
+
+    ev, drop, schema = _stage_shuffled_events(
+        spark, tmp_path, tag="se", cols=["user_id", "event_id", "value", "ts"]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out = sessionize_stream(
+        stream, gap_minutes=30, watermark_delay="7000 days"
+    )
+    got = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in run_to_memory(out, "se_ooo", output_mode="append").collect()
+    }
+    batch = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in sessionize(
+            _events(spark, "/root/testdata/sf0.001"), gap_minutes=30
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_cep_stream_out_of_order_batches(spark, tmp_path):
+    """Watermark-buffered CEP (A → ¬N → B within T) over 3 shuffled
+    micro-batches must emit exactly the batch operator's matches."""
+    from llamadb_spark.operators.events import cep_sequence_matches
+    from llamadb_spark.queries.events import _events
+    from llamadb_spark.streaming.cep import cep_matches_stream
+    from llamadb_spark.streaming.streams import run_to_memory
+
+    ev, drop, schema = _stage_shuffled_events(spark, tmp_path, tag="ce")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out = cep_matches_stream(stream, watermark_delay="7000 days")
+    got = {
+        (r.user_id, r.match_id, r.trigger_ts, r.target_ts, r.gap_us)
+        for r in run_to_memory(out, "ce_ooo", output_mode="append").collect()
+    }
+    batch = {
+        (r.user_id, r.match_id, r.trigger_ts, r.target_ts, r.gap_us)
+        for r in cep_sequence_matches(
+            _events(spark, "/root/testdata/sf0.001")
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
