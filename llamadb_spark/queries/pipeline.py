@@ -294,24 +294,32 @@ WHERE a.vec_id < b.vec_id
 
 
 def d08_semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end SEMANTIC dedup: embedding near-dup pairs (d05) →
-    connected components → keep each cluster's min-vec_id
-    representative → surviving corpus per label. The embedding-space
-    twin of d07's lexical dedup-apply — the two run back-to-back in a
-    real curation pipeline (lexical first, semantic second).
+    """End-to-end SEMANTIC dedup via the EXACT escape hatch: this key
+    deliberately calls semantic_dedup_pairs(exact=True) — the blocked
+    all-pairs small-corpus VERIFICATION path — because its oracle is
+    the exact recursive-CTE closure and the key's role is to prove
+    the dedup-apply contract against exhaustive ground truth. The
+    library DEFAULT (operators/similarity.semantic_dedup_pairs with
+    exact=False) is the LSH-bucketed generator; its end-to-end key is
+    d12_semantic_dedup_lsh, the documented 100 TB path with the same
+    output contract. Do not run the exact form on a corpus that
+    doesn't comfortably fit a single machine's O(N²) compute budget.
+
+    Pipeline shape: pairs → connected components → keep each
+    cluster's min-vec_id representative → surviving corpus per label
+    (the embedding-space twin of d07's lexical dedup-apply).
 
     Scale: identical join discipline to d07 — the drop list's size
     is duplicate-DEPENDENT (can approach corpus scale on a
     duplicate-heavy corpus), so no broadcast hint: AQE picks
     broadcast vs shuffle for the LEFT ANTI join at runtime from the
-    drop list's actual size. Pair generation goes through d05's
-    blocked similarity operator, never O(n²) row pairs.
+    drop list's actual size.
     """
     from pyspark.sql.functions import col
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.embed_neardup_pairs(
-        emb, threshold=EMBED_NEARDUP_THRESHOLD
+    pairs = similarity.semantic_dedup_pairs(
+        emb, threshold=EMBED_NEARDUP_THRESHOLD, exact=True
     ).select("a_id", "b_id")
     cc = dedup.connected_components_star(pairs)
     losers = cc.filter(col("node") != col("cluster_id")).select(
@@ -401,7 +409,8 @@ def d12_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import col
 
     emb = _emb(spark, sf_dir)
-    pairs = similarity.lsh_ann_pairs(
+    # the library DEFAULT path (exact=False): LSH-bucketed candidates
+    pairs = similarity.semantic_dedup_pairs(
         emb,
         threshold=EMBED_NEARDUP_THRESHOLD,
         num_planes=D12_LSH_PLANES,

@@ -236,3 +236,40 @@ def test_lsh_auto_planes_tracks_corpus_size(spark, sf_dir):
     expected_planes = max(1, math.ceil(math.log2(max(2, n / 64))))
     # occupancy check: 2^planes buckets/table keeps avg bucket <= target
     assert n / (2 ** expected_planes) <= 64
+
+
+def test_semantic_dedup_pairs_default_is_lsh(spark, sf_dir):
+    """The public pair-generator entry point defaults to the
+    LSH-bucketed scale path; exact=True is the explicit all-pairs
+    escape hatch (VERDICT r05: no default plan may contain a blocked
+    all-pairs stage)."""
+    from llamadb_spark.operators.similarity import (
+        embed_neardup_pairs,
+        lsh_ann_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dflt = {
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in lsh_ann_pairs(
+            emb, threshold=0.4, num_planes=6, num_tables=40
+        ).collect()
+    }
+    assert dflt == lsh
+    exact = {
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    brute = {
+        (r.a_id, r.b_id)
+        for r in embed_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact == brute
+    # the default path is a verified SUBSET of exhaustive ground
+    # truth (precision 1.0); recall bounds live in test_dedup.py
+    assert dflt <= exact
