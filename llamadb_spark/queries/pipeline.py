@@ -1343,6 +1343,151 @@ LIMIT {TFIDF_K}
 """
 
 
+#: RRF fusion constant (the standard 60 from Cormack et al.) and
+#: retrieval depths for the hybrid key.
+RRF_K = 60
+HYBRID_POOL = 50
+HYBRID_TOPK = 20
+
+
+def t27_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bm25_topk(_docs(spark, sf_dir), TFIDF_QUERY, k=TFIDF_K)
+
+
+def _bm25_sql(limit: int) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS dlen
+  FROM documents
+),
+a AS (SELECT avg(dlen) AS avgdl FROM dl),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({", ".join(repr(t) for t in TFIDF_QUERY)})
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id AS doc_id, count(*) AS n_terms,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl))),
+             6) AS bm25
+FROM tf JOIN df USING (token) JOIN dl USING (doc_id), a, n
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {limit}
+"""
+
+
+ORACLE_T27 = _bm25_sql(TFIDF_K)
+
+
+def s15_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the standard two-tower search stack in one declarative plan: a
+    BM25 ranking over `documents` and an exact-cosine ranking over
+    `embeddings` (query = the min-vec_id embedding; doc_id == vec_id
+    is the corpus linkage at every SF) are each cut to a top-POOL
+    list, then fused by RRF: score(d) = Σ 1/(K + rank_d) over the
+    lists containing d, top-HYBRID_TOPK by (rounded score, id).
+
+    Fully exact-oracled: both rankings and the fusion are
+    DuckDB-recomputable; ordering uses ROUNDED scores with id
+    tiebreaks on both engines so pool cutoffs can't flip on a last-
+    ulp difference.
+
+    Scale: each ranking ends in TakeOrderedAndProject (top-POOL);
+    the rank windows run over the POOL-bounded lists, never the
+    corpus; the fusion join is POOL x POOL rows.
+    """
+    from pyspark.sql.functions import broadcast, col
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.similarity import cosine
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+
+    lex_pool = textops.bm25_topk(docs, TFIDF_QUERY, k=HYBRID_POOL)
+    w_lex = Window.partitionBy().orderBy(col("bm25").desc(), col("doc_id"))
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    qv = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = emb.select(
+        col("vec_id").alias("doc_id"),
+        F.round(
+            cosine(col("embedding").cast("array<double>"), qcol), 6
+        ).alias("cos"),
+    )
+    vec_pool = scored.orderBy(col("cos").desc(), col("doc_id")).limit(
+        HYBRID_POOL
+    )
+    w_vec = Window.partitionBy().orderBy(col("cos").desc(), col("doc_id"))
+    vec = vec_pool.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        F.round(
+            F.when(
+                col("lex_rank").isNotNull(),
+                1.0 / (RRF_K + col("lex_rank")),
+            ).otherwise(0.0)
+            + F.when(
+                col("vec_rank").isNotNull(),
+                1.0 / (RRF_K + col("vec_rank")),
+            ).otherwise(0.0),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(col("rrf").desc(), col("doc_id")).limit(HYBRID_TOPK)
+
+
+ORACLE_S15 = rf"""
+WITH lex_pool AS ({_bm25_sql(HYBRID_POOL)}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_pool
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+sc AS (SELECT vec_id AS doc_id, round(list_cosine_similarity(v, qv), 6) AS cos
+       FROM e, q),
+vec_pool AS (SELECT * FROM sc ORDER BY cos DESC, doc_id LIMIT {HYBRID_POOL}),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM vec_pool
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(lex_rank, 0) AS lex_rank,
+         COALESCE(vec_rank, 0) AS vec_rank,
+         round(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+               + COALESCE(1.0 / ({RRF_K} + vec_rank), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
+"""
+
+
+
 def s05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
@@ -3908,6 +4053,8 @@ QUERIES = {
     "t11_langid_confusion": t11_langid_confusion,
     "t12_pmi_collocations": t12_pmi_collocations,
     "t13_heavy_hitters": t13_heavy_hitters,
+    "t27_bm25_rank": t27_bm25_rank,
+    "s15_hybrid_rrf": s15_hybrid_rrf,
     "t14_unigram_logprob": t14_unigram_logprob,
     "t15_doc_keywords": t15_doc_keywords,
     "t16_bigram_logprob": t16_bigram_logprob,
@@ -3976,6 +4123,8 @@ ORACLES = {
     "s01_knn_bruteforce": ORACLE_S01,
     "s03_ivf_ann": ORACLE_S03,
     "t13_heavy_hitters": ORACLE_T13,
+    "t27_bm25_rank": ORACLE_T27,
+    "s15_hybrid_rrf": ORACLE_S15,
     "d18_minhash_calibration": ORACLE_D18,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,

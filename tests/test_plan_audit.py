@@ -72,7 +72,11 @@ _ALLOWED_HINTS = {
     "h14_promo_effect": 1, "h16_supplier_counts": 2,
     "h18_large_orders": 2, "h19_discounted_revenue": 1,
     "h20_potential_promotion": 2, "h21_waiting_suppliers": 1,
-    "d02_jaccard_ngram": 4, "d03_minhash_lsh": 4,
+    "d02_jaccard_ngram": 4,
+    # banded recall attestation: d02's exact pair plan (4) + the LSH
+    # candidate plan's own capped-bucket hints (4)
+    "d03_minhash_lsh": 8,
+    "d04_simhash": 4,  # the d02 exact-pair plan's hints
     "d13_incremental_dedup": 1,  # drop_hot_keys' tiny hot-key list
     "d14_containment_pairs": 4,  # same shape as d02
     "g01_pagerank": 4,  # pair generation is the d02 plan
@@ -85,9 +89,14 @@ _ALLOWED_HINTS = {
     # join: all bounded by |KNN_QUERY_IDS| (8) x nprobe
     "s03_ivf_ann": 3,
     "t13_heavy_hitters": 1,  # 1-row token-total scalar
-    # MMR attestation: 2x pairwise-diversity joins (pick lists,
-    # k-bounded) + three 1-row scalar crossJoins
-    "s10_mmr_rerank": 7,
+    # BM25: query-bounded df table + avgdl/n_docs 1-row scalars
+    "t27_bm25_rank": 3,
+    "s15_hybrid_rrf": 3,  # the BM25 pool subtree's hints
+    # MMR attestation: 2x pairwise-diversity joins (2 k-bounded
+    # broadcasts each) + three 1-row scalar crossJoins + the MMR
+    # pool/centroid hints of the operator itself
+    "s10_mmr_rerank": 9,
+    "s09_pca_project": 1,  # 1-row variance-total scalar crossJoin
     "s11_rerank_ann": 1,  # caller-bounded query set
     "s06_centroid_sim": 1, "s07_centroid_classify": 2,
     "p02_contamination": 1, "p05_tombstone_delete": 1,
@@ -156,6 +165,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # mean-recall band over the per-query recall table —
     # |KNN_QUERY_IDS| (8) rows max
     "s03_ivf_ann": 1,
+    # rank windows over the two top-POOL retrieval lists —
+    # HYBRID_POOL (50) rows max each
+    "s15_hybrid_rrf": 2,
 }
 
 

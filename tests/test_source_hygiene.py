@@ -30,7 +30,8 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 #:   similarity.py: (1) capped broadcast collect with explicit raise
 #:     beyond max_broadcast_rows, (2) n_cells centroid seeds,
 #:     (3) K·d per-cell means, (4) MMR pool collect ≤ pool rows
-#:   pipeline.py: s10's 1-row query-vector fetch (orderBy+limit(1))
+#:   pipeline.py: s10's and s15's 1-row query-vector fetches
+#:     (orderBy+limit(1) each)
 #:   plans/explain.py: run_with_observation returns the caller's own
 #:     materialized result — the collect IS the caller's action (the
 #:     observe node rides along); boundedness is the caller's query,
@@ -39,7 +40,7 @@ _COLLECT_ALLOW = {
     "sql/dialect.py": 1,
     "operators/dedup.py": 1,
     "operators/similarity.py": 4,
-    "queries/pipeline.py": 1,
+    "queries/pipeline.py": 2,
     "plans/explain.py": 1,
 }
 
