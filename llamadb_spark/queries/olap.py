@@ -275,17 +275,26 @@ def a02_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     points. Both sketches are deterministic for fixed data, so the
     booleans are stable across runs at a given SF."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # TWO separate aggregations joined on the 5-row group key, not
+    # one: mixing countDistinct (Expand rewrite) with the
+    # TypedImperativeAggregate percentiles in a single agg forces a
+    # SortAggregate over the expanded input — measured 12x slower
+    # than the two clean HashAggregate passes. Percentiles use the
+    # ARRAY forms (one sort / one t-digest per group, not six).
+    users = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count(lit(1)).alias("n_events"),
-        F.percentile_approx("value", 0.5).alias("ap50"),
-        F.percentile_approx("value", 0.95).alias("ap95"),
-        F.expr("percentile(value, 0.45)").alias("e45"),
-        F.expr("percentile(value, 0.55)").alias("e55"),
-        F.expr("percentile(value, 0.90)").alias("e90"),
-        F.expr("percentile(value, 0.99)").alias("e99"),
     )
+    pctl = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(lit(0.5), lit(0.95))
+        ).alias("ap"),
+        F.expr(
+            "percentile(value, array(0.45, 0.55, 0.90, 0.99))"
+        ).alias("ep"),
+    )
+    agg = users.join(pctl, "event_type")
     return agg.select(
         "event_type",
         "exact_users",
@@ -294,8 +303,8 @@ def a02_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(col("approx_users") - col("exact_users"))
             <= 0.10 * col("exact_users")
         ).alias("users_within_10pct"),
-        col("ap50").between(col("e45"), col("e55")).alias("p50_in_band"),
-        col("ap95").between(col("e90"), col("e99")).alias("p95_in_band"),
+        col("ap")[0].between(col("ep")[0], col("ep")[1]).alias("p50_in_band"),
+        col("ap")[1].between(col("ep")[2], col("ep")[3]).alias("p95_in_band"),
     )
 
 

@@ -125,3 +125,56 @@ def test_compression_ratio_orders_repetition(spark):
     for r in rows.values():
         assert 0.0 < r.zlib_ratio <= 1.1
         assert r.n_zlib_bytes > 0 and r.n_raw_bytes > 0
+
+
+def test_bm25_saturation_and_length_normalization(spark):
+    """BM25 vs raw TF-IDF behavior: (1) TF saturates — doubling an
+    already-high term count moves the score sublinearly (k1 cap);
+    (2) longer documents are penalized at equal tf (b-normalization);
+    (3) ranking is deterministic with id tiebreaks."""
+    docs = spark.createDataFrame(
+        [
+            (1, "data " * 2 + "filler alpha beta"),
+            (2, "data " * 8 + "filler alpha beta"),
+            (3, "data " * 2 + "filler " * 30),
+            (4, "unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.bm25
+        for r in textops.bm25_topk(docs, ["data"], k=10).collect()
+    }
+    assert 4 not in out  # no query term, no row
+    # saturation: 4x the tf gives < 4x the score
+    assert out[2] > out[1]
+    assert out[2] < 4 * out[1]
+    # length normalization: same tf, much longer doc scores lower
+    assert out[3] < out[1]
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    """s15: every fused row carries a valid rank from at least one
+    list, the RRF score matches its rank components exactly, and the
+    result is the top-k of the union by (rounded score, id)."""
+    from llamadb_spark.queries.pipeline import (
+        HYBRID_POOL,
+        HYBRID_TOPK,
+        RRF_K,
+        s15_hybrid_rrf,
+    )
+
+    rows = s15_hybrid_rrf(spark, sf_dir).collect()
+    assert len(rows) == HYBRID_TOPK
+    for r in rows:
+        assert r.lex_rank > 0 or r.vec_rank > 0
+        assert 0 <= r.lex_rank <= HYBRID_POOL
+        assert 0 <= r.vec_rank <= HYBRID_POOL
+        want = 0.0
+        if r.lex_rank:
+            want += 1.0 / (RRF_K + r.lex_rank)
+        if r.vec_rank:
+            want += 1.0 / (RRF_K + r.vec_rank)
+        assert abs(r.rrf - round(want, 6)) < 1e-9
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
