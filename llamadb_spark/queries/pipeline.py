@@ -247,7 +247,13 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_ngram_pairs(
         docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
     ).select("a_id", "b_id", "jaccard")
-    fp = dedup.simhash_fingerprints(docs).select("doc_id", "simhash")
+    # referenced by both join sides — stage the n_docs fingerprint
+    # rows once instead of recomputing the bit-vote aggregation twice
+    fp = (
+        dedup.simhash_fingerprints(docs)
+        .select("doc_id", "simhash")
+        .localCheckpoint()
+    )
     ham = F.bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
     return (
         pairs.join(
@@ -881,7 +887,12 @@ def s03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.ivf_topk(
         emb, KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=S03_NPROBE
     )
-    exact = similarity.knn_bruteforce(emb, KNN_QUERY_IDS, k=KNN_K)
+    # the exact twin feeds BOTH the recall join and the top-1
+    # projection: stage its |queries|·k rows once instead of running
+    # the brute-force scan twice
+    exact = similarity.knn_bruteforce(
+        emb, KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint()
     hits = (
         approx.join(
             exact.select("query_id", "neighbor_id"),
@@ -3840,7 +3851,9 @@ def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_ngram_pairs(
         docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
     ).select("a_id", "b_id", "n_inter", "jaccard")
-    sigs = dedup.minhash_signatures(docs, num_hashes=32)
+    # referenced by both join sides — stage the n_docs signature rows
+    # once instead of re-running the shingle+minhash pipeline twice
+    sigs = dedup.minhash_signatures(docs, num_hashes=32).localCheckpoint()
     est = (
         F.size(
             F.filter(
