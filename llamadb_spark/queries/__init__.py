@@ -17,10 +17,10 @@ freshness policy. Round-6 policy (VERDICT r05 "Next round" #1+#2):
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The resulting 50-key r06 prefix = the 13 newly-oracled keys + the 37
-oldest r01/r02 keys; its only overlap with r05's prefix is the
-newly-oracled keys themselves (which r05 could record only as
-``no_oracle``).
+The resulting 50-key r06 prefix = the 13 newly-oracled keys + the 2
+brand-new round-6 keys (BM25 / hybrid RRF) + the 35 oldest r01/r02
+keys; its only overlap with r05's prefix is the newly-oracled keys
+themselves (which r05 could record only as ``no_oracle``).
 """
 
 from __future__ import annotations
@@ -37,6 +37,10 @@ from llamadb_spark.queries import (
 )
 
 _MODULES = (core, pipeline, events, olap, surface, advanced, surface2, tpch)
+
+#: Keys NEW in round 6 (never driver-checked at all) — right behind
+#: the banded conversions in the prefix.
+_NEW_R06 = ("t27_bm25_rank", "s15_hybrid_rrf")
 
 #: Rows-only keys converted to banded-boolean/exact oracles in round
 #: 6 — front of the queue for their first hash-attestable driver row.
@@ -131,6 +135,8 @@ def _rank(k: str) -> tuple:
         tier = 9
     elif k in _BANDED_R06:
         tier = 0
+    elif k in _NEW_R06:
+        tier = 0.5
     elif k in _EVIDENCE_R12:
         tier = 1
     elif k in _EVIDENCE_R3:
