@@ -423,8 +423,12 @@ def simhash_fingerprints(
     """64-bit SimHash over distinct whitespace tokens.
 
     Bit b of the fingerprint = majority vote of bit b across
-    xxhash64(token) for all tokens. One collect_list + higher-order
-    transform — no UDF, no 64 separate aggregations.
+    xxhash64(token) for all tokens, computed as 64 SUM aggregates of
+    ±1 bit votes — all JVM-side, one shuffle. The sums get map-side
+    partial aggregation, so the shuffle carries 64 longs per doc
+    instead of every token hash (the earlier collect_list form had
+    no map-side combine and moved the full hash list — measured 1.8×
+    slower at sf0.1 and strictly worse at 100 TB shuffle volume).
 
     Output: (id, simhash bigint, bucket = top-16-bit prefix) —
     bucket gives the hamming-candidate blocking key.
@@ -432,24 +436,24 @@ def simhash_fingerprints(
     toks = docs.select(
         col(id_col), F.explode(distinct_tokens(col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
     # Bit positions must be python ints (shiftright takes a literal
-    # count); 64 aggregate expressions over one collected array —
-    # all JVM-side, one shuffle total.
-    def _vote(b: int):
-        return F.aggregate(
-            "hs",
-            lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    # count).
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
     simhash = lit(0).cast("long")
     for b in range(64):
         simhash = simhash.bitwiseOR(
-            F.when(_vote(b) > 0, F.shiftleft(lit(1).cast("long"), b)).otherwise(
-                lit(0).cast("long")
-            )
+            F.when(
+                col(f"_v{b}") > 0, F.shiftleft(lit(1).cast("long"), b)
+            ).otherwise(lit(0).cast("long"))
         )
     return votes.select(
         col(id_col),
