@@ -963,12 +963,21 @@ def e24_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from llamadb_spark.streaming.streams import (
-        read_events_stream,
+        read_events_stream_unordered,
         run_to_memory,
     )
     from llamadb_spark.streaming.transitions import transitions_stream
 
-    steps = transitions_stream(read_events_stream(spark, sf_dir))
+    # round 6: the driver-attested streaming key now runs the
+    # OUT-OF-ORDER-ROBUST path — watermark-buffered state (events
+    # held in array-typed state until watermark passage, processed in
+    # exact event-time order, flushed by event-time timers via the
+    # staged end-of-stream sentinels) — instead of assuming ordered
+    # arrival. Output contract unchanged: hash == batch e21's SQL.
+    steps = transitions_stream(
+        read_events_stream_unordered(spark, sf_dir),
+        watermark_delay="7000 days",
+    )
     out = run_to_memory(steps, "e24_transitions", output_mode="append")
     counts = out.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")

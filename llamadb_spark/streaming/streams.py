@@ -50,6 +50,74 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def read_events_stream_unordered(
+    spark: SparkSession, sf_dir: str, sentinel_days: int = 8000
+) -> DataFrame:
+    """read_events_stream plus END-OF-STREAM WATERMARK SENTINELS for
+    the watermark-buffered stateful operators (transitions/sessions/
+    cep ``watermark_delay`` mode): two far-future events under the
+    reserved SENTINEL_USER (-1) are staged as extra files after the
+    events file. The first advances the global watermark past every
+    real timestamp; the second is the data batch during which the
+    now-expired event-time flush timers actually fire (availableNow
+    runs no trailing no-data batch for timers). Sentinels are built
+    in the RAW file schema (one template row with overridden id/ts
+    columns), so both ts encodings normalize identically to the main
+    file; the operators drop SENTINEL_USER rows on their output side
+    (an input filter would be pushed below the EventTimeWatermark
+    node and starve the watermark).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    drop_dir = tempfile.mkdtemp(prefix="llamadb_events_ooostream_")
+    src = f"{sf_dir}/events.parquet"
+    os.symlink(src, f"{drop_dir}/events-00000.parquet")
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+    ts_type = schema["ts"].dataType
+    # raw-encoding far-future timestamps (nanos-as-long vs timestamp)
+    mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    base_mtime = os.path.getmtime(src)
+    for j in range(2):
+        if isinstance(ts_type, LongType):
+            far = lit(int(mx) + (sentinel_days + j) * 86_400_000_000_000)
+        else:
+            import datetime as dt
+
+            far = lit(mx + dt.timedelta(days=sentinel_days + j))
+        overrides = {
+            "user_id": lit(-1).cast(schema["user_id"].dataType),
+            "event_id": lit(-1).cast(schema["event_id"].dataType),
+            "event_type": lit("sentinel"),
+            "ts": far.cast(ts_type),
+        }
+        sentinel = batch.limit(1).select(
+            *[overrides.get(f.name, F.col(f.name)).alias(f.name) for f in schema.fields]
+        )
+        staged = tempfile.mkdtemp(prefix="llamadb_sentinel_")
+        sentinel.write.mode("overwrite").parquet(staged)
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = f"{drop_dir}/events-9999{j}-sentinel.parquet"
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (base_mtime + 1 + j, base_mtime + 1 + j))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def windowed_counts_stream(
     events: DataFrame,
     width: str = "1 hour",
