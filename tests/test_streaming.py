@@ -1135,3 +1135,67 @@ def test_cep_stream_out_of_order_batches(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_ingest_embed_dedup_stream_gates_and_persists_signatures(
+    spark, tmp_path
+):
+    """Streaming embedding ingest dedup (#266): batch 2's near-dup of
+    a batch-1 vector is matched against the ALREADY-ACCEPTED corpus
+    via the PERSISTED bucket signatures (the corpus is never
+    re-hashed at probe time) and gated out; per-table exactly-once
+    ledger stamped like ingest_dedup."""
+    import math
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import versions
+    from llamadb_spark.streaming.ingest_embed_dedup import (
+        ingest_embed_dedup_stream,
+    )
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    d = 16
+
+    def vec(seed, flip=0.0):
+        # deterministic unit-ish vectors; flip adds a small
+        # perturbation that keeps cosine near 1
+        base = [math.sin(seed * 37 + i) for i in range(d)]
+        if flip:
+            base = [
+                x + flip * math.cos(seed + j) for j, x in enumerate(base)
+            ]
+        return base
+
+    b1 = [(1, vec(1), "a"), (2, vec(2), "a")]
+    b2 = [(3, vec(1, flip=0.01), "b"), (4, vec(9), "b")]  # 3 ~ dup of 1
+    schema = "vec_id long, embedding array<double>, label string"
+    drop = tmp_path / "emb_drop"
+    drop.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        staged = str(tmp_path / f"emb_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-emb.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    corpus_path = str(tmp_path / "emb_corpus")
+    matches_path = str(tmp_path / "emb_matches")
+    corpus, matches = ingest_embed_dedup_stream(
+        stream, corpus_path, matches_path, threshold=0.95
+    )
+    assert sorted(r.vec_id for r in corpus.collect()) == [1, 2, 4]
+    m = {(r.vec_id, r.match_id) for r in matches.collect()}
+    assert m == {(3, 1)}
+    assert all(r.cos >= 0.95 for r in matches.collect())
+    # signatures persisted with the corpus (probe never re-hashes)
+    assert "buckets" in corpus.columns
+    assert versions(corpus_path) == [0, 1]
+    assert committed_batches(corpus_path) == {0: 0, 1: 1}
+    assert committed_batches(matches_path) == {0: 0, 1: 1}
