@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from llamadb_spark.queries import all_queries  # noqa: E402
+from llamadb_spark.queries import ATTESTATION_KEYS  # noqa: E402
 from llamadb_spark.session import get_spark  # noqa: E402
 
 #: Representative slice of SURVEY §2: core SQL (scan/join/agg/topk/
@@ -563,24 +564,34 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
             out = out.unionByName(p_)
         return out
 
-    # three ASCENDING scale points (VERDICT r05 #6: a 2-point fit is
-    # too noisy to be evidence), 2x / 4x / 8x the bench corpus — the
-    # 1x and downscaled points are fixed-overhead-dominated (~2 s per
-    # run swamps the signal), so the fit runs UP from 2x. Fit
-    # log t = e·log n + c by least squares, report R² with the
-    # exponent. Measured while building: exponent 0.94 with
-    # R² 0.9995 at sf0.1 — pair generation is ~linear in corpus size
-    # under auto plane sizing.
+    # FOUR ascending scale points (VERDICT r06 #2: the r06 3-point
+    # fit read 1.06 overall but its 8k→16k segment ran at ~1.3 — a
+    # 16x point + per-segment exponents either pins the tail down or
+    # shows it was the last fixed-overhead knee), 2x/4x/8x/16x the
+    # bench corpus — the 1x and downscaled points are fixed-overhead-
+    # dominated (~2 s per run swamps the signal), so the fit runs UP
+    # from 2x. Fit log t = e·log n + c by least squares, report R²
+    # with the exponent, plus per-segment exponents and the planes
+    # the auto sizing actually chose (verifying it FIRED at every
+    # point). r06's committed measurement for the 3-point form:
+    # exponent 1.063, R² 0.9816 (bench_results.json d12_scaling).
     points = [
-        ("x2", scaled(2)),
-        ("x4", scaled(4)),
-        ("x8", scaled(8)),
+        ("x2", 2),
+        ("x4", 4),
+        ("x8", 8),
+        ("x16", 16),
     ]
     out: dict = {}
     pts = []
-    for tag, emb in points:
+    for tag, mult in points:
+        emb = scaled(mult)
         n = emb.count()
+        # same formula as similarity.lsh_ann_pairs num_planes="auto"
+        # — recorded so the fit's evidence includes proof the plane
+        # count actually grew with the corpus (7→8→9 across 8x→16x)
+        planes = max(1, math.ceil(math.log2(max(2, n / 64))))
         best = None
+        n_pairs = None
         for _ in range(2):
             t0 = time.time()
             # the SCALE configuration (#215): auto plane sizing keeps
@@ -596,11 +607,17 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
                 target_bucket_rows=64,
                 num_tables=D12_LSH_TABLES,
             )
-            pairs.write.format("noop").mode("overwrite").save()
+            # count() executes the identical pair-gen plan plus one
+            # scalar agg; n_pairs per point discriminates an engine
+            # slowdown (time grows, pairs don't) from a data effect
+            # (near-threshold pair mass itself growing superlinearly)
+            n_pairs = pairs.count()
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
         out[f"{tag}_rows"] = n
         out[f"{tag}_sec"] = round(best, 3)
+        out[f"{tag}_planes"] = planes
+        out[f"{tag}_pairs"] = n_pairs
         pts.append((n, best))
     out["base_rows"] = n0
     xs = [math.log(n) for n, _ in pts]
@@ -619,6 +636,12 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
         out["n_points"] = k
     else:
         out["exponent"] = None
+    out["segment_exponents"] = [
+        round(
+            math.log(t2 / t1) / math.log(n2 / n1), 3
+        )
+        for (n1, t1), (n2, t2) in zip(pts, pts[1:])
+    ]
     return out
 
 
@@ -668,12 +691,29 @@ def main() -> None:
             gc.collect()
 
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    # VERDICT r06 #9: the banded-oracle keys run their exact
+    # attestation twin alongside the scale path, so their timings mix
+    # evidence cost into engine cost. Flag them so the headline can
+    # be read both ways without a manual key list: `value` keeps the
+    # frozen round-3 definition (comparable round-over-round);
+    # `headline_scale_path` is the same sum minus attestation keys.
+    headline_scale = round(
+        sum(
+            timings[n]
+            for n in HEADLINE
+            if n in timings and n not in ATTESTATION_KEYS
+        ),
+        3,
+    )
     result = {
         "metric": "headline_queries_total_runtime",
         "value": headline,
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "attestation": {n: (n in ATTESTATION_KEYS) for n in timings},
+        "attestation_keys": sorted(k for k in ATTESTATION_KEYS if k in timings),
+        "headline_scale_path": headline_scale,
         "bench_repeats": repeats,
         "sf": sf,
         "all_queries_total": round(sum(timings.values()), 3),

@@ -129,6 +129,13 @@ _EVIDENCE_R4 = frozenset(
 #: a hash-attestable key.
 _ROWS_ONLY_BY_DESIGN = frozenset({"s02_lsh_ann", "d12_semantic_dedup_lsh"})
 
+#: Keys whose query PLAN deliberately contains driver-attestation
+#: work beyond the scale path (the banded-oracle keys compute an
+#: exact twin alongside the sketch so DuckDB can hash-check the
+#: band). bench.py flags these per key so the headline can be read
+#: with and without evidence cost (VERDICT r06 #9).
+ATTESTATION_KEYS = frozenset(_BANDED_R06)
+
 
 def _rank(k: str) -> tuple:
     if k in _ROWS_ONLY_BY_DESIGN:

@@ -2828,7 +2828,7 @@ def m07_crossmodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = multimodal.embed_media_stub(media)
     out = multimodal.crossmodal_knn(
-        vecs, _emb(spark, sf_dir), M07_QUERY_DOCS, k=5
+        vecs, _emb(spark, sf_dir), M07_QUERY_DOCS, k=M07_K
     )
     # driver-attestable banded contract: per media query, the oracle
     # recomputes the exact columns (query id, k neighbors returned)
@@ -2850,11 +2850,11 @@ def m07_crossmodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_M07 = f"""
 SELECT doc_id AS media_id,
-       CAST({5} AS BIGINT) AS n_neighbors,
+       CAST({M07_K} AS BIGINT) AS n_neighbors,
        TRUE AS neighbors_distinct,
        TRUE AS cos_bounded
 FROM documents
-WHERE doc_id IN ({", ".join(str(i) for i in [0, 1, 2, 3, 4])})
+WHERE doc_id IN ({", ".join(str(i) for i in M07_QUERY_DOCS)})
 """
 
 

@@ -24,12 +24,45 @@ probes the corpus as it was BEFORE the batch.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from llamadb_spark.sources import versioned
 from llamadb_spark.streaming.ivm import committed_batches, _commit_version
+
+#: LSH-parameter stamp at the corpus root: persisted signatures are
+#: only valid under the (num_planes, num_tables, seed family) that
+#: wrote them — probing them with different parameters would silently
+#: produce wrong candidates, so a mismatch must fail loudly instead.
+_LSH_PARAMS_FILE = "_lsh_params"
+
+
+def _check_lsh_params(
+    corpus_path: str, num_planes: int, num_tables: int
+) -> None:
+    """Stamp (first run) or validate (subsequent runs) the LSH
+    parameters the persisted corpus signatures were computed with."""
+    stamp = os.path.join(corpus_path, _LSH_PARAMS_FILE)
+    want = {"num_planes": num_planes, "num_tables": num_tables}
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            have = json.load(fh)
+        if have != want:
+            raise ValueError(
+                f"ingest_embed_dedup: corpus at {corpus_path} was "
+                f"indexed with LSH params {have}, but this run uses "
+                f"{want}; persisted bucket signatures are not "
+                "comparable across parameterizations — reingest the "
+                "corpus or match the stored parameters"
+            )
+    else:
+        os.makedirs(corpus_path, exist_ok=True)
+        with open(stamp, "w") as fh:
+            json.dump(want, fh)
 
 
 def _banded(vecs: DataFrame, num_planes: int, num_tables: int) -> DataFrame:
@@ -72,6 +105,7 @@ def ingest_embed_dedup_stream(
     from llamadb_spark.functions.vector import as_double, cosine
 
     spark = vec_stream.sparkSession
+    _check_lsh_params(corpus_path, num_planes, num_tables)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         corpus_ledger = committed_batches(corpus_path)
@@ -84,6 +118,19 @@ def ingest_embed_dedup_stream(
         ).localCheckpoint()
         if corpus_done:
             base_v = corpus_ledger[batch_id] - 1
+            if base_v >= 0 and base_v not in versioned.versions(corpus_path):
+                # replay-after-vacuum: the pre-batch snapshot this
+                # half-committed batch must probe has been retention-
+                # deleted — recomputing its matches is impossible, so
+                # fail with the remedy instead of crashing in the
+                # parquet reader
+                raise RuntimeError(
+                    f"ingest_embed_dedup: replay of batch {batch_id} "
+                    f"needs corpus version {base_v} of {corpus_path}, "
+                    "which has been vacuumed; raise vacuum keep_last "
+                    "above the replay horizon, or bootstrap a fresh "
+                    "corpus/matches path"
+                )
             corpus = (
                 batch.limit(0)
                 if base_v < 0

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -69,14 +70,25 @@ def committed_batches(mv_path: str) -> dict[int, int]:
     fresh MV path instead."""
     out: dict[int, int] = {}
     ledger = os.path.join(mv_path, "_batches")
-    try:
+    if os.path.exists(ledger):
         with open(ledger) as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, 1):
+                # per-line validation: a torn/malformed line (crash
+                # mid-append) must skip ONLY itself — dropping every
+                # subsequent entry would make a checkpoint-loss
+                # replay re-apply already-committed batches, the
+                # exact double-count the ledger exists to prevent
                 parts = line.split()
-                if len(parts) == 2:
-                    out[int(parts[0])] = int(parts[1])
-    except (OSError, ValueError):
-        pass
+                try:
+                    if len(parts) == 2:
+                        out[int(parts[0])] = int(parts[1])
+                    elif line.strip():
+                        raise ValueError("wrong field count")
+                except ValueError:
+                    warnings.warn(
+                        f"ivm: skipping malformed ledger line "
+                        f"{ledger}:{lineno}: {line.strip()!r}"
+                    )
     for v in versioned.versions(mv_path):
         marker = os.path.join(mv_path, f"v={v}", _BATCH_MARKER)
         try:

@@ -65,9 +65,12 @@ def sessionize_stream(
 ) -> DataFrame:
     """Gap-based sessions over a stream keyed by user_id.
 
-    Scale: state is one tuple per active user (not per event);
-    timeout eviction bounds it further. Arrow-batched like all
-    pandas-with-state operators.
+    Scale: state is one tuple per active user (not per event).
+    In the default (ordered) mode, timeout eviction removes idle
+    users, so state is bounded by CONCURRENTLY active users. In
+    ``watermark_delay`` mode the bound is weaker — see the
+    unbounded-key note in :func:`_sessionize_unordered`. Arrow-
+    batched like all pandas-with-state operators.
 
     With ``watermark_delay`` set (round-6 out-of-order fix): events
     buffer in array-typed state until the watermark passes them, then
@@ -146,7 +149,21 @@ def sessionize_stream(
 def _sessionize_unordered(
     events: DataFrame, gap_minutes: int, watermark_delay: str
 ) -> DataFrame:
-    """Watermark-buffered sessionization (see sessionize_stream)."""
+    """Watermark-buffered sessionization (see sessionize_stream).
+
+    State-size tradeoff (documented, deliberate): a user with no
+    buffered events and no open session keeps a minimal carry tuple
+    whose only live field is ``session_seq``, with the timer parked
+    far out and re-armed on each fire. Evicting it would restart
+    that user's numbering at 0 on return, breaking the stream≡batch
+    session_seq contract this operator guarantees. State therefore
+    grows with TOTAL distinct users ever seen (one short tuple each)
+    rather than concurrently-active users — the same O(distinct
+    keys) footprint as any per-key streaming aggregate, and a few
+    dozen bytes/user. If numbering across idle gaps is not needed,
+    use the default ordered mode (timeout-evicting) or persist seq
+    externally and evict here.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
