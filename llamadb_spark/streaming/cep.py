@@ -65,6 +65,7 @@ def cep_matches_stream(
     negation: str = "error",
     within_seconds: int = 1800,
     watermark_delay: str | None = None,
+    late_counter=None,
 ) -> DataFrame:
     """Streaming pattern-with-negation matches, keyed on user_id.
 
@@ -83,7 +84,7 @@ def cep_matches_stream(
     if watermark_delay is not None:
         return _cep_unordered(
             events, trigger, target, negation, within_seconds,
-            watermark_delay,
+            watermark_delay, late_counter,
         )
     within_us = within_seconds * 1_000_000
 
@@ -151,8 +152,13 @@ def _cep_unordered(
     negation: str,
     within_seconds: int,
     watermark_delay: str,
+    late_counter=None,
 ) -> DataFrame:
-    """Watermark-buffered CEP (see cep_matches_stream)."""
+    """Watermark-buffered CEP (see cep_matches_stream). Incoming rows
+    behind the watermark are dropped by the function itself — the
+    JVM watermark filter does not run for applyInPandasWithState
+    (measured; see transitions_stream) — with counts surfaced via the
+    optional ``late_counter`` accumulator."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -168,14 +174,21 @@ def _cep_unordered(
 
         merged = list(zip(b_us, b_eid, b_type))
         if not state.hasTimedOut:
+            n_late = 0
             for pdf in pdfs:
-                merged.extend(
-                    zip(
-                        (_us(t) for t in pdf["ts"]),
-                        (int(e) for e in pdf["event_id"]),
-                        pdf["event_type"],
-                    )
-                )
+                for row in zip(
+                    (_us(t) for t in pdf["ts"]),
+                    (int(e) for e in pdf["event_id"]),
+                    pdf["event_type"],
+                ):
+                    # beyond-bound disorder: trigger/negation state
+                    # may already reflect later events — drop
+                    if row[0] < wm_us:
+                        n_late += 1
+                    else:
+                        merged.append(row)
+            if n_late and late_counter is not None:
+                late_counter.add(n_late)
         merged.sort()
         ready = [r for r in merged if r[0] <= wm_us]
         held = [r for r in merged if r[0] > wm_us]

@@ -62,6 +62,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark_delay: str | None = None,
+    late_counter=None,
 ) -> DataFrame:
     """Gap-based sessions over a stream keyed by user_id.
 
@@ -81,9 +82,16 @@ def sessionize_stream(
     can extend it), not by wall-clock idleness. Per-user buffer is
     bounded by the watermark horizon. Session numbering survives
     closes (seq persists in state), matching batch numbering.
+    Rows with disorder BEYOND the delay are dropped by the operator
+    itself (Spark's JVM watermark filter does not run for
+    applyInPandasWithState — measured; see transitions_stream), with
+    drop counts surfaced through the optional ``late_counter``
+    accumulator.
     """
     if watermark_delay is not None:
-        return _sessionize_unordered(events, gap_minutes, watermark_delay)
+        return _sessionize_unordered(
+            events, gap_minutes, watermark_delay, late_counter
+        )
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
@@ -147,7 +155,10 @@ def sessionize_stream(
 
 
 def _sessionize_unordered(
-    events: DataFrame, gap_minutes: int, watermark_delay: str
+    events: DataFrame,
+    gap_minutes: int,
+    watermark_delay: str,
+    late_counter=None,
 ) -> DataFrame:
     """Watermark-buffered sessionization (see sessionize_stream).
 
@@ -193,14 +204,23 @@ def _sessionize_unordered(
 
         merged = list(zip(b_us, b_eid, b_val))
         if not state.hasTimedOut:
+            n_late = 0
             for pdf in pdfs:
-                merged.extend(
-                    zip(
-                        (_us(t) for t in pdf["ts"]),
-                        (int(e) for e in pdf["event_id"]),
-                        (float(v) for v in pdf["value"]),
-                    )
-                )
+                for row in zip(
+                    (_us(t) for t in pdf["ts"]),
+                    (int(e) for e in pdf["event_id"]),
+                    (float(v) for v in pdf["value"]),
+                ):
+                    # beyond-bound disorder: the session chain may
+                    # already be flushed past this row — drop it (the
+                    # JVM filter would, but doesn't run for Python
+                    # stateful ops; see sessionize_stream docstring)
+                    if row[0] < wm_us:
+                        n_late += 1
+                    else:
+                        merged.append(row)
+            if n_late and late_counter is not None:
+                late_counter.add(n_late)
         merged.sort()
         ready = [r for r in merged if r[0] <= wm_us]
         held = [r for r in merged if r[0] > wm_us]

@@ -87,7 +87,9 @@ def _us(ts) -> int:
 
 
 def transitions_stream(
-    events: DataFrame, watermark_delay: str | None = None
+    events: DataFrame,
+    watermark_delay: str | None = None,
+    late_counter=None,
 ) -> DataFrame:
     """Per-user consecutive event-type pairs, keyed on user_id.
 
@@ -96,6 +98,19 @@ def transitions_stream(
     micro-batch emits one row per event that HAS a predecessor — the
     exact row set of the batch operator's lag-over-(ts, event_id)
     step, for any arrival order with disorder ≤ watermark_delay.
+
+    Late-drop contract (round-7, measured): Spark's JVM-side
+    watermark filter does NOT run for applyInPandasWithState — a row
+    arbitrarily far behind the watermark is still handed to the
+    function and numRowsDroppedByWatermark stays 0 (probe in
+    tests/test_streaming.py bounded-delay tests). Silently
+    incorporating such a row would splice it into the chain AFTER
+    later events have already been emitted, so the operator enforces
+    the standard contract itself: an incoming row with event time
+    strictly behind the current watermark is DROPPED (== kept — the
+    JVM filter's boundary). ``late_counter`` (an optional
+    SparkContext accumulator) receives the per-batch drop counts,
+    replacing the JVM metric for observability.
     """
     if watermark_delay is None:
         return _transitions_ordered(events)
@@ -130,14 +145,21 @@ def transitions_stream(
             last_type, b_eid, b_us, b_type = "", [], [], []
 
         merged = list(zip(b_us, b_eid, b_type))
+        n_late = 0
         for pdf in pdfs:
-            merged.extend(
-                zip(
-                    (_us(t) for t in pdf["ts"]),
-                    (int(e) for e in pdf["event_id"]),
-                    pdf["event_type"],
-                )
-            )
+            for row in zip(
+                (_us(t) for t in pdf["ts"]),
+                (int(e) for e in pdf["event_id"]),
+                pdf["event_type"],
+            ):
+                # drop rows behind the watermark (see docstring): the
+                # chain may already have advanced past them
+                if row[0] < wm_us:
+                    n_late += 1
+                else:
+                    merged.append(row)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
         merged.sort()
         ready = [r for r in merged if r[0] <= wm_us]
         held = [r for r in merged if r[0] > wm_us]

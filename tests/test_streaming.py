@@ -1199,3 +1199,195 @@ def test_ingest_embed_dedup_stream_gates_and_persists_signatures(
     assert versions(corpus_path) == [0, 1]
     assert committed_batches(corpus_path) == {0: 0, 1: 1}
     assert committed_batches(matches_path) == {0: 0, 1: 1}
+
+
+def _stage_late_events(spark, tmp_path, tag, cols=None, n_late=40):
+    """Bounded-delay fixture (VERDICT r06 #1 — the DROP half of the
+    out-of-order contract): file 0 carries the whole sf0.001 events
+    table EXCEPT the n_late earliest rows; file 1 delivers those
+    earliest rows afterwards, so their disorder (~29 days) vastly
+    exceeds a bounded watermark delay of 2 hours and Spark's standard
+    watermark filter must drop every one of them; files 2-3 are the
+    usual far-future flush sentinels. Returns (kept events frame,
+    late row count, drop dir, schema).
+
+    Drop determinism: the watermark when file 1 arrives is
+    max(ts of file 0) - delay (one-batch watermark lag, file order
+    pinned by maxFilesPerTrigger=1 + lexicographic names); the late
+    rows sit ~29 days earlier, nowhere near the boundary."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.queries.events import _events
+
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        *(cols or ["user_id", "event_id", "event_type", "ts"])
+    )
+    # the n_late globally-earliest rows (deterministic ts,event_id
+    # order); row-bounded Window exemption: 1000 rows at sf0.001
+    ranked = ev.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy("ts", "event_id")),
+    )
+    late = ranked.filter(F.col("_rk") <= n_late).drop("_rk")
+    kept = ranked.filter(F.col("_rk") > n_late).drop("_rk")
+
+    drop = tmp_path / f"{tag}_drop"
+    drop.mkdir()
+
+    def _stage(df, idx, name):
+        staged = str(tmp_path / f"{tag}_stage_{name}")
+        df.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{idx:02d}-{name}.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + idx,) * 2)
+
+    _stage(kept, 0, "bulk")
+    _stage(late, 1, "late")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for j in range(2):
+        svals = {
+            "user_id": -1, "event_id": -1, "event_type": "x",
+            "value": 0.0, "ts": max_ts + dt.timedelta(days=8000 + j),
+        }
+        sentinel = spark.createDataFrame(
+            [tuple(svals[f.name] for f in ev.schema.fields)],
+            schema=ev.schema,
+        )
+        _stage(sentinel, 2 + j, f"sentinel{j}")
+    return kept.localCheckpoint(), n_late, str(drop), ev.schema
+
+
+def test_transitions_stream_drops_beyond_bounded_delay(spark, tmp_path):
+    """With watermark_delay='2 hours', rows arriving ~29 days behind
+    the watermark must be DROPPED (counted by
+    numRowsDroppedByWatermark), and the emitted transitions must
+    equal the batch operator over the surviving subset exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.streaming.streams import run_with_progress
+    from llamadb_spark.streaming.transitions import transitions_stream
+
+    kept, n_late, drop, schema = _stage_late_events(
+        spark, tmp_path, tag="trl"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    late_acc = spark.sparkContext.accumulator(0)
+    steps = transitions_stream(
+        stream, watermark_delay="2 hours", late_counter=late_acc
+    )
+    out, metrics = run_with_progress(steps, "trl_late", output_mode="append")
+    got = {
+        (r.user_id, r.prev_type, r.next_type, r.ts) for r in out.collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.prev_type, r.next_type, r.ts)
+        for r in kept.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "ts",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == want
+    # measured gap (round 7): the JVM watermark filter does NOT run
+    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
+    # 0 — the operator drops in-function and accounts via accumulator
+    assert metrics["rows_dropped_late"] == 0
+    assert late_acc.value == n_late
+
+
+def test_sessionize_stream_drops_beyond_bounded_delay(spark, tmp_path):
+    """Bounded-delay sessionization: late rows dropped, sessions ==
+    batch sessionizer over the surviving subset (numbering included)."""
+    from llamadb_spark.operators.events import sessionize
+    from llamadb_spark.streaming.sessions import sessionize_stream
+    from llamadb_spark.streaming.streams import run_with_progress
+
+    kept, n_late, drop, schema = _stage_late_events(
+        spark, tmp_path, tag="sel",
+        cols=["user_id", "event_id", "value", "ts"],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    late_acc = spark.sparkContext.accumulator(0)
+    out_df = sessionize_stream(
+        stream, gap_minutes=30, watermark_delay="2 hours",
+        late_counter=late_acc,
+    )
+    out, metrics = run_with_progress(out_df, "sel_late", output_mode="append")
+    got = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in out.collect()
+    }
+    batch = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in sessionize(kept, gap_minutes=30).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+    # measured gap (round 7): the JVM watermark filter does NOT run
+    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
+    # 0 — the operator drops in-function and accounts via accumulator
+    assert metrics["rows_dropped_late"] == 0
+    assert late_acc.value == n_late
+
+
+def test_cep_stream_drops_beyond_bounded_delay(spark, tmp_path):
+    """Bounded-delay CEP: late rows dropped, matches == batch
+    operator over the surviving subset."""
+    from llamadb_spark.operators.events import cep_sequence_matches
+    from llamadb_spark.streaming.cep import cep_matches_stream
+    from llamadb_spark.streaming.streams import run_with_progress
+
+    kept, n_late, drop, schema = _stage_late_events(
+        spark, tmp_path, tag="cel"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    late_acc = spark.sparkContext.accumulator(0)
+    out_df = cep_matches_stream(
+        stream, watermark_delay="2 hours", late_counter=late_acc
+    )
+    out, metrics = run_with_progress(out_df, "cel_late", output_mode="append")
+    got = {
+        (r.user_id, r.match_id, r.trigger_ts, r.target_ts, r.gap_us)
+        for r in out.collect()
+    }
+    batch = {
+        (r.user_id, r.match_id, r.trigger_ts, r.target_ts, r.gap_us)
+        for r in cep_sequence_matches(kept).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+    # measured gap (round 7): the JVM watermark filter does NOT run
+    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
+    # 0 — the operator drops in-function and accounts via accumulator
+    assert metrics["rows_dropped_late"] == 0
+    assert late_acc.value == n_late
