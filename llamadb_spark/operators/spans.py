@@ -1,0 +1,210 @@
+"""Exact substring dedup at SPAN granularity (SURVEY §2 #267-268).
+
+The missing granularity between d01 (whole-doc exact dedup) and
+d09/d14 (doc-PAIR shared-run / containment detection): a real
+training-data pipeline cuts the overlapping BYTE RANGES themselves —
+the suffix-array dedup of Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better" (public), which removes every
+substring of length ≥ L that appears more than once in the corpus.
+
+Distributed form (seed-and-chain, exact for cross-doc runs ≥ L):
+
+1. SEEDS — explode every document into its length-L character grams,
+   one per position (the distributed stand-in for suffix-array
+   construction: O(total chars) rows instead of a global sorted
+   suffix array, which cannot be built cluster-wide without a global
+   sort).
+2. MATCH — self-equi-join the seeds on the gram. Shuffle is hash-
+   partitioned on gram content, so matching positions co-locate
+   without any global order; per-gram occupancy is capped
+   (``max_gram_occ``) exactly like every other inverted-index
+   operator in this repo — a degenerate gram (runs of spaces, boiler-
+   plate) would otherwise contribute occ² join rows.
+3. CHAIN — a shared run of length R ≥ L between docs (a, b) at
+   offsets (i, j) produces exactly R-L+1 seed matches on the one
+   DIAGONAL d = i - j, at consecutive a-positions. Grouping
+   consecutive positions per (a, b, d) via the classic islands trick
+   (pos - row_number, windowed per pair-diagonal — never a global
+   window) recovers every MAXIMAL shared run and its exact extent:
+   a_start = min(a_pos), run_len = n_seeds + L - 1.
+4. APPLY — merge each doc's span intervals (standard running-max
+   island merge), slice the text into the KEPT gaps, and reassemble
+   with an ordered JVM-side concat. Policy: the lower doc_id keeps
+   its text, spans are removed from the HIGHER id of each pair (the
+   deterministic analogue of Lee et al.'s "remove all but one
+   occurrence").
+
+Every step is declarative DataFrame ops — no Python in the hot path;
+the windows are all partitioned by (pair, diagonal) or doc_id, so the
+plan scales with the cluster. At 100 TB the seed explosion is the
+dominant shuffle (≈ corpus size × L bytes of join keys); production
+would stride the seeds on one side (stride s ≤ L keeps exactness for
+runs ≥ 2L-1) or hash grams to 16 bytes — both documented knobs, not
+defaults, because the test contract here is EXACT parity with a
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+from pyspark.sql.window import Window
+
+
+def position_grams(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gram): every 1-based position's length-L char
+    gram. Documents shorter than L contribute nothing."""
+    n = F.length(col(text_col)) - lit(min_len - 1)
+    positions = F.when(n >= 1, F.sequence(lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return docs.select(
+        col(id_col).alias("doc_id"),
+        F.explode(positions).alias("pos"),
+        col(text_col),
+    ).select(
+        "doc_id",
+        col("pos").cast("long").alias("pos"),
+        F.expr(f"substring({text_col}, pos, {min_len})").alias("gram"),
+    )
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    min_len: int = 40,
+    max_gram_occ: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All maximal cross-doc shared substring runs of length ≥
+    ``min_len``: (a_id, b_id, a_start, b_start, run_len) with
+    a_id < b_id, starts 1-based. Exact — every such run is found with
+    its exact extent — up to the documented ``max_gram_occ`` hot-gram
+    cap (grams occurring at more than that many corpus positions are
+    excluded from seeding, the same occupancy discipline as the LSH /
+    shingle operators; the DuckDB oracle mirrors the cap so parity
+    stays exact)."""
+    grams = position_grams(docs, min_len, id_col, text_col)
+    # occupancy cap: windowed count per gram (one shuffle on gram,
+    # reused by the join's own hash partitioning)
+    occ = Window.partitionBy("gram")
+    grams_ok = grams.withColumn("n_occ", F.count(lit(1)).over(occ)).filter(
+        col("n_occ") <= max_gram_occ
+    ).drop("n_occ")
+
+    a = grams_ok.alias("a")
+    b = grams_ok.alias("b")
+    m = (
+        a.join(b, "gram")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(
+            col("a.doc_id").alias("a_id"),
+            col("b.doc_id").alias("b_id"),
+            col("a.pos").alias("a_pos"),
+            col("b.pos").alias("b_pos"),
+        )
+        .withColumn("diag", col("a_pos") - col("b_pos"))
+    )
+    isl = Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    runs = m.withColumn(
+        "grp", col("a_pos") - F.row_number().over(isl)
+    ).groupBy("a_id", "b_id", "diag", "grp")
+    return runs.agg(
+        F.min("a_pos").alias("a_start"),
+        F.min("b_pos").alias("b_start"),
+        (F.count(lit(1)) + lit(min_len - 1)).alias("run_len"),
+    ).select("a_id", "b_id", "a_start", "b_start", "run_len")
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span removal to the HIGHER-id side of each pair: merge
+    each affected doc's [b_start, b_start+run_len) intervals, cut
+    them out, reassemble the kept gaps in order. Returns one row per
+    AFFECTED doc: (doc_id, n_spans, removed_chars, clean_text) where
+    n_spans counts MERGED intervals."""
+    iv = spans.select(
+        col("b_id").alias("doc_id"),
+        col("b_start").alias("s"),
+        (col("b_start") + col("run_len")).alias("e"),
+    )
+    # interval merge: an interval starts a new island iff it begins
+    # past the running max end of everything before it
+    by_start = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_max = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        iv.withColumn("prev_max_e", F.max("e").over(run_max))
+        .withColumn(
+            "new_isl",
+            F.when(
+                col("prev_max_e").isNull() | (col("s") > col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(by_start))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # kept gaps: before each merged interval, plus the tail
+    by_s = Window.partitionBy("doc_id").orderBy("s")
+    gaps = merged.withColumn("prev_e", F.lag("e").over(by_s)).select(
+        "doc_id",
+        F.coalesce(col("prev_e"), lit(1)).alias("gs"),
+        col("s").alias("ge"),
+    )
+    tails = (
+        merged.groupBy("doc_id")
+        .agg(F.max("e").alias("gs"))
+        .join(
+            docs.select(
+                col(id_col).alias("doc_id"),
+                (F.length(col(text_col)) + 1).alias("ge"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", "gs", "ge")
+    )
+    segs = (
+        gaps.unionByName(tails)
+        .join(
+            docs.select(col(id_col).alias("doc_id"), col(text_col)), "doc_id"
+        )
+        .select(
+            "doc_id",
+            col("gs"),
+            F.expr(
+                f"substring({text_col}, CAST(gs AS INT),"
+                " CAST(greatest(ge - gs, 0) AS INT))"
+            ).alias("piece"),
+        )
+    )
+    stats = merged.groupBy("doc_id").agg(
+        F.count(lit(1)).alias("n_spans"),
+        F.sum(col("e") - col("s")).alias("removed_chars"),
+    )
+    clean = segs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("clean_text")
+    )
+    return stats.join(clean, "doc_id").select(
+        "doc_id", "n_spans", "removed_chars", "clean_text"
+    )

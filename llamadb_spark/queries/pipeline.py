@@ -4032,6 +4032,170 @@ FROM embeddings
 """
 
 
+#: d19/d20: exact substring-span dedup (Lee et al. 2022 semantics).
+#: Seeding: every doc with doc_id % 50 == 3 gets a guarded excerpt
+#: twin (id + 1_000_000) so the corpus deterministically contains
+#: known overlapping byte ranges; the detector must recover their
+#: exact spans (plus any organic duplicate runs already present).
+D19_MIN_LEN = 40
+D19_MAX_GRAM_OCC = 200
+D19_EXCERPT_MOD = 50
+D19_EXCERPT_REM = 3
+D19_EXCERPT_FROM = 21
+D19_EXCERPT_LEN = 160
+
+
+def _d19_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ guarded excerpts — the seeded-overlap corpus both
+    d19 and its DuckDB oracle detect spans over."""
+    from pyspark.sql.functions import col
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    excerpts = base.filter(
+        col("doc_id") % D19_EXCERPT_MOD == D19_EXCERPT_REM
+    ).select(
+        (col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zqx-"),
+            F.substring("text", D19_EXCERPT_FROM, D19_EXCERPT_LEN),
+            F.lit("-xqz"),
+        ).alias("text"),
+    )
+    return base.unionByName(excerpts)
+
+
+def d19_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at span granularity: every maximal
+    cross-doc shared character run ≥ 40 chars, with exact offsets
+    (operators/spans.py seed-and-chain; Lee et al. 2022 suffix-array
+    semantics, distributed). Oracle recomputes the identical span set
+    in DuckDB SQL from the same seeded corpus — a fully independent
+    detection, not a replay of the construction."""
+    from llamadb_spark.operators.spans import substring_span_pairs
+
+    return substring_span_pairs(
+        _d19_corpus(spark, sf_dir),
+        min_len=D19_MIN_LEN,
+        max_gram_occ=D19_MAX_GRAM_OCC,
+    )
+
+
+def d20_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half: cut each detected span out of the HIGHER-id
+    doc of its pair (merged-interval removal), returning the cleaned
+    text per affected doc. Hash-matches DuckDB's independent removal
+    (same policy) exactly."""
+    from llamadb_spark.operators.spans import (
+        remove_spans,
+        substring_span_pairs,
+    )
+
+    corpus = _d19_corpus(spark, sf_dir)
+    spans = substring_span_pairs(
+        corpus, min_len=D19_MIN_LEN, max_gram_occ=D19_MAX_GRAM_OCC
+    )
+    return remove_spans(corpus, spans)
+
+
+_D19_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zqx-' || substr(text, {D19_EXCERPT_FROM}, {D19_EXCERPT_LEN})
+             || '-xqz' AS text
+  FROM documents WHERE doc_id % {D19_EXCERPT_MOD} = {D19_EXCERPT_REM}
+),
+grams AS (
+  SELECT doc_id, p AS pos,
+         substr(text, CAST(p AS INT), {D19_MIN_LEN}) AS gram
+  FROM corpus, unnest(generate_series(1, length(text) - {D19_MIN_LEN - 1}))
+       AS t(p)
+  WHERE length(text) >= {D19_MIN_LEN}
+),
+grams_ok AS (
+  SELECT * FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D19_MAX_GRAM_OCC}
+),
+m AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+  FROM grams_ok a JOIN grams_ok b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+spans AS (
+  SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+         count(*) + {D19_MIN_LEN - 1} AS run_len
+  FROM (
+    SELECT *, a_pos - row_number() OVER (
+      PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+    FROM m
+  )
+  GROUP BY a_id, b_id, diag, grp
+)
+"""
+
+ORACLE_D19 = f"""
+WITH {_D19_CORPUS_SQL}
+SELECT a_id, b_id, a_start, b_start, run_len FROM spans
+"""
+
+ORACLE_D20 = f"""
+WITH {_D19_CORPUS_SQL},
+iv AS (
+  SELECT b_id AS doc_id, b_start AS s, b_start + run_len AS e FROM spans
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM iv
+  )
+),
+merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (
+    SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e)
+              AS isl
+    FROM flagged
+  )
+  GROUP BY doc_id, isl
+),
+gaps AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT m.doc_id, max(m.e) AS gs, any_value(length(c.text) + 1) AS ge
+  FROM merged m JOIN corpus c ON c.doc_id = m.doc_id
+  GROUP BY m.doc_id
+),
+pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(c.text, CAST(g.gs AS INT),
+                CAST(greatest(g.ge - g.gs, 0) AS INT)) AS piece
+  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_spans, s.removed_chars,
+       coalesce(p.clean_text, '') AS clean_text
+FROM stats s
+JOIN (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS clean_text
+  FROM pieces GROUP BY doc_id
+) p ON p.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4118,6 +4282,8 @@ QUERIES = {
     "t26_compression_ratio": t26_compression_ratio,
     "d17_pair_provenance": d17_pair_provenance,
     "d18_minhash_calibration": d18_minhash_calibration,
+    "d19_substring_spans": d19_substring_spans,
+    "d20_substring_apply": d20_substring_apply,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4139,6 +4305,8 @@ ORACLES = {
     "t27_bm25_rank": ORACLE_T27,
     "s15_hybrid_rrf": ORACLE_S15,
     "d18_minhash_calibration": ORACLE_D18,
+    "d19_substring_spans": ORACLE_D19,
+    "d20_substring_apply": ORACLE_D20,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

@@ -346,3 +346,70 @@ def test_minhash_calibration_envelope(spark, sf_dir):
     rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
     assert abs(bias) <= 0.1, bias
     assert rmse <= 0.15, rmse
+
+
+def test_substring_spans_exact_extents_and_diagonals(spark):
+    """Seed-and-chain recovers every maximal shared run >= L with
+    exact offsets; runs shorter than L are invisible; one doc pair
+    can carry several runs on distinct diagonals."""
+    from llamadb_spark.operators.spans import substring_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAABBBBCCCCDDDDEEEE----later-unique-1"),
+            (2, "zz-AAAABBBBCCCCDDDDEEEE-yy-IIIIJJJJKKKKLLLL"),
+            (3, "IIIIJJJJKKKKLLLLMMMM-unrelated-tail"),
+            (4, "short shared bit"),  # < L with everything
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.a_id, r.b_id, r.a_start, r.b_start, r.run_len)
+        for r in substring_span_pairs(docs, min_len=16).collect()
+    }
+    # doc1[1..21] == doc2[4..24] ("AAAABBBBCCCCDDDDEEEE-"), maximal;
+    # doc2[28..43] == doc3[1..16] ("IIIIJJJJKKKKLLLL")
+    assert got == {(1, 2, 1, 4, 21), (2, 3, 28, 1, 16)}
+
+
+def test_remove_spans_merges_overlaps_and_keeps_gaps(spark):
+    """Overlapping spans on one doc merge into one removed interval;
+    the kept gaps reassemble in order; lower-id doc is untouched."""
+    from llamadb_spark.operators.spans import remove_spans
+
+    docs = spark.createDataFrame(
+        [(7, "0123456789abcdefghij")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 7, 1, 3, 5),   # removes [3, 8) = "23456"
+            (1, 7, 1, 6, 4),   # removes [6, 10) — overlaps above
+            (1, 7, 1, 15, 3),  # removes [15, 18) = "efg"
+        ],
+        ["a_id", "b_id", "a_start", "b_start", "run_len"],
+    )
+    rows = remove_spans(docs, spans).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # merged intervals: [3,10) and [15,18) -> keep "01"+"9abcd"+"hij"
+    assert (r.doc_id, r.n_spans, r.removed_chars, r.clean_text) == (
+        7, 2, 10, "019abcdhij"
+    )
+
+
+def test_substring_spans_hot_gram_cap(spark):
+    """A gram occurring at more positions than the cap is excluded
+    from seeding (occupancy discipline), so an all-identical mega-
+    cluster yields no pairs under a tiny cap but full pairs without."""
+    from llamadb_spark.operators.spans import substring_span_pairs
+
+    same = "identical-text-identical-text-identical!"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(6)], ["doc_id", "text"]
+    )
+    capped = substring_span_pairs(docs, min_len=40, max_gram_occ=3)
+    assert capped.count() == 0
+    uncapped = substring_span_pairs(docs, min_len=40, max_gram_occ=100)
+    # 6 identical docs -> C(6,2) full-length spans
+    assert uncapped.count() == 15
+    assert all(r.run_len == 40 for r in uncapped.collect())
