@@ -709,3 +709,63 @@ def compression_ratio(
             "zlib_ratio"
         ),
     )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights_micro: dict[str, int],
+    bias_micro: int = 0,
+    oov_micro: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter (SURVEY §2 #269): a fastText-style
+    linear (logistic) document scorer — the standard step between
+    heuristic quality signals (t02) and full perplexity filtering in
+    public training-data pipelines (e.g. the CCNet / fastText
+    quality-classifier recipe) — evaluated as a PURE SQL dot product
+    over token counts. No Python anywhere: the weight vector is a
+    constant literal MAP expression (the degenerate-but-faithful form
+    of a broadcast weights table — for a 100k-term vocabulary the
+    same plan uses a broadcast-joined weights dimension), and the
+    per-doc score is one map lookup per token plus one sum aggregate,
+    all inside whole-stage codegen.
+
+    Determinism discipline (d16/p12): weights and bias are INTEGER
+    micro-units, the logit is an exact BIGINT sum, and the quality
+    label is an integer comparison — no float summation order, no
+    cross-engine sigmoid rounding. Callers wanting a probability
+    apply sigmoid(logit_micro / 1e6) downstream.
+
+    Output: (doc_id, n_tokens, logit_micro, is_quality) where
+    is_quality = logit_micro > 0.
+    """
+    wmap = F.create_map(
+        *[x for t, w in sorted(weights_micro.items())
+          for x in (F.lit(t), F.lit(int(w)))]
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id",
+            F.coalesce(
+                wmap[F.col("tok")], F.lit(int(oov_micro))
+            ).cast("long").alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("w") + F.lit(int(bias_micro))).alias("logit_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_micro",
+            (F.col("logit_micro") > 0).alias("is_quality"),
+        )
+    )

@@ -4196,6 +4196,62 @@ JOIN (
 """
 
 
+#: t28: fastText-style linear quality scorer — PUBLIC-IN-CODE integer
+#: micro-unit weights over the corpus vocabulary (single source of
+#: truth for both the Spark literal map and the oracle's VALUES
+#: table). Content/operator terms score positive, filler and junk
+#: markers negative; the bias demands enough positive mass per doc.
+T28_WEIGHTS_MICRO = {
+    "query": 220_000, "join": 200_000, "hash": 180_000,
+    "scan": 160_000, "merge": 170_000, "sort": 150_000,
+    "filter": 190_000, "group": 140_000, "agg": 210_000,
+    "window": 230_000, "stream": 120_000, "table": 110_000,
+    "column": 130_000, "row": 90_000, "vector": 240_000,
+    "batch": 100_000, "key": 80_000, "value": 70_000,
+    "data": 60_000, "line": 50_000, "order": 95_000,
+    "part": 85_000, "customer": 75_000, "spark": 250_000,
+    "fast": 150_000, "big": -100_000, "small": -100_000,
+    "slow": -600_000, "the": -400_000, "a": -350_000,
+    "dup": -2_000_000,
+}
+T28_BIAS_MICRO = -6_500_000
+
+
+def t28_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (VERDICT r06 #6): logistic-
+    regression document scorer evaluated as an exact BIGINT dot
+    product of token counts with integer-quantized weights — the
+    public fastText/CCNet quality-classifier recipe, with zero
+    Python in the hot path and no float-summation-order hazard."""
+    return textops.linear_quality_score(
+        _docs(spark, sf_dir),
+        weights_micro=T28_WEIGHTS_MICRO,
+        bias_micro=T28_BIAS_MICRO,
+    )
+
+
+_T28_VALUES = ", ".join(
+    f"('{t}', {w})" for t, w in sorted(T28_WEIGHTS_MICRO.items())
+)
+
+ORACLE_T28 = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+w AS (SELECT * FROM (VALUES {_T28_VALUES}) AS t(tok, w_micro))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(coalesce(w.w_micro, 0)) + {T28_BIAS_MICRO} AS BIGINT)
+         AS logit_micro,
+       (sum(coalesce(w.w_micro, 0)) + {T28_BIAS_MICRO}) > 0 AS is_quality
+FROM toks LEFT JOIN w USING (tok)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4284,6 +4340,7 @@ QUERIES = {
     "d18_minhash_calibration": d18_minhash_calibration,
     "d19_substring_spans": d19_substring_spans,
     "d20_substring_apply": d20_substring_apply,
+    "t28_linear_quality": t28_linear_quality,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4307,6 +4364,7 @@ ORACLES = {
     "d18_minhash_calibration": ORACLE_D18,
     "d19_substring_spans": ORACLE_D19,
     "d20_substring_apply": ORACLE_D20,
+    "t28_linear_quality": ORACLE_T28,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

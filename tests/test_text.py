@@ -178,3 +178,33 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
         assert abs(r.rrf - round(want, 6)) < 1e-9
     scores = [r.rrf for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_linear_quality_score_exact_integer_logits(spark):
+    """Hand-computed BIGINT dot products: weights are integer
+    micro-units, OOV tokens take the OOV weight, bias shifts the
+    threshold, and is_quality is the integer sign test."""
+    from llamadb_spark.operators.textops import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good bad"),
+            (2, "bad bad unknowntok"),
+            (3, "good"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.logit_micro, r.is_quality)
+        for r in linear_quality_score(
+            docs,
+            weights_micro={"good": 500_000, "bad": -300_000},
+            bias_micro=-400_000,
+            oov_micro=-50_000,
+        ).collect()
+    }
+    assert out == {
+        1: (3, 500_000 * 2 - 300_000 - 400_000, True),     # 300_000
+        2: (3, -300_000 * 2 - 50_000 - 400_000, False),    # -1_050_000
+        3: (1, 500_000 - 400_000, True),                   # 100_000
+    }
