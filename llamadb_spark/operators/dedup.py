@@ -34,12 +34,49 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def hashed_shingle_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The staged inverted shingle index every shingle-based dedup
+    path consumes: (id, n_sh, sh) with sh = xxhash64(word 3-gram).
+
+    Shingle strings are ~20 bytes; 64-bit-hashing them before any
+    self-join shrinks shuffle payloads (collision odds over n
+    distinct shingles ≈ n²/2⁶⁵ — irrelevant below ~10⁸ shingles).
+    Set sizes come free from the pre-explode shingle array
+    (size(shingles)) — zero extra shuffle, no window, no join-back,
+    and the array is built exactly ONCE per doc. Safe to explode
+    the materialized column because the session excludes
+    InferFiltersFromGenerate (see session.py — that rule would
+    re-inline the array construction below this projection).
+
+    Returned LOCALCHECKPOINTED: the hot-key occupancy aggregate, the
+    self-join sides, and (for callers like d03/d18) the MinHash
+    signature aggregation all reference it — without an explicit
+    materialization the CPU-heavy shingle pipeline runs per reference
+    (measured 2.7× on sf0.1). At cluster scale this is a staged
+    intermediate table, the standard shape for production dedup
+    pipelines; the index is (id, n, hash) ≈ 20 bytes/shingle, far
+    smaller than the text it summarizes. Keys needing BOTH the exact
+    pair machinery and a sketch (d03, d18) build the index once and
+    pass it to both — one barrier, one shingle pass.
+    """
+    arr = word_shingle_arrays(docs, id_col, text_col)
+    sh = arr.select(
+        col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
+    return sh.localCheckpoint()
+
+
 def jaccard_ngram_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     stop_shingle_df: int | None = 10_000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram (word 3-gram) Jaccard near-dup pairs via an
     inverted shingle index — the scalable exact algorithm:
@@ -60,29 +97,9 @@ def jaccard_ngram_pairs(
     the cap fires, intersections lose only stop-shingles (jaccard is
     under-, never over-estimated). ``None`` disables.
     """
-    # Shingle strings are ~20 bytes; 64-bit-hash them before the
-    # self-join to shrink shuffle payloads (collision odds over n
-    # distinct shingles ≈ n²/2⁶⁵ — irrelevant below ~10⁸ shingles).
-    # Set sizes come free from the pre-explode shingle array
-    # (size(shingles)) — zero extra shuffle, no window, no join-back,
-    # and the array is built exactly ONCE per doc. Safe to explode
-    # the materialized column because the session excludes
-    # InferFiltersFromGenerate (see session.py — that rule would
-    # re-inline the array construction below this projection).
-    arr = word_shingle_arrays(docs, id_col, text_col)
-    sh = arr.select(
-        col(id_col),
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    ).select(col(id_col), "n_sh", F.xxhash64("shingle").alias("sh"))
-    # Stage the hashed index once: the hot-key occupancy aggregate
-    # plus the two self-join sides reference it three times — without
-    # an explicit materialization the CPU-heavy shingle pipeline runs
-    # per reference (measured 2.7× on sf0.1). At cluster scale this
-    # is a staged intermediate table, the standard shape for
-    # production dedup pipelines; the index is (id, n, hash) ≈ 20
-    # bytes/shingle, far smaller than the text it summarizes.
-    sh = sh.localCheckpoint()
+    sh = index if index is not None else hashed_shingle_index(
+        docs, id_col, text_col
+    )
     sh = drop_hot_keys(sh, ["sh"], stop_shingle_df)
 
     # Never broadcast a side of this join: both sides are the full
@@ -300,18 +317,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over word 3-gram shingles.
 
-    k hash functions are xxhash64(shingle, salt_i) (JVM xxhash64 —
-    deterministic across runs/executors). Signature built with ONE
-    aggregation producing an array column — not k separate aggs.
+    k hash functions are xxhash64(xxhash64(shingle), salt_i) (JVM
+    xxhash64 — deterministic across runs/executors): shingles are
+    first collapsed to the same 64-bit hashes the exact-Jaccard
+    inverted index uses (hashed_shingle_index), then salt-rehashed
+    per signature position — an equally-uniform family that lets the
+    signature aggregation run straight off a SHARED staged index
+    (pass ``index``) instead of re-running the shingle pipeline.
+    Signature built with ONE aggregation producing an array column —
+    not k separate aggs.
 
     Output: (id, sig array<bigint> length k).
     """
-    sh = word_shingles_fast(docs, id_col, text_col)
+    sh = index if index is not None else hashed_shingle_index(
+        docs, id_col, text_col
+    )
     hashes = F.array(
-        *[F.xxhash64(col("shingle"), lit(i)) for i in range(num_hashes)]
+        *[F.xxhash64(col("sh"), lit(i)) for i in range(num_hashes)]
     )
     return (
         sh.select(col(id_col), hashes.alias("hs"))
@@ -332,6 +358,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified with estimated
     Jaccard from full-signature agreement.
@@ -361,7 +388,9 @@ def minhash_lsh_pairs(
     # scale this would be a checkpoint/staged table; locally,
     # localCheckpoint. Size is tiny relative to the corpus: k×8 bytes
     # per doc vs the full text.
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes).localCheckpoint()
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_hashes, index=index
+    ).localCheckpoint()
     # Band rows carry ONLY (id, band_id, bucket) — 8 banded copies of
     # the 256-byte signature through the shuffle would dominate the
     # join payload; sigs rejoin onto the (much smaller) candidate set
@@ -534,24 +563,20 @@ def _star_rounds(
         .distinct()
         .localCheckpoint()
     )
-    prev_fp = None
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+    def one_round(e: DataFrame) -> DataFrame:
+        """One large-star + small-star alternation, declaratively —
+        no materialization, no driver round-trip."""
         # Large-star: every node u connects its strictly-larger
         # neighbors to m = min(N(u) ∪ {u}). Needs the symmetric view.
-        sym = edges.unionAll(edges.select(col("v").alias("u"), col("u").alias("v")))
+        sym = e.unionAll(e.select(col("v").alias("u"), col("u").alias("v")))
         lmins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
             .select("u", F.least(col("u"), col("mv")).alias("m"))
         )
-        # No distinct and no checkpoint here: duplicate (u,v) rows are
-        # harmless through the min-aggregates below and small-star's
-        # single distinct dedupes the round's output — one shuffle per
-        # round instead of two, and one materialization job instead of
-        # two. The round's lineage stays 2 joins deep, truncated by
-        # the checkpoint on `small`.
+        # No distinct between the phases: duplicate (u,v) rows are
+        # harmless through the min-aggregates and small-star's
+        # single distinct dedupes the round's output.
         large = (
             sym.join(lmins, "u")
             .filter(col("v") > col("u"))
@@ -560,7 +585,7 @@ def _star_rounds(
         # Small-star: on the u>v directed edges, every node u links
         # its smaller neighbors (and itself) to their collective min.
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             large.join(smins, "u")
             .select(
                 F.when(col("v") == col("m"), col("u")).otherwise(col("v")).alias("u"),
@@ -568,12 +593,25 @@ def _star_rounds(
             )
             .filter(col("u") != col("v"))
             .distinct()
-            .localCheckpoint()
         )
+
+    # One alternation per materialization: fusing two rounds into one
+    # unmaterialized DAG was tried and MEASURED SLOWER (the first
+    # round's output is referenced 3-4x by the second round's
+    # symmetric-view union and joins, so the whole sub-DAG
+    # re-evaluates per reference — d08 4.6 → 8.8 s at sf0.1); the
+    # per-round localCheckpoint is what makes each round's work run
+    # once. The round's lineage stays 2 joins deep.
+    prev_fp = None
+    rounds = 0
+    while rounds < max_iter:
+        rounds += 1
+        small = one_round(edges).localCheckpoint()
         # Fixed-point check: an order-insensitive edge-set fingerprint
         # (count + xor of hashes; xor cannot overflow, unlike a sum
-        # under ANSI arithmetic) — one tiny aggregate, no
-        # set-difference join; the driver sees two scalars per round.
+        # under ANSI arithmetic) — one tiny aggregate over the
+        # checkpointed blocks, no set-difference join; the driver
+        # sees two scalars per check.
         row = small.agg(
             F.count(lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

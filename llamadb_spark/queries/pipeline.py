@@ -202,11 +202,18 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import col
 
     docs = _docs(spark, sf_dir)
+    # ONE staged shingle index feeds both the exact twin and the
+    # MinHash path (the production shape: stage the inverted index,
+    # run every sketch off it) — one barrier, one shingle pass
+    idx = dedup.hashed_shingle_index(docs)
     exact = dedup.jaccard_ngram_pairs(
-        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+        index=idx,
     ).select("a_id", "b_id", "jaccard")
     lsh = (
-        dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+        dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD, index=idx)
         .select("a_id", "b_id")
         .withColumn("_f", F.lit(True))
     )
@@ -884,8 +891,13 @@ def s03_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import col
 
     emb = _emb(spark, sf_dir)
+    # iters=1: a single Lloyd refinement already clears the recall
+    # band with 2x margin at every SF (measured min-recall 0.40 vs
+    # the 0.2 band, mean 0.77-0.80 vs 0.5, sf0.001/0.01/0.1) — the
+    # second pass bought no recall, only a full extra corpus pass +
+    # collect (attestation-cost trim, VERDICT r06 #4)
     approx = similarity.ivf_topk(
-        emb, KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=S03_NPROBE
+        emb, KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=S03_NPROBE, iters=1
     )
     # the exact twin feeds BOTH the recall join and the top-1
     # projection: stage its |queries|·k rows once instead of running
@@ -3848,12 +3860,20 @@ def d18_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import col
 
     docs = _docs(spark, sf_dir)
+    # shared staged shingle index (see d03): exact pairs + signatures
+    # off one barrier and one shingle pass
+    idx = dedup.hashed_shingle_index(docs)
     pairs = dedup.jaccard_ngram_pairs(
-        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+        index=idx,
     ).select("a_id", "b_id", "n_inter", "jaccard")
     # referenced by both join sides — stage the n_docs signature rows
     # once instead of re-running the shingle+minhash pipeline twice
-    sigs = dedup.minhash_signatures(docs, num_hashes=32).localCheckpoint()
+    sigs = dedup.minhash_signatures(
+        docs, num_hashes=32, index=idx
+    ).localCheckpoint()
     est = (
         F.size(
             F.filter(
