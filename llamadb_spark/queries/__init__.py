@@ -4,23 +4,23 @@ DuckDB-runnable ANSI SQL). Keys match SURVEY.md §2.
 
 Key order matters operationally: the driver's correctness run checks
 a bounded 50-key prefix of the dict, so ordering is an evidence-
-freshness policy. Round-6 policy (VERDICT r05 "Next round" #1+#2):
+freshness policy. Round-7 policy (VERDICT r06 "Next round" #3),
+generalized from the per-round tier lists of earlier rounds:
 
-  1. keys whose oracle is NEW this round (the 13 rows-only keys
-     converted to banded-boolean/exact oracles — they have never had
-     a hash-green driver row and the judge ranked attesting them
-     highest-leverage);
-  2. then keys by OLDEST driver evidence first (r01/r02-attested
-     core-SQL and early pipeline keys, whose rows predate three
-     rounds of code movement), then r03, r04, r05;
+  1. keys NEVER driver-checked (new this round) lead;
+  2. then every key ascending by the round of its most recent
+     driver evidence (_LAST_CHECKED, regenerated each round from
+     the CORRECTNESS_r0N.json files) — oldest evidence first, ties
+     alphabetical. This automatically makes each round's prefix
+     disjoint from the previous round's (freshly-checked keys sink
+     to the back of the queue);
   3. rows-only-by-design keys (s02, d12 — scale-path keys whose
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The resulting 50-key r06 prefix = the 13 newly-oracled keys + the 2
-brand-new round-6 keys (BM25 / hybrid RRF) + the 35 oldest r01/r02
-keys; its only overlap with r05's prefix is the newly-oracled keys
-themselves (which r05 could record only as ``no_oracle``).
+The r07 prefix is therefore the 3 round-7 keys (d19/d20/t28), the 11
+oracled keys whose last check was r02, and the 36 alphabetically-
+first keys of the 50-key r03 cohort; prefix ∩ r06 prefix = ∅.
 """
 
 from __future__ import annotations
@@ -38,12 +38,10 @@ from llamadb_spark.queries import (
 
 _MODULES = (core, pipeline, events, olap, surface, advanced, surface2, tpch)
 
-#: Keys NEW in round 6 (never driver-checked at all) — right behind
-#: the banded conversions in the prefix.
-_NEW_R06 = ("t27_bm25_rank", "s15_hybrid_rrf")
-
-#: Rows-only keys converted to banded-boolean/exact oracles in round
-#: 6 — front of the queue for their first hash-attestable driver row.
+#: Banded-oracle keys (rows-only keys converted in round 6 to
+#: within-band boolean contracts): their plans deliberately compute
+#: an exact attestation twin alongside the sketch. Referenced by
+#: bench.py to split the headline into scale-path vs evidence cost.
 _BANDED_R06 = (
     "a02_approx_stats", "a06_sketch_rollup", "t13_heavy_hitters",
     "s03_ivf_ann", "d18_minhash_calibration", "d03_minhash_lsh",
@@ -52,76 +50,210 @@ _BANDED_R06 = (
     "m07_crossmodal_knn",
 )
 
-#: Driver-attested in CORRECTNESS_r01/r02 (oldest evidence).
-_EVIDENCE_R12 = frozenset(
-    {
-        "d01_exact_dedup", "d02_jaccard_ngram", "d03_minhash_lsh",
-        "d04_simhash", "d05_embed_neardup", "d06_dedup_clusters",
-        "d07_dedup_apply", "m01_multimodal_meta", "m02_decode_resize",
-        "p01_stratified_sample", "p02_contamination", "q01_pricing_summary",
-        "q02_filter_scan", "q03_cross_join_where", "q04_inner_join",
-        "q05_left_join", "q06_correlated_subquery", "q07_scalar_subquery",
-        "q08_group_having", "q09_order_limit", "q10_distinct",
-        "q11_expressions", "q12_in_subquery", "q13_exists",
-        "q14_case_expr", "q15_agg_minmax", "q16_revenue_by_nation",
-        "q17_union_all", "q18_window_rank", "q21_order_count_dist",
-        "q22_anti_join", "q23_cube", "q24_corr_agg_subquery",
-        "q25_set_ops", "q26_window_suite", "q27_date_parts",
-        "q28_string_funcs", "q29_grouping_sets", "q30_null_handling",
-        "s01_knn_bruteforce", "s02_lsh_ann", "s03_ivf_ann",
-        "t01_langid", "t02_quality_score", "t03_token_count",
-        "t04_fingerprint", "t05_vocab_topk", "t06_repetition",
-        "t07_pii_scrub", "t08_chunk_documents",
-    }
-)
-
-#: Driver-attested in CORRECTNESS_r03.
-_EVIDENCE_R3 = frozenset(
-    {
-        "a01_asof_join", "d08_semantic_dedup_apply", "d09_shared_longrun",
-        "d10_dedup_clusters_star", "d11_editdist_pairs", "e01_events_window",
-        "e02_sessionize", "e03_event_topk", "e04_sliding_window",
-        "e05_running_totals", "e06_resample_ffill", "e07_stream_enrich",
-        "e08_rate_anomaly", "e09_funnel", "e10_retention",
-        "e11_session_window", "e12_cdc_snapshot", "e13_gap_detection",
-        "e14_conversion_latency", "e15_rolling_wau", "e16_interarrival_stats",
-        "m03_frame_sample", "m04_payload_chunks", "p04_profile",
-        "p05_tombstone_delete", "p06_dataset_split", "p07_mixture_sample",
-        "p08_dq_report", "p09_exact_k_sample", "p10_leakproof_split",
-        "q19_rollup", "q20_pivot", "q31_percentiles", "q32_stats_agg",
-        "q33_full_outer_join", "q34_explode_tokens", "q35_json_extract",
-        "q36_regexp_extract", "r01_range_join", "s04_embed_quantize",
-        "s05_label_centroids", "s06_centroid_sim", "s07_centroid_classify",
-        "s08_embed_dim_stats", "t09_tfidf_rank", "t10_token_entropy",
-        "t11_langid_confusion", "t12_pmi_collocations", "t14_unigram_logprob",
-        "t15_doc_keywords",
-    }
-)
-
-#: Driver-attested in CORRECTNESS_r04.
-_EVIDENCE_R4 = frozenset(
-    {
-        "a03_asof_forward", "d13_incremental_dedup",
-        "d14_containment_pairs", "e17_cep_match", "e18_bot_users",
-        "g01_pagerank", "g02_degree_histogram", "h03_shipping_priority",
-        "h04_priority_checking", "h05_local_supplier_volume",
-        "h06_revenue_forecast", "h07_volume_shipping",
-        "h09_product_type_profit", "h10_returned_items",
-        "h11_important_stock", "h12_ship_priority_class",
-        "h14_promo_effect", "h16_supplier_counts", "h18_large_orders",
-        "h19_discounted_revenue", "h20_potential_promotion",
-        "h21_waiting_suppliers", "m05_media_dedup", "p03_pack_sequences",
-        "p11_weighted_sample", "q37_decimal_exact", "q38_range_frame",
-        "q39_semi_join", "q40_conditional_agg", "q41_array_hof",
-        "q42_cte_top_supplier", "q43_min_cost_supplier",
-        "q44_market_share", "q45_unpivot", "q46_scd2_intervals",
-        "q47_window_dist", "q48_grouping_id", "q49_pagination",
-        "q50_nulls_order", "q51_string_agg", "q52_histogram",
-        "q53_mode_disc", "q54_lateral_topk", "s11_rerank_ann",
-        "t13_heavy_hitters", "t16_bigram_logprob", "t17_zipf_slope",
-        "t19_token_yield", "t20_quality_deciles",
-    }
-)
+#: Round of each key's most recent driver-side correctness evidence
+#: (union over CORRECTNESS_r01-r06; regenerate when rotating). Keys
+#: absent here have never been driver-checked and lead the queue.
+_LAST_CHECKED = {
+    "a01_asof_join": 3,
+    "a02_approx_stats": 6,
+    "a03_asof_forward": 4,
+    "a04_asof_tolerance": 5,
+    "a05_asof_nearest": 5,
+    "a06_sketch_rollup": 6,
+    "d01_exact_dedup": 6,
+    "d02_jaccard_ngram": 6,
+    "d03_minhash_lsh": 6,
+    "d04_simhash": 6,
+    "d05_embed_neardup": 6,
+    "d06_dedup_clusters": 6,
+    "d07_dedup_apply": 6,
+    "d08_semantic_dedup_apply": 3,
+    "d09_shared_longrun": 3,
+    "d10_dedup_clusters_star": 3,
+    "d11_editdist_pairs": 3,
+    "d12_semantic_dedup_lsh": 5,
+    "d13_incremental_dedup": 4,
+    "d14_containment_pairs": 4,
+    "d15_cluster_sizes": 5,
+    "d16_threshold_sweep": 5,
+    "d17_pair_provenance": 5,
+    "d18_minhash_calibration": 6,
+    "e01_events_window": 3,
+    "e02_sessionize": 3,
+    "e03_event_topk": 3,
+    "e04_sliding_window": 3,
+    "e05_running_totals": 3,
+    "e06_resample_ffill": 3,
+    "e07_stream_enrich": 3,
+    "e08_rate_anomaly": 3,
+    "e09_funnel": 3,
+    "e10_retention": 3,
+    "e11_session_window": 3,
+    "e12_cdc_snapshot": 3,
+    "e13_gap_detection": 3,
+    "e14_conversion_latency": 3,
+    "e15_rolling_wau": 3,
+    "e16_interarrival_stats": 3,
+    "e17_cep_match": 4,
+    "e18_bot_users": 4,
+    "e19_seasonality": 5,
+    "e20_user_concentration": 5,
+    "e21_transition_matrix": 5,
+    "e22_session_durations": 5,
+    "e23_weekly_churn": 5,
+    "e24_transition_stream": 5,
+    "g01_pagerank": 4,
+    "g02_degree_histogram": 4,
+    "g03_triangle_count": 5,
+    "h03_shipping_priority": 4,
+    "h04_priority_checking": 4,
+    "h05_local_supplier_volume": 4,
+    "h06_revenue_forecast": 4,
+    "h07_volume_shipping": 4,
+    "h09_product_type_profit": 4,
+    "h10_returned_items": 4,
+    "h11_important_stock": 4,
+    "h12_ship_priority_class": 4,
+    "h14_promo_effect": 4,
+    "h16_supplier_counts": 4,
+    "h18_large_orders": 4,
+    "h19_discounted_revenue": 4,
+    "h20_potential_promotion": 4,
+    "h21_waiting_suppliers": 4,
+    "m01_multimodal_meta": 2,
+    "m02_decode_resize": 2,
+    "m03_frame_sample": 3,
+    "m04_payload_chunks": 3,
+    "m05_media_dedup": 4,
+    "m06_media_filter": 5,
+    "m07_crossmodal_knn": 6,
+    "p01_stratified_sample": 2,
+    "p02_contamination": 2,
+    "p03_pack_sequences": 6,
+    "p04_profile": 3,
+    "p05_tombstone_delete": 3,
+    "p06_dataset_split": 3,
+    "p07_mixture_sample": 3,
+    "p08_dq_report": 3,
+    "p09_exact_k_sample": 3,
+    "p10_leakproof_split": 3,
+    "p11_weighted_sample": 4,
+    "p12_dup_weights": 5,
+    "p13_winsorize": 5,
+    "p14_shard_balance": 5,
+    "p15_token_budget_select": 5,
+    "p16_epoch_upsample": 5,
+    "p17_alpha_mixture": 5,
+    "q01_pricing_summary": 6,
+    "q02_filter_scan": 6,
+    "q03_cross_join_where": 6,
+    "q04_inner_join": 6,
+    "q05_left_join": 6,
+    "q06_correlated_subquery": 6,
+    "q07_scalar_subquery": 6,
+    "q08_group_having": 6,
+    "q09_order_limit": 6,
+    "q10_distinct": 6,
+    "q11_expressions": 6,
+    "q12_in_subquery": 6,
+    "q13_exists": 6,
+    "q14_case_expr": 6,
+    "q15_agg_minmax": 6,
+    "q16_revenue_by_nation": 6,
+    "q17_union_all": 6,
+    "q18_window_rank": 6,
+    "q19_rollup": 3,
+    "q20_pivot": 3,
+    "q21_order_count_dist": 6,
+    "q22_anti_join": 6,
+    "q23_cube": 6,
+    "q24_corr_agg_subquery": 6,
+    "q25_set_ops": 6,
+    "q26_window_suite": 6,
+    "q27_date_parts": 6,
+    "q28_string_funcs": 6,
+    "q29_grouping_sets": 6,
+    "q30_null_handling": 6,
+    "q31_percentiles": 3,
+    "q32_stats_agg": 3,
+    "q33_full_outer_join": 3,
+    "q34_explode_tokens": 3,
+    "q35_json_extract": 3,
+    "q36_regexp_extract": 3,
+    "q37_decimal_exact": 4,
+    "q38_range_frame": 4,
+    "q39_semi_join": 4,
+    "q40_conditional_agg": 4,
+    "q41_array_hof": 4,
+    "q42_cte_top_supplier": 4,
+    "q43_min_cost_supplier": 4,
+    "q44_market_share": 4,
+    "q45_unpivot": 4,
+    "q46_scd2_intervals": 4,
+    "q47_window_dist": 4,
+    "q48_grouping_id": 4,
+    "q49_pagination": 4,
+    "q50_nulls_order": 4,
+    "q51_string_agg": 4,
+    "q52_histogram": 4,
+    "q53_mode_disc": 4,
+    "q54_lateral_topk": 4,
+    "q55_right_join": 5,
+    "q56_qualify_latest": 5,
+    "q57_values_inline": 5,
+    "q58_date_arith": 5,
+    "q59_multi_pivot": 5,
+    "q60_rows_frame": 5,
+    "q61_recursive_cte": 5,
+    "q62_set_ops_all": 5,
+    "q63_group_by_all": 5,
+    "q64_exists_projection": 5,
+    "q65_insert_select": 5,
+    "q66_sort_key": 5,
+    "q67_merge_upsert": 5,
+    "r01_range_join": 3,
+    "s01_knn_bruteforce": 6,
+    "s02_lsh_ann": 2,
+    "s03_ivf_ann": 6,
+    "s04_embed_quantize": 3,
+    "s05_label_centroids": 3,
+    "s06_centroid_sim": 3,
+    "s07_centroid_classify": 3,
+    "s08_embed_dim_stats": 3,
+    "s09_pca_project": 6,
+    "s10_mmr_rerank": 6,
+    "s11_rerank_ann": 4,
+    "s12_cluster_balance": 6,
+    "s13_filtered_knn": 5,
+    "s14_silhouette": 5,
+    "s15_hybrid_rrf": 6,
+    "t01_langid": 6,
+    "t02_quality_score": 2,
+    "t03_token_count": 2,
+    "t04_fingerprint": 2,
+    "t05_vocab_topk": 2,
+    "t06_repetition": 2,
+    "t07_pii_scrub": 2,
+    "t08_chunk_documents": 2,
+    "t09_tfidf_rank": 3,
+    "t10_token_entropy": 3,
+    "t11_langid_confusion": 3,
+    "t12_pmi_collocations": 3,
+    "t13_heavy_hitters": 6,
+    "t14_unigram_logprob": 3,
+    "t15_doc_keywords": 3,
+    "t16_bigram_logprob": 4,
+    "t17_zipf_slope": 4,
+    "t19_token_yield": 4,
+    "t20_quality_deciles": 4,
+    "t21_source_overlap": 5,
+    "t22_source_divergence": 5,
+    "t23_token_fertility": 5,
+    "t24_quality_bands": 5,
+    "t25_vocab_growth": 5,
+    "t26_compression_ratio": 6,
+    "t27_bm25_rank": 6,
+}
 
 #: Rows-only BY DESIGN (not convertible without polluting the scale
 #: path's own plan with its exact O(N^2) twin): evidence is
@@ -139,22 +271,8 @@ ATTESTATION_KEYS = frozenset(_BANDED_R06)
 
 def _rank(k: str) -> tuple:
     if k in _ROWS_ONLY_BY_DESIGN:
-        tier = 9
-    elif k in _BANDED_R06:
-        tier = 0
-    elif k in _NEW_R06:
-        tier = 0.5
-    elif k in _EVIDENCE_R12:
-        tier = 1
-    elif k in _EVIDENCE_R3:
-        tier = 2
-    elif k in _EVIDENCE_R4:
-        tier = 3
-    else:
-        tier = 4  # r05-attested (everything else has a row by now)
-    # within tier 0 keep the explicit _BANDED_R06 order
-    sub = _BANDED_R06.index(k) if tier == 0 else 0
-    return (tier, sub)
+        return (99, k)
+    return (_LAST_CHECKED.get(k, 0), k)
 
 
 def _rotated(merged):
