@@ -1391,3 +1391,96 @@ def test_cep_stream_drops_beyond_bounded_delay(spark, tmp_path):
     # 0 — the operator drops in-function and accounts via accumulator
     assert metrics["rows_dropped_late"] == 0
     assert late_acc.value == n_late
+
+
+def test_ingest_embed_dedup_lsh_param_stamp_guard(spark, tmp_path):
+    """ADVICE r06: persisted bucket signatures are only valid under
+    the parameters that wrote them — a second run with different
+    (num_planes, num_tables) must fail loudly at start, not silently
+    probe incomparable signatures."""
+    import json
+    import os
+
+    import pytest
+
+    from llamadb_spark.streaming.ingest_embed_dedup import (
+        _LSH_PARAMS_FILE,
+        _check_lsh_params,
+    )
+
+    corpus_path = str(tmp_path / "stamp_corpus")
+    _check_lsh_params(corpus_path, num_planes=6, num_tables=40)
+    with open(os.path.join(corpus_path, _LSH_PARAMS_FILE)) as fh:
+        assert json.load(fh) == {"num_planes": 6, "num_tables": 40}
+    # same params: fine (idempotent)
+    _check_lsh_params(corpus_path, num_planes=6, num_tables=40)
+    # different params: refused with the remedy in the message
+    with pytest.raises(ValueError, match="LSH params"):
+        _check_lsh_params(corpus_path, num_planes=8, num_tables=40)
+
+
+def test_ingest_embed_dedup_vacuumed_base_replay_fails_clearly(
+    spark, tmp_path
+):
+    """ADVICE r06: a half-committed replay that needs a corpus
+    version older than the vacuum horizon must fail with the remedy,
+    not crash inside the parquet reader."""
+    import math
+    import os
+    import shutil
+
+    import pytest
+
+    from llamadb_spark.streaming.ingest_embed_dedup import (
+        ingest_embed_dedup_stream,
+    )
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    d = 16
+
+    def vec(seed):
+        return [math.sin(seed * 37 + i) for i in range(d)]
+
+    schema = "vec_id long, embedding array<double>, label string"
+    drop = tmp_path / "vb_drop"
+    drop.mkdir()
+    for i, rows in enumerate(
+        ([(1, vec(1), "a")], [(2, vec(2), "a")], [(3, vec(3), "a")])
+    ):
+        staged = str(tmp_path / f"vb_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-emb.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        return ingest_embed_dedup_stream(
+            stream, corpus_path, matches_path, threshold=0.95
+        )
+
+    corpus_path = str(tmp_path / "vb_corpus")
+    matches_path = str(tmp_path / "vb_matches")
+    run()
+    assert committed_batches(corpus_path) == {0: 0, 1: 1, 2: 2}
+
+    # simulate the impossible replay: batch 2's corpus commit
+    # SURVIVED but its matches commit was lost (the half-committed
+    # window), and the pre-batch corpus snapshot v=1 has since been
+    # vacuumed (directory gone, batch marker preserved in the root
+    # _batches ledger, exactly as versioned.vacuum does). Recomputing
+    # batch 2's matches needs v=1 — the replay must fail with the
+    # remedy, not crash inside the parquet reader.
+    shutil.rmtree(os.path.join(matches_path, "v=2"))
+    with open(os.path.join(matches_path, "_latest"), "w") as fh:
+        fh.write("1")
+    with open(os.path.join(corpus_path, "_batches"), "a") as fh:
+        fh.write("1 1\n")
+    shutil.rmtree(os.path.join(corpus_path, "v=1"))
+    with pytest.raises(Exception, match="vacuumed"):
+        run()
