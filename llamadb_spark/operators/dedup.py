@@ -524,10 +524,14 @@ def connected_components(
     # pair-generation pipeline appears in both branches (ReusedExchange
     # recovers some but not all of it).
     pairs = pairs.select(col(a_col).alias("u"), col(b_col).alias("v")).localCheckpoint()
+    # sym is a map-only union over the checkpointed pairs — re-deriving
+    # it per round is a narrow scan of cached blocks, so a second
+    # checkpoint here would only add a barrier job (the join below
+    # re-shuffles sym each round either way: shuffles don't persist
+    # across the per-round jobs)
     sym = pairs.unionAll(pairs.select(col("v").alias("u"), col("u").alias("v")))
-    sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().withColumn("label", col("u"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # One shuffle per round: the previous label rides the union
         # as `old` (min ignores the nulls from neighbor rows), so
         # convergence needs no separate labels join — just a filter
@@ -542,9 +546,14 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint()
         )
-        changed = new.filter(col("label") < col("old")).count()
         labels = new.select("u", "label")
-        if changed == 0:
+        # A non-trivial graph cannot converge before round 2 (round 1
+        # always moves labels across at least one edge), so the first
+        # convergence probe — a scalar count job over the checkpointed
+        # aggregate — is deferred to round 2: one fewer driver
+        # round-trip per call on the clique-union graphs this operator
+        # serves (they settle in 2-3 rounds).
+        if it >= 1 and new.filter(col("label") < col("old")).count() == 0:
             break
     return labels.select(col("u").alias("node"), col("label").alias("cluster_id"))
 

@@ -208,3 +208,83 @@ def remove_spans(
     return stats.join(clean, "doc_id").select(
         "doc_id", "n_spans", "removed_chars", "clean_text"
     )
+
+
+def duplication_profile(
+    docs: DataFrame,
+    spans: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-duplication profile (SURVEY §2 #270): per ``group_col``
+    — total chars, chars covered by cross-doc duplicate spans (union
+    of each doc's merged b-side intervals, so overlapping spans are
+    not double-counted), affected-doc count, and the duplication
+    ratio in exact per-mille (BIGINT arithmetic — no float division
+    feeding the hash oracle). The first number a data team asks of a
+    corpus ("how much of this is duplicated text, and where does it
+    come from") and the go/no-go input for running the d20 removal.
+
+    Scale: reuses the span detector's output (pairs ≪ corpus); the
+    interval merge windows per doc; the profile is one group_col
+    rollup joined onto a corpus-length aggregate.
+    """
+    iv = spans.select(
+        col("b_id").alias("doc_id"),
+        col("b_start").alias("s"),
+        (col("b_start") + col("run_len")).alias("e"),
+    )
+    by_start = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_max = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        iv.withColumn("prev_max_e", F.max("e").over(run_max))
+        .withColumn(
+            "new_isl",
+            F.when(
+                col("prev_max_e").isNull() | (col("s") > col("prev_max_e")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(by_start))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(col("e") - col("s")).alias("dup_chars")
+    )
+    base = docs.select(
+        col(id_col).alias("doc_id"),
+        col(group_col).alias("grp"),
+        F.length(col(text_col)).cast("long").alias("n_chars"),
+    )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "grp",
+        "n_chars",
+        F.coalesce(col("dup_chars"), F.lit(0)).alias("dup_chars"),
+        (col("dup_chars").isNotNull()).cast("long").alias("affected"),
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("affected").alias("n_affected"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("dup_chars").alias("dup_chars"),
+        )
+        .select(
+            col("grp").alias(group_col),
+            "n_docs",
+            "n_affected",
+            "total_chars",
+            "dup_chars",
+            # exact integer per-mille: floor(1000 * dup / total)
+            F.floor(
+                (F.lit(1000) * col("dup_chars")) / col("total_chars")
+            ).cast("long").alias("dup_permille"),
+        )
+    )

@@ -4117,6 +4117,39 @@ def d20_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_spans(corpus, spans)
 
 
+def d21_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication profile over the d19 seeded corpus: per
+    source — docs, affected docs, total vs duplicated chars (merged
+    b-side span intervals, overlap-safe) and an exact integer
+    per-mille duplication ratio. The go/no-go number before running
+    the d20 removal at corpus scale; oracle recomputes the identical
+    profile in DuckDB from its own independent span detection."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.spans import (
+        duplication_profile,
+        substring_span_pairs,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    excerpts = base.filter(
+        col("doc_id") % D19_EXCERPT_MOD == D19_EXCERPT_REM
+    ).select(
+        (col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zqx-"),
+            F.substring("text", D19_EXCERPT_FROM, D19_EXCERPT_LEN),
+            F.lit("-xqz"),
+        ).alias("text"),
+        F.lit("excerpt").alias("source"),
+    )
+    corpus = base.unionByName(excerpts)
+    spans = substring_span_pairs(
+        corpus, min_len=D19_MIN_LEN, max_gram_occ=D19_MAX_GRAM_OCC
+    )
+    return duplication_profile(corpus, spans, group_col="source")
+
+
 _D19_CORPUS_SQL = f"""
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -4272,6 +4305,85 @@ GROUP BY doc_id
 """
 
 
+
+
+ORACLE_D21 = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zqx-' || substr(text, {D19_EXCERPT_FROM}, {D19_EXCERPT_LEN})
+             || '-xqz' AS text,
+         'excerpt' AS source
+  FROM documents WHERE doc_id % {D19_EXCERPT_MOD} = {D19_EXCERPT_REM}
+),
+grams AS (
+  SELECT doc_id, p AS pos,
+         substr(text, CAST(p AS INT), {D19_MIN_LEN}) AS gram
+  FROM corpus, unnest(generate_series(1, length(text) - {D19_MIN_LEN - 1}))
+       AS t(p)
+  WHERE length(text) >= {D19_MIN_LEN}
+),
+grams_ok AS (
+  SELECT * FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D19_MAX_GRAM_OCC}
+),
+m AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+  FROM grams_ok a JOIN grams_ok b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+spans AS (
+  SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+         count(*) + {D19_MIN_LEN - 1} AS run_len
+  FROM (
+    SELECT *, a_pos - row_number() OVER (
+      PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+    FROM m
+  )
+  GROUP BY a_id, b_id, diag, grp
+),
+iv AS (
+  SELECT b_id AS doc_id, b_start AS s, b_start + run_len AS e FROM spans
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM iv
+  )
+),
+merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (
+    SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e)
+              AS isl
+    FROM flagged
+  )
+  GROUP BY doc_id, isl
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT c.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_affected,
+       CAST(sum(length(c.text)) AS BIGINT) AS total_chars,
+       CAST(sum(coalesce(p.dup_chars, 0)) AS BIGINT) AS dup_chars,
+       CAST(floor((1000 * sum(coalesce(p.dup_chars, 0)))
+                  / sum(length(c.text))) AS BIGINT) AS dup_permille
+FROM corpus c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+GROUP BY c.source
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4361,6 +4473,7 @@ QUERIES = {
     "d19_substring_spans": d19_substring_spans,
     "d20_substring_apply": d20_substring_apply,
     "t28_linear_quality": t28_linear_quality,
+    "d21_duplication_profile": d21_duplication_profile,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4385,6 +4498,7 @@ ORACLES = {
     "d19_substring_spans": ORACLE_D19,
     "d20_substring_apply": ORACLE_D20,
     "t28_linear_quality": ORACLE_T28,
+    "d21_duplication_profile": ORACLE_D21,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

@@ -413,3 +413,37 @@ def test_substring_spans_hot_gram_cap(spark):
     # 6 identical docs -> C(6,2) full-length spans
     assert uncapped.count() == 15
     assert all(r.run_len == 40 for r in uncapped.collect())
+
+
+def test_duplication_profile_counts_merged_union(spark):
+    """Per-group duplication: overlapping spans on one doc count once
+    (merged union), unaffected docs count in totals only, per-mille
+    is exact integer arithmetic."""
+    from llamadb_spark.operators.spans import duplication_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "0123456789abcdefghij", "web"),   # 20 chars, affected
+            (2, "x" * 30, "web"),                  # 30 chars, clean
+            (3, "y" * 50, "books"),                # 50 chars, clean
+        ],
+        ["doc_id", "text", "source"],
+    )
+    spans = spark.createDataFrame(
+        [
+            (9, 1, 1, 3, 5),   # doc1 [3,8)
+            (9, 1, 1, 6, 4),   # doc1 [6,10) — overlaps: union [3,10)=7
+        ],
+        ["a_id", "b_id", "a_start", "b_start", "run_len"],
+    )
+    rows = {
+        r.source: (
+            r.n_docs, r.n_affected, r.total_chars, r.dup_chars,
+            r.dup_permille,
+        )
+        for r in duplication_profile(docs, spans).collect()
+    }
+    assert rows == {
+        "web": (2, 1, 50, 7, 140),    # 7/50 = 140 per-mille exactly
+        "books": (1, 0, 50, 0, 0),
+    }
