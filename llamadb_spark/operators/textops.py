@@ -724,12 +724,13 @@ def linear_quality_score(
     heuristic quality signals (t02) and full perplexity filtering in
     public training-data pipelines (e.g. the CCNet / fastText
     quality-classifier recipe) — evaluated as a PURE SQL dot product
-    over token counts. No Python anywhere: the weight vector is a
-    constant literal MAP expression (the degenerate-but-faithful form
-    of a broadcast weights table — for a 100k-term vocabulary the
-    same plan uses a broadcast-joined weights dimension), and the
-    per-doc score is one map lookup per token plus one sum aggregate,
-    all inside whole-stage codegen.
+    over token counts. No Python anywhere: small vocabularies
+    (≤1024) compile the weight vector into a constant literal MAP
+    expression (one codegen'd lookup per token); larger ones switch
+    automatically to a BROADCAST-joined weights dimension (the
+    100k-term fastText shape — corpus pass stays shuffle-free up to
+    the per-doc aggregate). Both paths produce identical output
+    (equivalence-tested).
 
     Determinism discipline (d16/p12): weights and bias are INTEGER
     micro-units, the logit is an exact BIGINT sum, and the quality
@@ -740,24 +741,45 @@ def linear_quality_score(
     Output: (doc_id, n_tokens, logit_micro, is_quality) where
     is_quality = logit_micro > 0.
     """
-    wmap = F.create_map(
-        *[x for t, w in sorted(weights_micro.items())
-          for x in (F.lit(t), F.lit(int(w)))]
-    )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("tok"),
     ).filter(F.col("tok") != "")
-    return (
-        toks.select(
+    if len(weights_micro) <= 1024:
+        # literal-map form: one codegen'd map lookup per token, zero
+        # extra plan nodes — right up to O(1k) vocabularies
+        wmap = F.create_map(
+            *[x for t, w in sorted(weights_micro.items())
+              for x in (F.lit(t), F.lit(int(w)))]
+        )
+        scored = toks.select(
             "doc_id",
             F.coalesce(
                 wmap[F.col("tok")], F.lit(int(oov_micro))
             ).cast("long").alias("w"),
         )
-        .groupBy("doc_id")
+    else:
+        # broadcast-dimension form (the 100k-term fastText shape): a
+        # weights table left-joined onto the token stream; Spark
+        # broadcasts the dim side, so the corpus pass stays
+        # shuffle-free up to the per-doc aggregate
+        spark = docs.sparkSession
+        wdf = spark.createDataFrame(
+            sorted(weights_micro.items()), "tok string, w_micro long"
+        )
+        scored = (
+            toks.join(F.broadcast(wdf), "tok", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("w_micro"), F.lit(int(oov_micro)))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return (
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             (F.sum("w") + F.lit(int(bias_micro))).alias("logit_micro"),

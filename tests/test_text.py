@@ -208,3 +208,31 @@ def test_linear_quality_score_exact_integer_logits(spark):
         2: (3, -300_000 * 2 - 50_000 - 400_000, False),    # -1_050_000
         3: (1, 500_000 - 400_000, True),                   # 100_000
     }
+
+
+def test_linear_quality_broadcast_path_equals_literal_map(spark):
+    """>1024-term vocabularies switch to the broadcast-joined weights
+    dimension; padding the dict with never-occurring tokens must not
+    change any output row vs the literal-map path."""
+    from llamadb_spark.operators.textops import linear_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "bad unknowntok"), (3, "good")],
+        ["doc_id", "text"],
+    )
+    small = {"good": 500_000, "bad": -300_000}
+    big = dict(small)
+    big.update({f"zpad{i}": i for i in range(1030)})  # force broadcast path
+    kw = dict(bias_micro=-400_000, oov_micro=-50_000)
+    lit_rows = {
+        r.doc_id: (r.n_tokens, r.logit_micro, r.is_quality)
+        for r in linear_quality_score(docs, small, **kw).collect()
+    }
+    bc_rows = {
+        r.doc_id: (r.n_tokens, r.logit_micro, r.is_quality)
+        for r in linear_quality_score(docs, big, **kw).collect()
+    }
+    assert lit_rows == bc_rows
+    # and the broadcast plan really broadcasts the dim side
+    plan = linear_quality_score(docs, big, **kw)._jdf.queryExecution()
+    assert "Broadcast" in plan.executedPlan().toString()
