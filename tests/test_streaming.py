@@ -1484,3 +1484,65 @@ def test_ingest_embed_dedup_vacuumed_base_replay_fails_clearly(
     shutil.rmtree(os.path.join(corpus_path, "v=1"))
     with pytest.raises(Exception, match="vacuumed"):
         run()
+
+
+def test_ingest_span_dedup_gates_on_duplicated_mass(spark, tmp_path):
+    """Streaming span-ingest dedup (#271): batch 2's doc that is
+    mostly an excerpt of an ACCEPTED batch-1 doc is gated (duplicated
+    mass over the per-mille gate); a doc sharing only a sub-L run is
+    accepted; batch 3 dedups against batch 2's accepted docs via the
+    PERSISTED gram postings; exactly-once ledgers stamped."""
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import versions
+    from llamadb_spark.streaming.ingest_span_dedup import (
+        ingest_span_dedup_stream,
+    )
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    base1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    base2 = "one two three four five six seven eight nine ten eleven"
+    b1 = [(1, base1), (2, base2)]
+    # 3: guarded excerpt of doc 1 (most of its text duplicated)
+    # 4: shares only a short (<L) fragment with doc 2 -> accepted
+    b2 = [
+        (3, "X-" + base1[5:50] + "-Y"),
+        (4, "one two three UNIQUE tail content here totally new"),
+    ]
+    # 5: excerpt of doc 4 (accepted in batch 2) -> gated via the
+    # postings persisted WITH batch 2's corpus version
+    b3 = [(5, "Z~" + b2[1][1][4:46] + "~Q")]
+    schema = "doc_id long, text string"
+    drop = tmp_path / "span_drop"
+    drop.mkdir()
+    for i, rows in enumerate((b1, b2, b3)):
+        staged = str(tmp_path / f"span_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-docs.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    corpus_path = str(tmp_path / "span_corpus")
+    matches_path = str(tmp_path / "span_matches")
+    corpus, matches = ingest_span_dedup_stream(
+        stream, corpus_path, matches_path,
+        min_len=30, dup_permille_gate=500,
+    )
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
+    m = {(r.doc_id, r.match_id) for r in matches.collect()}
+    assert m == {(3, 1), (5, 4)}
+    for r in matches.collect():
+        assert r.dup_permille >= 500
+        assert 0 < r.dup_chars <= r.doc_len
+    # postings persisted with the corpus (probe never re-hashes text)
+    assert "gram_hashes" in corpus.columns
+    assert versions(corpus_path) == [0, 1, 2]
+    assert committed_batches(corpus_path) == {0: 0, 1: 1, 2: 2}
+    assert committed_batches(matches_path) == {0: 0, 1: 1, 2: 2}
