@@ -422,3 +422,52 @@ def test_merge_upsert_matches_reference_model(spark, target, source):
     for k, v in source:
         model[k] = model[k] + v if k in model else v
     assert got == model
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=2,
+        max_size=4,
+    )
+)
+@_SPARK_SETTINGS
+def test_substring_spans_match_python_reference(spark, texts):
+    """Seed-and-chain span detection vs a brute-force diagonal walk:
+    every maximal cross-doc shared character run >= L, with exact
+    offsets, over adversarial tiny-alphabet strings (where chance
+    runs, multiple diagonals, and run-length-exactly-L edges all
+    occur)."""
+    from llamadb_spark.operators.spans import substring_span_pairs
+
+    L = 5
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id, r.a_start, r.b_start, r.run_len)
+        for r in substring_span_pairs(
+            docs, min_len=L, max_gram_occ=10**9
+        ).collect()
+    }
+
+    expect = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            A, B = texts[a], texts[b]
+            for d in range(-(len(B) - 1), len(A)):
+                run = 0
+                i = max(d, 0)
+                j = i - d
+                while i < len(A) and j < len(B):
+                    if A[i] == B[j]:
+                        run += 1
+                    else:
+                        if run >= L:
+                            expect.add((a, b, i - run + 1, j - run + 1, run))
+                        run = 0
+                    i += 1
+                    j += 1
+                if run >= L:
+                    expect.add((a, b, i - run + 1, j - run + 1, run))
+    assert got == expect
