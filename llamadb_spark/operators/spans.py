@@ -81,6 +81,7 @@ def substring_span_pairs(
     max_gram_occ: int = 200,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stride: int = 1,
 ) -> DataFrame:
     """All maximal cross-doc shared substring runs of length ≥
     ``min_len``: (a_id, b_id, a_start, b_start, run_len) with
@@ -89,7 +90,19 @@ def substring_span_pairs(
     cap (grams occurring at more than that many corpus positions are
     excluded from seeding, the same occupancy discipline as the LSH /
     shingle operators; the DuckDB oracle mirrors the cap so parity
-    stays exact)."""
+    stays exact).
+
+    ``stride`` > 1 is the 100 TB cost knob: seeds on the A-side of
+    the join are kept only at positions ≡ 1 (mod stride), cutting the
+    join's left input (and its shuffle) by ~stride×. The detection
+    becomes approximate with PROVABLE bounds (property-tested):
+    every detected span is CONTAINED in a true shared run, every true
+    run of length ≥ min_len + stride - 1 is detected, and the
+    detected extent under-covers the true run by < stride - 1 chars
+    on each end (island chaining groups A-positions stride apart, so
+    a run's detected length is (n_seeds-1)·stride + min_len).
+    stride=1 (default) is the exact form the DuckDB oracles verify.
+    """
     grams = position_grams(docs, min_len, id_col, text_col)
     # occupancy cap: windowed count per gram (one shuffle on gram,
     # reused by the join's own hash partitioning)
@@ -98,7 +111,12 @@ def substring_span_pairs(
         col("n_occ") <= max_gram_occ
     ).drop("n_occ")
 
-    a = grams_ok.alias("a")
+    a_side = (
+        grams_ok
+        if stride == 1
+        else grams_ok.filter((col("pos") - 1) % stride == 0)
+    )
+    a = a_side.alias("a")
     b = grams_ok.alias("b")
     m = (
         a.join(b, "gram")
@@ -113,12 +131,12 @@ def substring_span_pairs(
     )
     isl = Window.partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
     runs = m.withColumn(
-        "grp", col("a_pos") - F.row_number().over(isl)
+        "grp", col("a_pos") - lit(stride) * F.row_number().over(isl)
     ).groupBy("a_id", "b_id", "diag", "grp")
     return runs.agg(
         F.min("a_pos").alias("a_start"),
         F.min("b_pos").alias("b_start"),
-        (F.count(lit(1)) + lit(min_len - 1)).alias("run_len"),
+        ((F.count(lit(1)) - 1) * stride + min_len).alias("run_len"),
     ).select("a_id", "b_id", "a_start", "b_start", "run_len")
 
 

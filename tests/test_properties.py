@@ -471,3 +471,63 @@ def test_substring_spans_match_python_reference(spark, texts):
                 if run >= L:
                     expect.add((a, b, i - run + 1, j - run + 1, run))
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=2,
+        max_size=3,
+    ),
+    stride=st.sampled_from([2, 3]),
+)
+@_SPARK_SETTINGS
+def test_strided_spans_contained_and_recall_bounded(spark, texts, stride):
+    """The stride knob's documented bounds: every strided span is
+    contained in an exact span on the same diagonal; every exact run
+    of length >= L + stride - 1 is detected with under-coverage
+    < stride - 1 per end."""
+    from llamadb_spark.operators.spans import substring_span_pairs
+
+    L = 5
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    from collections import defaultdict
+
+    exact = defaultdict(list)
+    for r in substring_span_pairs(
+        docs, min_len=L, max_gram_occ=10**9
+    ).collect():
+        exact[(r.a_id, r.b_id, r.a_start - r.b_start)].append(
+            (r.a_start, r.run_len)
+        )
+    strided = defaultdict(list)
+    for r in substring_span_pairs(
+        docs, min_len=L, max_gram_occ=10**9, stride=stride
+    ).collect():
+        strided[(r.a_id, r.b_id, r.a_start - r.b_start)].append(
+            (r.a_start, r.run_len)
+        )
+    # containment: each strided span sits inside SOME exact span on
+    # its (pair, diagonal) — a diagonal can carry several runs
+    for key, spans_ in strided.items():
+        assert key in exact
+        for s, n in spans_:
+            assert any(
+                es <= s and s + n <= es + en for es, en in exact[key]
+            ), (key, s, n, exact[key])
+    # recall: every exact run long enough to guarantee an aligned
+    # seed is found, with bounded under-coverage on each end
+    for key, runs_ in exact.items():
+        for es, en in runs_:
+            if en >= L + stride - 1:
+                hits = [
+                    (s, n)
+                    for s, n in strided.get(key, [])
+                    if es <= s and s + n <= es + en
+                ]
+                assert hits, (key, es, en)
+                s, n = max(hits, key=lambda x: x[1])
+                assert s - es < stride  # start under-coverage bound
+                assert (es + en) - (s + n) < stride  # end bound
