@@ -4459,6 +4459,103 @@ GROUP BY doc_id, diag, grp
 """
 
 
+def p18_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at SPAN granularity (#273): the d19 seeded
+    corpus's excerpt twins play the EVAL set (ids ≥ 1e6); any
+    training doc sharing a run ≥ 40 chars with an eval doc gets those
+    exact byte ranges cut (Lee et al. decontamination: drop the
+    overlapping substrings, keep the rest of the doc — p02's n-gram
+    scan says WHO leaks; this removes WHAT leaked). Organic
+    train↔train duplicate spans are deliberately untouched — that's
+    d20's job, not decontamination. Output: one row per affected
+    train doc (doc_id, n_spans, removed_chars, clean_text), exactly
+    DuckDB-oracled."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.spans import (
+        remove_spans,
+        substring_span_pairs,
+    )
+
+    corpus = _d19_corpus(spark, sf_dir)
+    spans = substring_span_pairs(
+        corpus, min_len=D19_MIN_LEN, max_gram_occ=D19_MAX_GRAM_OCC
+    )
+    is_eval_a = col("a_id") >= 1_000_000
+    is_eval_b = col("b_id") >= 1_000_000
+    # exactly one side eval; relabel so the TRAIN side is the removal
+    # target (remove_spans cuts the b side)
+    train_side = spans.filter(is_eval_a != is_eval_b).select(
+        F.when(is_eval_b, col("a_id")).otherwise(col("b_id")).alias("b_id"),
+        F.when(is_eval_b, col("a_start"))
+        .otherwise(col("b_start"))
+        .alias("b_start"),
+        "run_len",
+    )
+    train = corpus.filter(col("doc_id") < 1_000_000)
+    return remove_spans(train, train_side)
+
+
+ORACLE_P18 = f"""
+WITH {_D19_CORPUS_SQL},
+iv AS (
+  SELECT a_id AS doc_id, a_start AS s, a_start + run_len AS e
+  FROM spans WHERE b_id >= 1000000 AND a_id < 1000000
+  UNION ALL
+  SELECT b_id, b_start, b_start + run_len
+  FROM spans WHERE a_id >= 1000000 AND b_id < 1000000
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM iv
+  )
+),
+merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (
+    SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e)
+              AS isl
+    FROM flagged
+  )
+  GROUP BY doc_id, isl
+),
+gaps AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT m.doc_id, max(m.e) AS gs, any_value(length(c.text) + 1) AS ge
+  FROM merged m JOIN corpus c ON c.doc_id = m.doc_id
+  GROUP BY m.doc_id
+),
+pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(c.text, CAST(g.gs AS INT),
+                CAST(greatest(g.ge - g.gs, 0) AS INT)) AS piece
+  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_spans, s.removed_chars,
+       coalesce(p.clean_text, '') AS clean_text
+FROM stats s
+JOIN (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS clean_text
+  FROM pieces GROUP BY doc_id
+) p ON p.doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4550,6 +4647,7 @@ QUERIES = {
     "t28_linear_quality": t28_linear_quality,
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
+    "p18_span_decontaminate": p18_span_decontaminate,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4576,6 +4674,7 @@ ORACLES = {
     "t28_linear_quality": ORACLE_T28,
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
+    "p18_span_decontaminate": ORACLE_P18,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,
