@@ -510,6 +510,56 @@ GROUP BY r_name
 """
 
 
+def q68_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics (#274): carry-forward of the
+    last non-null value and first non-null lookup over an ordered
+    per-order frame — the gap-filling idiom (last_value ... IGNORE
+    NULLS) every warehouse dialect ships and plain lag/last can't
+    express. Nulls are manufactured deterministically
+    (nullif(l_returnflag, 'N')), orders subsampled to bound output.
+
+    Scale: windows partitioned by l_orderkey (never global); one
+    scan, one shuffle on the partition key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    v = F.expr("nullif(l_returnflag, 'N')")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.last(v, ignorenulls=True).over(w).alias("flag_ff"),
+        F.first(v, ignorenulls=True).over(wall).alias("first_nn"),
+    )
+
+
+ORACLE_Q68 = """
+SELECT l_orderkey, l_linenumber,
+       last_value(nullif(l_returnflag, 'N') IGNORE NULLS) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flag_ff,
+       first_value(nullif(l_returnflag, 'N') IGNORE NULLS) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS first_nn
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+"""
+
+
 QUERIES = {
     "q55_right_join": q55_right_join,
     "q56_qualify_latest": q56_qualify_latest,
@@ -524,6 +574,7 @@ QUERIES = {
     "q65_insert_select": q65_insert_select,
     "q66_sort_key": q66_sort_key,
     "q67_merge_upsert": q67_merge_upsert,
+    "q68_ignore_nulls_window": q68_ignore_nulls_window,
 }
 
 ORACLES = {
@@ -540,4 +591,5 @@ ORACLES = {
     "q65_insert_select": ORACLE_Q65,
     "q66_sort_key": ORACLE_Q66,
     "q67_merge_upsert": ORACLE_Q67,
+    "q68_ignore_nulls_window": ORACLE_Q68,
 }
