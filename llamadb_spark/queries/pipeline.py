@@ -4556,6 +4556,82 @@ JOIN (
 """
 
 
+#: s16 PQ bands: measured PQ+rerank recall@5 is 0.90/0.97/0.90 mean
+#: and 0.60/0.80/0.80 min at sf0.001/0.01/0.1 (m=16 subspaces, 32
+#: codes, shortlist 50, deterministic xxhash64 seeds) — the 0.2/0.5
+#: bands leave 3x/1.8x margin.
+S16_MIN_RECALL = 0.2
+S16_MIN_MEAN_RECALL = 0.5
+
+
+def s16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with the s03
+    banded contract: PQ-ADC shortlist → exact rerank; output per
+    query = exact top-1 neighbor + cosine (DuckDB-recomputable, the
+    s01 machinery) + booleans claiming per-query and mean recall@k of
+    the PQ path against the exact top-k. The codes are m=16 small
+    ints per vector — the 16x index-size reduction that makes
+    billion-vector search storable; the oracle recomputes the exact
+    side and claims TRUE."""
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    approx = similarity.pq_rerank_topk(emb, KNN_QUERY_IDS, k=KNN_K)
+    exact = similarity.knn_bruteforce(
+        emb, KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint()
+    hits = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    top1 = exact.filter(col("rank") == 1).select(
+        "query_id",
+        col("neighbor_id").alias("exact_top1"),
+        col("cos").alias("top1_cos"),
+    )
+    w_all = Window.partitionBy()
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        "top1_cos",
+        (
+            F.coalesce(col("n_hit"), F.lit(0))
+            >= F.lit(float(S16_MIN_RECALL)) * KNN_K
+        ).alias("recall_ok"),
+        (
+            F.avg(
+                F.coalesce(col("n_hit"), F.lit(0)) / F.lit(float(KNN_K))
+            ).over(w_all)
+            >= S16_MIN_MEAN_RECALL
+        ).alias("mean_recall_ok"),
+    )
+
+
+ORACLE_S16 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_v FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_v, e.v), 6) AS cos
+  FROM q, e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id AS exact_top1, cos AS top1_cos,
+       TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM ranked WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -4648,6 +4724,7 @@ QUERIES = {
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "p18_span_decontaminate": p18_span_decontaminate,
+    "s16_pq_ann": s16_pq_ann,
     "s12_cluster_balance": s12_cluster_balance,
 }
 
@@ -4675,6 +4752,7 @@ ORACLES = {
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "p18_span_decontaminate": ORACLE_P18,
+    "s16_pq_ann": ORACLE_S16,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

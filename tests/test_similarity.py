@@ -273,3 +273,74 @@ def test_semantic_dedup_pairs_default_is_lsh(spark, sf_dir):
     # the default path is a verified SUBSET of exhaustive ground
     # truth (precision 1.0); recall bounds live in test_dedup.py
     assert dflt <= exact
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark, sf_dir):
+    """PQ codebooks: deterministic across runs (xxhash64 seeds, no
+    RNG), correct (m, k, d_sub) shape, finite values."""
+    import numpy as np
+
+    from llamadb_spark.operators.similarity import pq_train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = pq_train_codebooks(emb, n_subspaces=4, n_codes=8, iters=1)
+    b2 = pq_train_codebooks(emb, n_subspaces=4, n_codes=8, iters=1)
+    d = len(emb.select("embedding").first()[0])
+    assert b1.shape == (4, 8, d // 4)
+    assert np.allclose(b1, b2)
+    assert np.isfinite(b1).all()
+
+
+def test_pq_encode_assigns_nearest_code(spark, sf_dir):
+    """Every encoded subspace index must be the argmin-distance code
+    for that subvector (checked in numpy on a sample)."""
+    import numpy as np
+
+    from llamadb_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    books = pq_train_codebooks(emb, n_subspaces=4, n_codes=8, iters=1)
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in emb.collect()}
+    m, k, ds = books.shape
+    for r in pq_encode(emb, books).collect():
+        x = vecs[r.vec_id]
+        x = x / max(np.linalg.norm(x), 1e-12)
+        for j in range(m):
+            xs = x[j * ds : (j + 1) * ds]
+            want = int(((books[j] - xs) ** 2).sum(axis=1).argmin())
+            assert r.codes[j] == want
+
+
+def test_pq_rerank_recall_beats_band(spark, sf_dir):
+    """PQ shortlist → exact rerank must clear the s16 recall bands
+    against brute force (the banded-oracle claim, asserted locally)."""
+    from llamadb_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_rerank_topk,
+    )
+    from llamadb_spark.queries.pipeline import (
+        KNN_K,
+        KNN_QUERY_IDS,
+        S16_MIN_MEAN_RECALL,
+        S16_MIN_RECALL,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn_bruteforce(emb, KNN_QUERY_IDS, k=KNN_K)
+    approx = pq_rerank_topk(emb, KNN_QUERY_IDS, k=KNN_K)
+    hits = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    rec = {r.query_id: r["count"] / KNN_K for r in hits}
+    per_q = [rec.get(q, 0.0) for q in KNN_QUERY_IDS]
+    assert min(per_q) >= S16_MIN_RECALL
+    assert sum(per_q) / len(per_q) >= S16_MIN_MEAN_RECALL
