@@ -125,6 +125,9 @@ _ALLOWED_HINTS = {
     "p17_alpha_mixture": 4,
     # the d03 minhash pair-generation plan's hints
     "d18_minhash_calibration": 4,
+    # PQ: per-query ADC lookup tables (|queries|·m rows) + the
+    # rerank's caller-bounded query-vector broadcast
+    "s16_pq_ann": 2,
 }
 
 
@@ -168,6 +171,9 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # rank windows over the two top-POOL retrieval lists —
     # HYBRID_POOL (50) rows max each
     "s15_hybrid_rrf": 2,
+    # mean-recall band over the per-query recall table (s03's shape)
+    # — |KNN_QUERY_IDS| (8) rows max
+    "s16_pq_ann": 1,
 }
 
 
@@ -210,6 +216,9 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # queries must stay fully JVM-side.
     allowed_prefixes = (
         "d05", "m02", "s03", "s02", "d12", "m06", "s12", "t26", "m07",
+        # PQ: codebook Lloyd assignment + m-int encoding are dense
+        # block-matmul kernels (same class as s03's IVF passes)
+        "s16",
     )
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):
