@@ -1007,6 +1007,7 @@ def pq_topk(
     k: int = 5,
     n_subspaces: int = 4,
     n_codes: int = 16,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1027,7 +1028,7 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     books = pq_train_codebooks(
-        emb, n_subspaces=n_subspaces, n_codes=n_codes,
+        emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
@@ -1088,6 +1089,7 @@ def pq_rerank_topk(
     shortlist: int = 50,
     n_subspaces: int = 16,
     n_codes: int = 32,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1105,7 +1107,7 @@ def pq_rerank_topk(
 
     cand = pq_topk(
         emb, query_ids, k=shortlist,
-        n_subspaces=n_subspaces, n_codes=n_codes,
+        n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
     queries = emb.filter(col(id_col).isin(query_ids)).select(

@@ -4577,7 +4577,11 @@ def s16_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir)
-    approx = similarity.pq_rerank_topk(emb, KNN_QUERY_IDS, k=KNN_K)
+    # iters=1 (same move as s03): the second Lloyd pass buys no
+    # recall vs the bands — measured with iters=1: mean 0.83-0.95,
+    # min 0.60-0.80 across sf0.001/0.01/0.1, still 3x above the
+    # 0.2/0.5 bands — and costs a full corpus pass + collect
+    approx = similarity.pq_rerank_topk(emb, KNN_QUERY_IDS, k=KNN_K, iters=1)
     exact = similarity.knn_bruteforce(
         emb, KNN_QUERY_IDS, k=KNN_K
     ).localCheckpoint()
