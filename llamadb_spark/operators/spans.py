@@ -37,11 +37,21 @@ Distributed form (seed-and-chain, exact for cross-doc runs ≥ L):
 Every step is declarative DataFrame ops — no Python in the hot path;
 the windows are all partitioned by (pair, diagonal) or doc_id, so the
 plan scales with the cluster. At 100 TB the seed explosion is the
-dominant shuffle (≈ corpus size × L bytes of join keys); production
-would stride the seeds on one side (stride s ≤ L keeps exactness for
-runs ≥ 2L-1) or hash grams to 16 bytes — both documented knobs, not
-defaults, because the test contract here is EXACT parity with a
-DuckDB twin.
+dominant shuffle; the join key is the 8-byte ``xxhash64`` of each
+L-gram (computed inside the scan projection), NOT the raw L-char
+text — at L=40 that cuts the join-key payload ~5× (the streaming
+twin, ``streaming/ingest_span_dedup.py``, established the pattern).
+Chaining and extent recovery use only positions, never gram text, so
+nothing downstream changes. Collision bound: a false seed match
+needs two distinct grams with equal xxhash64; with P corpus
+positions the expected count is ≤ P²/2⁶⁴ (≈ 5·10⁻⁷ at P = 3·10⁶,
+vanishing for any per-partition P a sane layout produces), and a
+lone false seed would surface as a spurious min_len-length span.
+The remaining shuffle term is ≈ positions × ~24 bytes; production
+additionally strides the seeds on one side (stride s ≤ min_len
+keeps detection of runs ≥ min_len + s - 1, see
+``substring_span_pairs``) — a documented knob, not the default,
+because the test contract here is EXACT parity with a DuckDB twin.
 """
 
 from __future__ import annotations
@@ -58,8 +68,10 @@ def position_grams(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, pos, gram): every 1-based position's length-L char
-    gram. Documents shorter than L contribute nothing."""
+    """(doc_id, pos, gram_h): xxhash64 of every 1-based position's
+    length-L char gram. Documents shorter than L contribute nothing.
+    The raw gram text never leaves the projection — only the 8-byte
+    hash is shuffled (collision bound in the module docstring)."""
     n = F.length(col(text_col)) - lit(min_len - 1)
     positions = F.when(n >= 1, F.sequence(lit(1), n)).otherwise(
         F.array().cast("array<int>")
@@ -71,7 +83,9 @@ def position_grams(
     ).select(
         "doc_id",
         col("pos").cast("long").alias("pos"),
-        F.expr(f"substring({text_col}, pos, {min_len})").alias("gram"),
+        F.xxhash64(
+            F.expr(f"substring({text_col}, pos, {min_len})")
+        ).alias("gram_h"),
     )
 
 
@@ -101,12 +115,20 @@ def substring_span_pairs(
     detected extent under-covers the true run by < stride - 1 chars
     on each end (island chaining groups A-positions stride apart, so
     a run's detected length is (n_seeds-1)·stride + min_len).
+    PRECONDITION: stride ≤ min_len — containment relies on
+    consecutive strided seeds overlapping; a larger stride would
+    chain seeds across unverified characters (enforced below).
     stride=1 (default) is the exact form the DuckDB oracles verify.
     """
+    if stride < 1 or stride > min_len:
+        raise ValueError(
+            f"stride must be in [1, min_len={min_len}], got {stride}: "
+            "containment bounds need consecutive strided seeds to overlap"
+        )
     grams = position_grams(docs, min_len, id_col, text_col)
-    # occupancy cap: windowed count per gram (one shuffle on gram,
-    # reused by the join's own hash partitioning)
-    occ = Window.partitionBy("gram")
+    # occupancy cap: windowed count per gram hash (one shuffle on
+    # gram_h, reused by the join's own hash partitioning)
+    occ = Window.partitionBy("gram_h")
     grams_ok = grams.withColumn("n_occ", F.count(lit(1)).over(occ)).filter(
         col("n_occ") <= max_gram_occ
     ).drop("n_occ")
@@ -119,7 +141,7 @@ def substring_span_pairs(
     a = a_side.alias("a")
     b = grams_ok.alias("b")
     m = (
-        a.join(b, "gram")
+        a.join(b, "gram_h")
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(
             col("a.doc_id").alias("a_id"),
@@ -300,10 +322,11 @@ def duplication_profile(
             "n_affected",
             "total_chars",
             "dup_chars",
-            # exact integer per-mille: floor(1000 * dup / total)
-            F.floor(
-                (F.lit(1000) * col("dup_chars")) / col("total_chars")
-            ).cast("long").alias("dup_permille"),
+            # exact integer per-mille: TRUE integer division (`div`),
+            # not floor-of-double — past ~2^43 total chars the double
+            # rounds and its floor can differ by 1 from exact
+            F.expr("(1000 * dup_chars) div total_chars")
+            .cast("long").alias("dup_permille"),
         )
     )
 
@@ -331,7 +354,7 @@ def intra_doc_repeat_spans(
     tooling as remove_spans/duplication_profile).
     """
     grams = position_grams(docs, min_len, id_col, text_col)
-    occ = Window.partitionBy("gram")
+    occ = Window.partitionBy("gram_h")
     grams_ok = grams.withColumn("n_occ", F.count(lit(1)).over(occ)).filter(
         col("n_occ") <= max_gram_occ
     ).drop("n_occ")
@@ -339,7 +362,7 @@ def intra_doc_repeat_spans(
     a = grams_ok.alias("a")
     b = grams_ok.alias("b")
     m = (
-        a.join(b, "gram")
+        a.join(b, "gram_h")
         .filter(
             (col("a.doc_id") == col("b.doc_id"))
             & (col("a.pos") < col("b.pos"))

@@ -4377,8 +4377,8 @@ SELECT c.source,
             AS BIGINT) AS n_affected,
        CAST(sum(length(c.text)) AS BIGINT) AS total_chars,
        CAST(sum(coalesce(p.dup_chars, 0)) AS BIGINT) AS dup_chars,
-       CAST(floor((1000 * sum(coalesce(p.dup_chars, 0)))
-                  / sum(length(c.text))) AS BIGINT) AS dup_permille
+       CAST((1000 * sum(coalesce(p.dup_chars, 0)))
+            // sum(length(c.text)) AS BIGINT) AS dup_permille
 FROM corpus c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
 GROUP BY c.source
 """

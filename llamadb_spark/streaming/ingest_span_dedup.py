@@ -199,8 +199,10 @@ def ingest_span_dedup_stream(
                 "doc_id",
             )
             .withColumn(
+                # true integer division — floor-of-double drifts by 1
+                # past ~2^43 chars
                 "dup_permille",
-                F.floor((lit(1000) * col("dup_chars")) / col("doc_len")),
+                F.expr("(1000 * dup_chars) div doc_len"),
             )
             .filter(col("dup_permille") >= dup_permille_gate)
         )
