@@ -155,10 +155,12 @@ def _cep_unordered(
     late_counter=None,
 ) -> DataFrame:
     """Watermark-buffered CEP (see cep_matches_stream). Incoming rows
-    behind the watermark are dropped by the function itself — the
-    JVM watermark filter does not run for applyInPandasWithState
-    (measured; see transitions_stream) — with counts surfaced via the
-    optional ``late_counter`` accumulator."""
+    behind the current watermark are dropped by the function itself —
+    Spark's JVM late filter runs one batch LAGGED (previous batch's
+    watermark, inclusive; measured, see transitions_stream for the
+    corrected round-8 contract), leaving a one-batch window this
+    in-function drop covers — with counts surfaced via the optional
+    ``late_counter`` accumulator."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -190,8 +192,11 @@ def _cep_unordered(
             if n_late and late_counter is not None:
                 late_counter.add(n_late)
         merged.sort()
-        ready = [r for r in merged if r[0] <= wm_us]
-        held = [r for r in merged if r[0] > wm_us]
+        # strict flush to match the strict drop above: a ts == wm row
+        # is held until the watermark strictly passes it, never
+        # processed in the same batch another same-ts row was flushed
+        ready = [r for r in merged if r[0] < wm_us]
+        held = [r for r in merged if r[0] >= wm_us]
 
         out = []
         for t, eid, etype in ready:

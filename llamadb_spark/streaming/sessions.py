@@ -82,11 +82,13 @@ def sessionize_stream(
     can extend it), not by wall-clock idleness. Per-user buffer is
     bounded by the watermark horizon. Session numbering survives
     closes (seq persists in state), matching batch numbering.
-    Rows with disorder BEYOND the delay are dropped by the operator
-    itself (Spark's JVM watermark filter does not run for
-    applyInPandasWithState — measured; see transitions_stream), with
-    drop counts surfaced through the optional ``late_counter``
-    accumulator.
+    Rows with disorder BEYOND the delay are dropped twice over:
+    Spark's JVM late filter runs with the PREVIOUS batch's watermark
+    (two-watermark semantics, inclusive boundary — measured; see
+    transitions_stream for the corrected round-8 contract), and the
+    operator itself drops rows inside the one-batch gap between that
+    lagged filter and the current watermark, with counts surfaced
+    through the optional ``late_counter`` accumulator.
     """
     if watermark_delay is not None:
         return _sessionize_unordered(
@@ -213,8 +215,8 @@ def _sessionize_unordered(
                 ):
                     # beyond-bound disorder: the session chain may
                     # already be flushed past this row — drop it (the
-                    # JVM filter would, but doesn't run for Python
-                    # stateful ops; see sessionize_stream docstring)
+                    # JVM's lagged late filter leaves a one-batch
+                    # window; see transitions_stream contract)
                     if row[0] < wm_us:
                         n_late += 1
                     else:
@@ -222,8 +224,12 @@ def _sessionize_unordered(
             if n_late and late_counter is not None:
                 late_counter.add(n_late)
         merged.sort()
-        ready = [r for r in merged if r[0] <= wm_us]
-        held = [r for r in merged if r[0] > wm_us]
+        # strict flush: boundary rows (ts == wm) are held until the
+        # watermark strictly passes them, so drop (< wm) and flush
+        # agree — a same-ts later arrival can otherwise enter a
+        # session the carry has already advanced past
+        ready = [r for r in merged if r[0] < wm_us]
+        held = [r for r in merged if r[0] >= wm_us]
         carry, closed = _advance((seq, start_us, last_us, n, total), ready)
         seq, start_us, last_us, n, total = carry
 

@@ -99,18 +99,30 @@ def transitions_stream(
     exact row set of the batch operator's lag-over-(ts, event_id)
     step, for any arrival order with disorder ≤ watermark_delay.
 
-    Late-drop contract (round-7, measured): Spark's JVM-side
-    watermark filter does NOT run for applyInPandasWithState — a row
-    arbitrarily far behind the watermark is still handed to the
-    function and numRowsDroppedByWatermark stays 0 (probe in
-    tests/test_streaming.py bounded-delay tests). Silently
-    incorporating such a row would splice it into the chain AFTER
-    later events have already been emitted, so the operator enforces
-    the standard contract itself: an incoming row with event time
-    strictly behind the current watermark is DROPPED (== kept — the
-    JVM filter's boundary). ``late_counter`` (an optional
-    SparkContext accumulator) receives the per-batch drop counts,
-    replacing the JVM metric for observability.
+    Late-drop contract (round-7 finding CORRECTED in round 8,
+    measured — probe in tests/test_streaming.py boundary test):
+    Spark's JVM late filter DOES run for applyInPandasWithState, but
+    with the two-watermark semantics of SPARK-24634: in batch N it
+    drops rows with ts <= the PREVIOUS batch's watermark (inclusive
+    boundary, counted in numRowsDroppedByWatermark), while
+    ``getCurrentWatermarkMs`` inside the function reports the
+    CURRENT (eviction) watermark — one batch ahead. Round 7 staged
+    its late rows in the first batch after the bulk, when the lagged
+    filter was still at 0, and concluded the filter never fires;
+    wrong in general. The one-batch gap is real, though: a row
+    behind the eviction watermark but ahead of the lagged filter IS
+    handed to the function, and splicing it into the chain after
+    later events were emitted would break stream≡batch — so the
+    operator still drops in-function (ts strictly behind the current
+    watermark), counted by ``late_counter``; total late drops =
+    numRowsDroppedByWatermark (JVM, lagged horizon) + late_counter
+    (this one-batch window). The flush boundary is strict to match
+    the drop boundary: a buffered row AT the watermark is held until
+    the watermark strictly passes it. Under today's inclusive lagged
+    JVM filter a conflicting same-ts later arrival is impossible
+    anyway (it would be JVM-dropped); strict flush keeps the
+    operator's own contract airtight without leaning on that
+    undocumented JVM boundary.
     """
     if watermark_delay is None:
         return _transitions_ordered(events)
@@ -161,8 +173,14 @@ def transitions_stream(
         if n_late and late_counter is not None:
             late_counter.add(n_late)
         merged.sort()
-        ready = [r for r in merged if r[0] <= wm_us]
-        held = [r for r in merged if r[0] > wm_us]
+        # flush STRICTLY behind the watermark only, so the flush
+        # boundary agrees with the drop boundary above: a row at
+        # ts == wm is held (never dropped, never emitted) until the
+        # watermark strictly passes it — otherwise a same-ts arrival
+        # in a later batch would splice into the chain AFTER rows it
+        # precedes by (ts, event_id) order
+        ready = [r for r in merged if r[0] < wm_us]
+        held = [r for r in merged if r[0] >= wm_us]
         out = _chain(last_type, ready)
         new_last = ready[-1][2] if ready else last_type
         state.update(

@@ -1304,9 +1304,11 @@ def test_transitions_stream_drops_beyond_bounded_delay(spark, tmp_path):
         .collect()
     }
     assert got == want
-    # measured gap (round 7): the JVM watermark filter does NOT run
-    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
-    # 0 — the operator drops in-function and accounts via accumulator
+    # round-8 corrected contract: the JVM late filter runs with the
+    # PREVIOUS batch's watermark (SPARK-24634 two-watermark
+    # semantics); these late rows arrive in the first batch after the
+    # bulk, when the lagged filter is still at 0, so the JVM metric
+    # stays 0 and the operator drops in-function via the accumulator
     assert metrics["rows_dropped_late"] == 0
     assert late_acc.value == n_late
 
@@ -1349,9 +1351,11 @@ def test_sessionize_stream_drops_beyond_bounded_delay(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
-    # measured gap (round 7): the JVM watermark filter does NOT run
-    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
-    # 0 — the operator drops in-function and accounts via accumulator
+    # round-8 corrected contract: the JVM late filter runs with the
+    # PREVIOUS batch's watermark (SPARK-24634 two-watermark
+    # semantics); these late rows arrive in the first batch after the
+    # bulk, when the lagged filter is still at 0, so the JVM metric
+    # stays 0 and the operator drops in-function via the accumulator
     assert metrics["rows_dropped_late"] == 0
     assert late_acc.value == n_late
 
@@ -1386,9 +1390,11 @@ def test_cep_stream_drops_beyond_bounded_delay(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
-    # measured gap (round 7): the JVM watermark filter does NOT run
-    # for applyInPandasWithState, so numRowsDroppedByWatermark stays
-    # 0 — the operator drops in-function and accounts via accumulator
+    # round-8 corrected contract: the JVM late filter runs with the
+    # PREVIOUS batch's watermark (SPARK-24634 two-watermark
+    # semantics); these late rows arrive in the first batch after the
+    # bulk, when the lagged filter is still at 0, so the JVM metric
+    # stays 0 and the operator drops in-function via the accumulator
     assert metrics["rows_dropped_late"] == 0
     assert late_acc.value == n_late
 
@@ -1546,3 +1552,113 @@ def test_ingest_span_dedup_gates_on_duplicated_mass(spark, tmp_path):
     assert versions(corpus_path) == [0, 1, 2]
     assert committed_batches(corpus_path) == {0: 0, 1: 1, 2: 2}
     assert committed_batches(matches_path) == {0: 0, 1: 1, 2: 2}
+
+
+def test_transitions_watermark_boundary_contract(spark, tmp_path):
+    """ADVICE r07 (medium) + round-8 measured correction of the
+    round-7 'no JVM filter' finding. Staging: batch 0 plants
+    A(ts=T0, id=2) plus a wm-driver at T0+1h (delay 1h, so the
+    eviction watermark lands exactly on T0); batch 1 runs the
+    operator for the user while wm == T0 (E at T0+30min) — the old
+    inclusive flush emitted A here, the strict flush holds it;
+    batch 2 delivers B(ts=T0, id=1), same timestamp as A, lower
+    event_id.
+
+    Measured semantics this test pins (Spark 4.1.2):
+    - The JVM late filter DOES run for applyInPandasWithState, with
+      the PREVIOUS batch's watermark and an INCLUSIVE boundary:
+      B (ts == lagged wm) never reaches the function and is counted
+      in numRowsDroppedByWatermark. The round-7 claim that the
+      filter never fires was an artifact of one-batch staging.
+    - Rows at the CURRENT watermark are admitted and held, never
+      dropped in-function (late accumulator stays 0).
+    - Output equals the batch lag over the JVM-surviving rows
+      {A, E}, in (ts, event_id) order — under the old inclusive
+      flush plus today's JVM filter this also held, but only by the
+      undocumented complement of the two inclusive boundaries; the
+      strict flush asserts it from the operator's own contract."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.streaming.streams import run_with_progress
+    from llamadb_spark.streaming.transitions import transitions_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    batches = [
+        # wm after this batch: (T0+1h) - 1h = T0 exactly
+        [(7, 2, "a", t0), (-1, -10, "x", t0 + h)],
+        # runs fn for user 7 while wm == T0; A(ts == wm) must be HELD
+        [(7, 5, "e", t0 + dt.timedelta(minutes=30)), (-1, -11, "x", t0 + h)],
+        # boundary arrival: ts == the LAGGED watermark -> JVM-dropped
+        [(7, 1, "b", t0), (-1, -12, "x", t0 + h)],
+        # far-future sentinels: advance wm, then fire flush timers
+        [(-1, -13, "x", t0 + dt.timedelta(days=9000))],
+        [(-1, -14, "x", t0 + dt.timedelta(days=9001))],
+    ]
+    drop = tmp_path / "wmb_drop"
+    drop.mkdir()
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"wmb_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(drop / f"{i:02d}-events.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    late_acc = spark.sparkContext.accumulator(0)
+    steps = transitions_stream(
+        stream, watermark_delay="1 hour", late_counter=late_acc
+    )
+    out, metrics = run_with_progress(
+        steps, "wmb_boundary", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.prev_type, r.next_type, r.ts) for r in out.collect()
+    }
+    # B was swallowed by the JVM's lagged inclusive filter before the
+    # function ever saw it — the surviving rows are A and E
+    surviving = spark.createDataFrame(
+        [r for b in batches for r in b if r[0] == 7 and r[1] != 1], schema
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.prev_type, r.next_type, r.ts)
+        for r in surviving.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            "ts",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == want
+    # the JVM counted B; the in-function path dropped nothing (rows
+    # at the CURRENT watermark are held, not dropped)
+    assert metrics["rows_dropped_late"] == 1
+    assert late_acc.value == 0
