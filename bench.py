@@ -586,10 +586,13 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
     for tag, mult in points:
         emb = scaled(mult)
         n = emb.count()
-        # same formula as similarity.lsh_ann_pairs num_planes="auto"
-        # — recorded so the fit's evidence includes proof the plane
-        # count actually grew with the corpus (7→8→9 across 8x→16x)
-        planes = max(1, math.ceil(math.log2(max(2, n / 64))))
+        # the operator's OWN auto-sizing formula (single source of
+        # truth, ADVICE r07) — recorded so the fit's evidence
+        # includes proof the plane count actually grew with the
+        # corpus (7→8→9 across 8x→16x)
+        from llamadb_spark.operators.similarity import auto_num_planes
+
+        planes = auto_num_planes(n, 64)
         best = None
         n_pairs = None
         for _ in range(2):

@@ -462,6 +462,18 @@ def semantic_dedup_pairs(
     )
 
 
+def auto_num_planes(n: int, target_bucket_rows: int) -> int:
+    """THE occupancy-targeting plane-count formula (#215):
+    planes = ceil(log2(n / target_bucket_rows)). Single source of
+    truth — ``lsh_ann_pairs(num_planes="auto")`` calls this, and so
+    does bench.py's d12 scaling fit when it records the plane count
+    as auto-sizing evidence (ADVICE r07: recording a re-derived
+    formula would silently drift if this one changed)."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2, n / target_bucket_rows))))
+
+
 def lsh_ann_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -496,10 +508,7 @@ def lsh_ann_pairs(
     vs embed_neardup_pairs is asserted in tests instead).
     """
     if num_planes == "auto":
-        import math
-
-        n = emb.count()
-        num_planes = max(1, math.ceil(math.log2(max(2, n / target_bucket_rows))))
+        num_planes = auto_num_planes(emb.count(), target_bucket_rows)
     elif not isinstance(num_planes, int):
         raise ValueError(f"num_planes must be int or 'auto', got {num_planes!r}")
     v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))

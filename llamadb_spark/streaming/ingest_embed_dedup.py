@@ -44,14 +44,32 @@ _LSH_PARAMS_FILE = "_lsh_params"
 def _check_lsh_params(
     corpus_path: str, num_planes: int, num_tables: int
 ) -> None:
-    """Stamp (first run) or validate (subsequent runs) the LSH
-    parameters the persisted corpus signatures were computed with."""
+    """Stamp or validate the LSH parameters the persisted corpus
+    signatures were computed with. The stamp includes the plane-seed
+    family (signatures from a different seed would collide-compare
+    meaninglessly even at equal plane counts). While the corpus has
+    NO committed versions the stamp is freely rewritten (ADVICE r07:
+    a first run that failed before committing anything must not pin
+    a still-empty corpus to its parameters); once a version exists
+    the stamp is immutable and a mismatch fails loudly."""
+    from llamadb_spark.operators.similarity import LSH_PLANE_SEED
+    from llamadb_spark.sources.versioned import versions
+
     stamp = os.path.join(corpus_path, _LSH_PARAMS_FILE)
-    want = {"num_planes": num_planes, "num_tables": num_tables}
+    want = {
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "plane_seed": LSH_PLANE_SEED,
+    }
     if os.path.exists(stamp):
         with open(stamp) as fh:
             have = json.load(fh)
         if have != want:
+            if not versions(corpus_path):
+                # nothing committed yet — the stamp pins nothing
+                with open(stamp, "w") as fh:
+                    json.dump(want, fh)
+                return
             raise ValueError(
                 f"ingest_embed_dedup: corpus at {corpus_path} was "
                 f"indexed with LSH params {have}, but this run uses "

@@ -45,15 +45,22 @@ _SPAN_PARAMS_FILE = "_span_params"
 
 
 def _check_span_params(corpus_path: str, min_len: int) -> None:
-    """Stamp (first run) or validate the gram length the persisted
+    """Stamp or validate the gram length + hash family the persisted
     postings were computed with — islands chained across mixed gram
-    lengths would produce silently-wrong extents."""
+    lengths would produce silently-wrong extents. While the corpus
+    has NO committed versions the stamp is freely rewritten (ADVICE
+    r07: a failed first run must not pin an empty corpus); once a
+    version exists it is immutable."""
     stamp = os.path.join(corpus_path, _SPAN_PARAMS_FILE)
-    want = {"min_len": min_len}
+    want = {"min_len": min_len, "gram_hash": "xxhash64"}
     if os.path.exists(stamp):
         with open(stamp) as fh:
             have = json.load(fh)
         if have != want:
+            if not versioned.versions(corpus_path):
+                with open(stamp, "w") as fh:
+                    json.dump(want, fh)
+                return
             raise ValueError(
                 f"ingest_span_dedup: corpus at {corpus_path} was "
                 f"indexed with {have}, this run uses {want}; stored "

@@ -1400,8 +1400,9 @@ def test_cep_stream_drops_beyond_bounded_delay(spark, tmp_path):
 
 
 def test_ingest_embed_dedup_lsh_param_stamp_guard(spark, tmp_path):
-    """ADVICE r06: persisted bucket signatures are only valid under
-    the parameters that wrote them — a second run with different
+    """ADVICE r06 (boundary refined per ADVICE r07): persisted bucket
+    signatures are only valid under the parameters that wrote them —
+    once a corpus version is committed, a run with different
     (num_planes, num_tables) must fail loudly at start, not silently
     probe incomparable signatures."""
     import json
@@ -1409,6 +1410,8 @@ def test_ingest_embed_dedup_lsh_param_stamp_guard(spark, tmp_path):
 
     import pytest
 
+    from llamadb_spark.operators.similarity import LSH_PLANE_SEED
+    from llamadb_spark.sources.versioned import write_version
     from llamadb_spark.streaming.ingest_embed_dedup import (
         _LSH_PARAMS_FILE,
         _check_lsh_params,
@@ -1417,10 +1420,15 @@ def test_ingest_embed_dedup_lsh_param_stamp_guard(spark, tmp_path):
     corpus_path = str(tmp_path / "stamp_corpus")
     _check_lsh_params(corpus_path, num_planes=6, num_tables=40)
     with open(os.path.join(corpus_path, _LSH_PARAMS_FILE)) as fh:
-        assert json.load(fh) == {"num_planes": 6, "num_tables": 40}
+        assert json.load(fh) == {
+            "num_planes": 6,
+            "num_tables": 40,
+            "plane_seed": LSH_PLANE_SEED,
+        }
     # same params: fine (idempotent)
     _check_lsh_params(corpus_path, num_planes=6, num_tables=40)
-    # different params: refused with the remedy in the message
+    write_version(spark.range(1), corpus_path)
+    # different params on a committed corpus: refused with the remedy
     with pytest.raises(ValueError, match="LSH params"):
         _check_lsh_params(corpus_path, num_planes=8, num_tables=40)
 
@@ -1662,3 +1670,42 @@ def test_transitions_watermark_boundary_contract(spark, tmp_path):
     # at the CURRENT watermark are held, not dropped)
     assert metrics["rows_dropped_late"] == 1
     assert late_acc.value == 0
+
+
+def test_param_stamp_restampable_until_first_commit(spark, tmp_path):
+    """ADVICE r07: a first run that fails before committing anything
+    must not pin a still-empty corpus to its parameters — the stamp
+    is rewritable while versions() is empty, immutable afterwards.
+    The stamp also carries the seed/hash-family identifier."""
+    import json
+    import os
+
+    import pytest
+
+    from llamadb_spark.sources.versioned import write_version
+    from llamadb_spark.streaming.ingest_embed_dedup import _check_lsh_params
+    from llamadb_spark.streaming.ingest_span_dedup import _check_span_params
+
+    emb_corpus = str(tmp_path / "emb_corpus")
+    _check_lsh_params(emb_corpus, num_planes=6, num_tables=40)
+    # no committed versions yet: different params restamp, no error
+    _check_lsh_params(emb_corpus, num_planes=8, num_tables=16)
+    with open(os.path.join(emb_corpus, "_lsh_params")) as fh:
+        stamped = json.load(fh)
+    assert stamped["num_planes"] == 8
+    assert "plane_seed" in stamped  # seed family is part of validity
+    # first commit pins the stamp
+    write_version(spark.range(1), emb_corpus)
+    _check_lsh_params(emb_corpus, num_planes=8, num_tables=16)  # match ok
+    with pytest.raises(ValueError, match="not comparable"):
+        _check_lsh_params(emb_corpus, num_planes=6, num_tables=40)
+
+    span_corpus = str(tmp_path / "span_corpus")
+    _check_span_params(span_corpus, min_len=30)
+    _check_span_params(span_corpus, min_len=40)  # restamp while empty
+    with open(os.path.join(span_corpus, "_span_params")) as fh:
+        stamped = json.load(fh)
+    assert stamped == {"min_len": 40, "gram_hash": "xxhash64"}
+    write_version(spark.range(1), span_corpus)
+    with pytest.raises(ValueError, match="not comparable"):
+        _check_span_params(span_corpus, min_len=30)
