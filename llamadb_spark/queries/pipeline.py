@@ -4556,6 +4556,320 @@ JOIN (
 """
 
 
+#: p19: the composed end-to-end curation pipeline (VERDICT r07 #3).
+#: Token budget bites AFTER the quality filter; fixed absolute like
+#: p15 so the cut tightens as SF grows. Shard count distinct from
+#: p14's so the two keys can't mask each other's regressions.
+P19_TOKEN_BUDGET = 20_000
+P19_N_SHARDS = 8
+
+
+def p19_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact a data team actually ships (VERDICT r07 #3): ONE
+    DAG composing the already-proven stages end-to-end — raw corpus →
+    exact dedup (d01 policy) → near-dup clusters (d02 Jaccard pairs →
+    d06 connected components, keep min-id representative) → span
+    removal + eval decontamination with the d19 detector staged ONCE
+    (its localCheckpointed output feeds BOTH the d20 train↔train cut
+    and the p18 train↔eval cut) → model-based quality filter (t28) on
+    the CLEANED text → token-budget selection (p15 machinery,
+    distributed cumsum — no global-order window) → sequence packing
+    (p03 invariants) → deterministic loader shards (p14 hash).
+
+    The near-dup stage uses the DETERMINISTIC lexical path (d02/d06)
+    rather than the seeded LSH default (d12) precisely so the final
+    manifest is exactly DuckDB-oracled; at 100 TB you swap in
+    semantic_dedup_pairs' LSH default (#263) — the composition is
+    identical from clusters onward.
+
+    Output: one row per SELECTED doc (doc_id, source, shard,
+    n_tokens, logit_micro, fits_budget, fill_covers_doc) — membership
+    attests every upstream cut, token counts attest the clean-text
+    accounting, booleans attest the packing discipline. The oracle
+    recomputes the whole pipeline independently in SQL (recursive-CTE
+    clusters, window-islands spans, VALUES-table scoring).
+
+    Scale: each stage is the audited operator; staging boundaries are
+    localCheckpoints so no stage's plan re-executes inside another's
+    (the detector re-run finding of VERDICT r07 #2 — measured fixed
+    here: PLAN_REPORT shows one detection).
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import packing
+    from llamadb_spark.operators.ranking import distributed_cumsum
+    from llamadb_spark.operators.sampling import bucket_hash
+    from llamadb_spark.operators.spans import (
+        remove_spans,
+        substring_span_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+
+    # Stage 1 — exact dedup: keep each sha's min doc_id
+    keep = dedup.exact_dedup(docs).select(col("keep_id").alias("doc_id"))
+    surv1 = docs.join(keep, "doc_id", "left_semi")
+
+    # Stage 2 — near-dup clusters over the exact-dedup survivors;
+    # drop every non-representative cluster member
+    pairs = dedup.jaccard_ngram_pairs(
+        surv1, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
+    losers = (
+        dedup.connected_components(pairs)
+        .filter(col("node") != col("cluster_id"))
+        .select(col("node").alias("doc_id"))
+    )
+    surv2 = surv1.join(losers, "doc_id", "left_anti").localCheckpoint()
+
+    # Stage 3 — span detection ONCE over survivors + eval excerpts
+    # (the d19 eval twins, built from the ORIGINAL corpus: the eval
+    # set is external and does not dedup away with its source doc)
+    evals = docs.filter(
+        col("doc_id") % D19_EXCERPT_MOD == D19_EXCERPT_REM
+    ).select(
+        (col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zqx-"),
+            F.substring("text", D19_EXCERPT_FROM, D19_EXCERPT_LEN),
+            F.lit("-xqz"),
+        ).alias("text"),
+    )
+    spans = substring_span_pairs(
+        surv2.select("doc_id", "text").unionByName(evals),
+        min_len=D19_MIN_LEN,
+        max_gram_occ=D19_MAX_GRAM_OCC,
+    ).localCheckpoint()  # detector output staged ONCE, consumed twice
+    tt = spans.filter(col("b_id") < 1_000_000).select(
+        "b_id", "b_start", "run_len"
+    )  # train↔train: cut the HIGHER id (d20 policy)
+    te = spans.filter(
+        (col("b_id") >= 1_000_000) & (col("a_id") < 1_000_000)
+    ).select(
+        col("a_id").alias("b_id"),
+        col("a_start").alias("b_start"),
+        "run_len",
+    )  # train↔eval: cut the TRAIN side (p18 policy)
+    cleaned = remove_spans(surv2, tt.unionByName(te))
+    surv3 = (
+        surv2.join(cleaned.select("doc_id", "clean_text"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(col("clean_text"), col("text")).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+    # Stage 4 — model-based quality filter on the CLEANED text
+    q = textops.linear_quality_score(
+        surv3, weights_micro=T28_WEIGHTS_MICRO, bias_micro=T28_BIAS_MICRO
+    ).filter(col("is_quality"))
+
+    # Stage 5 — token-budget selection (quality-descending prefix)
+    sel = distributed_cumsum(
+        q.select("doc_id", "n_tokens", "logit_micro"),
+        [col("logit_micro").desc(), col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    ).filter(col("cum_tokens") <= P19_TOKEN_BUDGET)
+
+    # Stage 6 — pack the selected docs, assign loader shards
+    packed = packing.pack_sequences(
+        surv3.join(sel.select("doc_id"), "doc_id", "left_semi"),
+        budget=P03_BUDGET,
+    )
+    return (
+        packed.join(sel.select("doc_id", "logit_micro"), "doc_id")
+        .join(surv3.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            bucket_hash(col("doc_id"), buckets=P19_N_SHARDS).alias("shard"),
+            "n_tokens",
+            "logit_micro",
+            (
+                (col("bin_fill") <= P03_BUDGET)
+                | (col("n_tokens") > P03_BUDGET)
+            ).alias("fits_budget"),
+            (col("bin_fill") >= col("n_tokens")).alias("fill_covers_doc"),
+        )
+    )
+
+
+ORACLE_P19 = rf"""
+WITH RECURSIVE surv1 AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN (
+    SELECT min(doc_id) AS doc_id FROM documents
+    GROUP BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+  ) k USING (doc_id)
+),
+jtoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM surv1
+),
+jpos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i
+  FROM jtoks
+),
+jsh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM jpos a
+  JOIN jpos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN jpos c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+jsizes AS (SELECT doc_id, count(*) AS n_sh FROM jsh GROUP BY 1),
+jkept AS (
+  SELECT doc_id, shingle FROM jsh
+  WHERE shingle IN (SELECT shingle FROM jsh GROUP BY shingle
+                    HAVING count(*) <= {STOP_SHINGLE_DF})
+),
+jinter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM jkept a JOIN jkept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT a_id, b_id FROM jinter
+  JOIN jsizes sa ON sa.doc_id = a_id
+  JOIN jsizes sb ON sb.doc_id = b_id
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM prs
+  UNION ALL
+  SELECT b_id, a_id FROM prs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+losers AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) < u
+),
+surv2 AS (
+  SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
+spancorpus AS (
+  SELECT doc_id, text FROM surv2
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'zqx-' || substr(text, {D19_EXCERPT_FROM}, {D19_EXCERPT_LEN})
+             || '-xqz' AS text
+  FROM documents WHERE doc_id % {D19_EXCERPT_MOD} = {D19_EXCERPT_REM}
+),
+grams AS (
+  SELECT doc_id, p AS pos,
+         substr(text, CAST(p AS INT), {D19_MIN_LEN}) AS gram
+  FROM spancorpus, unnest(generate_series(1, length(text) - {D19_MIN_LEN - 1}))
+       AS t(p)
+  WHERE length(text) >= {D19_MIN_LEN}
+),
+grams_ok AS (
+  SELECT * FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D19_MAX_GRAM_OCC}
+),
+m AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.pos AS a_pos, b.pos AS b_pos, a.pos - b.pos AS diag
+  FROM grams_ok a JOIN grams_ok b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+spans AS (
+  SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+         count(*) + {D19_MIN_LEN - 1} AS run_len
+  FROM (
+    SELECT *, a_pos - row_number() OVER (
+      PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS grp
+    FROM m
+  )
+  GROUP BY a_id, b_id, diag, grp
+),
+iv AS (
+  SELECT b_id AS doc_id, b_start AS s, b_start + run_len AS e
+  FROM spans WHERE b_id < 1000000
+  UNION ALL
+  SELECT a_id, a_start, a_start + run_len
+  FROM spans WHERE b_id >= 1000000 AND a_id < 1000000
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM iv
+  )
+),
+merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (
+    SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e)
+              AS isl
+    FROM flagged
+  )
+  GROUP BY doc_id, isl
+),
+gaps AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT m2.doc_id, max(m2.e) AS gs, any_value(length(c.text) + 1) AS ge
+  FROM merged m2 JOIN surv2 c ON c.doc_id = m2.doc_id
+  GROUP BY m2.doc_id
+),
+pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(c.text, CAST(g.gs AS INT),
+                CAST(greatest(g.ge - g.gs, 0) AS INT)) AS piece
+  FROM gaps g JOIN surv2 c ON c.doc_id = g.doc_id
+),
+cleanedtext AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS clean_text
+  FROM pieces GROUP BY doc_id
+),
+surv3 AS (
+  SELECT s.doc_id, s.source, coalesce(c.clean_text, s.text) AS text
+  FROM surv2 s LEFT JOIN cleanedtext c USING (doc_id)
+),
+qtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM surv3
+),
+w AS (SELECT * FROM (VALUES {_T28_VALUES}) AS t(tok, w_micro)),
+q AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(coalesce(w.w_micro, 0)) + {T28_BIAS_MICRO} AS BIGINT)
+           AS logit_micro
+  FROM qtoks LEFT JOIN w USING (tok)
+  GROUP BY doc_id
+  HAVING (sum(coalesce(w.w_micro, 0)) + {T28_BIAS_MICRO}) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens, logit_micro,
+         sum(n_tokens) OVER (ORDER BY logit_micro DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+)
+SELECT s.doc_id, v.source,
+       CAST(((s.doc_id % 100003) * 2654435761) % {P19_N_SHARDS} AS BIGINT)
+         AS shard,
+       s.n_tokens, s.logit_micro,
+       TRUE AS fits_budget, TRUE AS fill_covers_doc
+FROM c s JOIN surv3 v USING (doc_id)
+WHERE s.cum_tokens <= {P19_TOKEN_BUDGET}
+"""
+
+
 #: s16 PQ bands: measured PQ+rerank recall@5 is 0.90/0.97/0.90 mean
 #: and 0.60/0.80/0.80 min at sf0.001/0.01/0.1 (m=16 subspaces, 32
 #: codes, shortlist 50, deterministic xxhash64 seeds) — the 0.2/0.5
@@ -4730,6 +5044,7 @@ QUERIES = {
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s12_cluster_balance": s12_cluster_balance,
+    "p19_pipeline_manifest": p19_pipeline_manifest,
 }
 
 ORACLES = {
@@ -4756,6 +5071,7 @@ ORACLES = {
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "p18_span_decontaminate": ORACLE_P18,
+    "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,

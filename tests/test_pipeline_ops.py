@@ -273,3 +273,59 @@ def test_t21_source_overlap_bounds_and_symmetry(spark, sf_dir):
     # descending by jaccard (deterministic tie-break asserted by sort keys)
     js = [r.jaccard for r in rows]
     assert js == sorted(js, reverse=True)
+
+
+def test_p19_composed_manifest_invariants(spark, sf_dir):
+    """The composed pipeline key (VERDICT r07 #3): every selected doc
+    appears exactly once, packing invariants hold, the token budget
+    is respected, and every selected doc survives all upstream cuts
+    (exact dedup, near-dup clusters, quality filter)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import dedup
+    from llamadb_spark.queries.pipeline import (
+        JACCARD_THRESHOLD,
+        P19_TOKEN_BUDGET,
+        STOP_SHINGLE_DF,
+        _docs,
+        p19_pipeline_manifest,
+    )
+
+    m = p19_pipeline_manifest(spark, sf_dir).localCheckpoint()
+    rows = m.collect()
+    assert len(rows) > 0
+    # exactly-once membership
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # packing + budget invariants
+    assert all(r.fits_budget and r.fill_covers_doc for r in rows)
+    assert all(r.logit_micro > 0 for r in rows)
+    assert sum(r.n_tokens for r in rows) <= P19_TOKEN_BUDGET
+    assert all(0 <= r.shard < 8 for r in rows)
+
+    # upstream cuts: no selected doc is an exact-dup loser or a
+    # near-dup cluster non-representative
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    keep = dedup.exact_dedup(docs).select(
+        col("keep_id").alias("doc_id")
+    )
+    exact_losers = {
+        r.doc_id
+        for r in docs.join(keep, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    pairs = dedup.jaccard_ngram_pairs(
+        docs.join(keep, "doc_id", "left_semi"),
+        threshold=JACCARD_THRESHOLD,
+        stop_shingle_df=STOP_SHINGLE_DF,
+    ).select("a_id", "b_id")
+    nd_losers = {
+        r.node
+        for r in dedup.connected_components(pairs)
+        .filter(col("node") != col("cluster_id"))
+        .collect()
+    }
+    selected = {r.doc_id for r in rows}
+    assert not (selected & exact_losers)
+    assert not (selected & nd_losers)
