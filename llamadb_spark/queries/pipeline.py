@@ -4459,6 +4459,139 @@ GROUP BY doc_id, diag, grp
 """
 
 
+def d23_intra_doc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repeat REMOVAL apply (VERDICT r07 #7 — the Lee et
+    al. self-repeat cut d22 detects but nothing applied): merge each
+    doc's SECOND-occurrence intervals [second_start, second_start +
+    run_len) and cut them, keeping the first occurrence — for
+    periodic stutter ("ababab…") the occurrences overlap and the cut
+    correctly collapses the run to its leading period. Same interval
+    tooling as d20/p18 (remove_spans), same seeded self-repeat corpus
+    as d22; output (doc_id, n_spans, removed_chars, clean_text) per
+    affected doc, hash-matched by an independent DuckDB removal twin.
+
+    Scale: detector windows are per (doc, diagonal); removal windows
+    per doc — nothing global (the d20 analysis applies verbatim)."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.spans import (
+        intra_doc_repeat_spans,
+        remove_spans,
+    )
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = base.select(
+        "doc_id",
+        F.when(
+            col("doc_id") % D22_REPEAT_MOD == D22_REPEAT_REM,
+            F.concat(
+                col("text"),
+                F.lit(" :: "),
+                F.substring("text", D22_REPEAT_FROM, D22_REPEAT_LEN),
+            ),
+        ).otherwise(col("text")).alias("text"),
+    )
+    spans = intra_doc_repeat_spans(
+        corpus, min_len=D19_MIN_LEN, max_gram_occ=D19_MAX_GRAM_OCC
+    )
+    iv = spans.select(
+        col("doc_id").alias("b_id"),
+        col("second_start").alias("b_start"),
+        "run_len",
+    )
+    return remove_spans(corpus, iv)
+
+
+ORACLE_D23 = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {D22_REPEAT_MOD} = {D22_REPEAT_REM}
+              THEN text || ' :: '
+                   || substr(text, {D22_REPEAT_FROM}, {D22_REPEAT_LEN})
+              ELSE text END AS text
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p AS pos,
+         substr(text, CAST(p AS INT), {D19_MIN_LEN}) AS gram
+  FROM corpus, unnest(generate_series(1, length(text) - {D19_MIN_LEN - 1}))
+       AS t(p)
+  WHERE length(text) >= {D19_MIN_LEN}
+),
+grams_ok AS (
+  SELECT * FROM grams
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {D19_MAX_GRAM_OCC}
+),
+m AS (
+  SELECT a.doc_id, a.pos AS a_pos, b.pos AS b_pos,
+         b.pos - a.pos AS diag
+  FROM grams_ok a JOIN grams_ok b
+    ON a.gram = b.gram AND a.doc_id = b.doc_id AND a.pos < b.pos
+),
+reps AS (
+  SELECT doc_id, min(b_pos) AS second_start,
+         count(*) + {D19_MIN_LEN - 1} AS run_len
+  FROM (
+    SELECT *, a_pos - row_number() OVER (
+      PARTITION BY doc_id, diag ORDER BY a_pos) AS grp
+    FROM m
+  )
+  GROUP BY doc_id, diag, grp
+),
+iv AS (
+  SELECT doc_id, second_start AS s, second_start + run_len AS e FROM reps
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max_e
+    FROM iv
+  )
+),
+merged AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e
+  FROM (
+    SELECT *, sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e)
+              AS isl
+    FROM flagged
+  )
+  GROUP BY doc_id, isl
+),
+gaps AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT m2.doc_id, max(m2.e) AS gs, any_value(length(c.text) + 1) AS ge
+  FROM merged m2 JOIN corpus c ON c.doc_id = m2.doc_id
+  GROUP BY m2.doc_id
+),
+pieces AS (
+  SELECT g.doc_id, g.gs,
+         substr(c.text, CAST(g.gs AS INT),
+                CAST(greatest(g.ge - g.gs, 0) AS INT)) AS piece
+  FROM gaps g JOIN corpus c ON c.doc_id = g.doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS removed_chars
+  FROM merged GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_spans, s.removed_chars,
+       coalesce(p.clean_text, '') AS clean_text
+FROM stats s
+JOIN (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS clean_text
+  FROM pieces GROUP BY doc_id
+) p ON p.doc_id = s.doc_id
+"""
+
+
 def p18_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination at SPAN granularity (#273): the d19 seeded
     corpus's excerpt twins play the EVAL set (ids ≥ 1e6); any
@@ -5041,6 +5174,7 @@ QUERIES = {
     "t28_linear_quality": t28_linear_quality,
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
+    "d23_intra_doc_apply": d23_intra_doc_apply,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s12_cluster_balance": s12_cluster_balance,
@@ -5070,6 +5204,7 @@ ORACLES = {
     "t28_linear_quality": ORACLE_T28,
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
+    "d23_intra_doc_apply": ORACLE_D23,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,

@@ -468,3 +468,39 @@ def test_intra_doc_repeats_exact_offsets(spark):
         for r in intra_doc_repeat_spans(docs, min_len=16).collect()
     }
     assert got == {(1, 1, 31, 20)}
+
+
+def test_intra_doc_apply_removes_second_occurrences(spark):
+    """d23 semantics: the second occurrence of a repeated run ≥ L is
+    cut, the first kept; periodic stutter collapses to its leading
+    segment (overlapping occurrence intervals merge)."""
+    from llamadb_spark.operators.spans import (
+        intra_doc_repeat_spans,
+        remove_spans,
+    )
+
+    seg = "abcdefghijklmnop"  # 16 chars, L=16 below
+    docs = spark.createDataFrame(
+        [
+            # plain repeat: PREFIX <seg> MID <seg> TAIL
+            (1, "0123456789" + seg + "QRSTUVWXYZ" + seg + "#tail#"),
+            # periodic stutter: seg repeated 4x back-to-back
+            (2, "HEAD:" + seg * 4 + ":END"),
+            (3, "no repeats here, nothing to cut at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = intra_doc_repeat_spans(docs, min_len=16, max_gram_occ=100)
+    iv = spans.select(
+        spans.doc_id.alias("b_id"),
+        spans.second_start.alias("b_start"),
+        "run_len",
+    )
+    got = {r.doc_id: r for r in remove_spans(docs, iv).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: second <seg> removed, everything else intact
+    assert got[1].clean_text == "0123456789" + seg + "QRSTUVWXYZ" + "#tail#"
+    assert got[1].removed_chars == len(seg)
+    # doc 2: stutter collapses to ONE leading segment
+    assert got[2].clean_text == "HEAD:" + seg + ":END"
+    assert got[2].removed_chars == 3 * len(seg)
