@@ -48,6 +48,8 @@ _BANDED_R06 = (
     "d04_simhash", "p03_pack_sequences", "s09_pca_project",
     "s10_mmr_rerank", "s12_cluster_balance", "t26_compression_ratio",
     "m07_crossmodal_knn",
+    # round-7/8 banded additions (same exact-twin attestation shape)
+    "s16_pq_ann", "s17_ivfpq_ann",
 )
 
 #: Round of each key's most recent driver-side correctness evidence

@@ -5083,6 +5083,88 @@ FROM ranked WHERE rnk = 1
 """
 
 
+#: s17 IVF-PQ bands: measured recall@5 at (cells=16, nprobe=8, m=16,
+#: codes=32, shortlist=200, iters=1) is mean 0.775-0.800 / min 0.40
+#: across sf0.001/0.01/0.1 — IDENTICAL to s03's IVF-exact recall at
+#: the same nprobe (measured side by side): the PQ shortlist + exact
+#: rerank loses nothing within the probed cells. Same 0.2/0.5 bands
+#: as s03, leaving 2x / 1.55x margin.
+S17_MIN_RECALL = 0.2
+S17_MIN_MEAN_RECALL = 0.5
+S17_NPROBE = 8
+S17_SHORTLIST = 200
+
+
+def s17_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (VERDICT r07 #6 — the production 100 TB shape,
+    bucketed AND compressed): s03's coarse cells bound candidates to
+    nprobe/K of the corpus, s16's PQ-ADC scores only those candidates
+    from m-int codes, exact rerank of the shortlist. Banded contract
+    like s03/s16: exact top-1 + cosine (DuckDB-recomputable) plus
+    recall-band booleans the oracle claims TRUE. Measured: recall
+    equals s03's at matched probe cost (see band constants)."""
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    approx = similarity.ivfpq_topk(
+        emb, KNN_QUERY_IDS, k=KNN_K,
+        shortlist=S17_SHORTLIST, n_cells=16, nprobe=S17_NPROBE, iters=1,
+    )
+    exact = similarity.knn_bruteforce(
+        emb, KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint()
+    hits = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    top1 = exact.filter(col("rank") == 1).select(
+        "query_id",
+        col("neighbor_id").alias("exact_top1"),
+        col("cos").alias("top1_cos"),
+    )
+    w_all = Window.partitionBy()
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        "top1_cos",
+        (
+            F.coalesce(col("n_hit"), F.lit(0))
+            >= F.lit(float(S17_MIN_RECALL)) * KNN_K
+        ).alias("recall_ok"),
+        (
+            F.avg(
+                F.coalesce(col("n_hit"), F.lit(0)) / F.lit(float(KNN_K))
+            ).over(w_all)
+            >= S17_MIN_MEAN_RECALL
+        ).alias("mean_recall_ok"),
+    )
+
+
+ORACLE_S17 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q_v FROM e
+      WHERE vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q_v, e.v), 6) AS cos
+  FROM q, e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id AS exact_top1, cos AS top1_cos,
+       TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM ranked WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -5177,6 +5259,7 @@ QUERIES = {
     "d23_intra_doc_apply": d23_intra_doc_apply,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
+    "s17_ivfpq_ann": s17_ivfpq_ann,
     "s12_cluster_balance": s12_cluster_balance,
     "p19_pipeline_manifest": p19_pipeline_manifest,
 }
@@ -5208,6 +5291,7 @@ ORACLES = {
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,
+    "s17_ivfpq_ann": ORACLE_S17,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

@@ -344,3 +344,40 @@ def test_pq_rerank_recall_beats_band(spark, sf_dir):
     per_q = [rec.get(q, 0.0) for q in KNN_QUERY_IDS]
     assert min(per_q) >= S16_MIN_RECALL
     assert sum(per_q) / len(per_q) >= S16_MIN_MEAN_RECALL
+
+
+def test_ivfpq_topk_contract_and_recall(spark, sf_dir):
+    """s17 operator contract: deterministic output, dense ranks with
+    descending cosine per query, and shortlist+rerank recall at
+    matched probe cost no worse than IVF-exact scoring (measured
+    equal — the PQ path loses nothing within the probed cells)."""
+    from llamadb_spark.operators import similarity
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    kw = dict(k=KNN_K, shortlist=200, n_cells=16, nprobe=8, iters=1)
+    a = similarity.ivfpq_topk(emb, KNN_QUERY_IDS, **kw).collect()
+    b = similarity.ivfpq_topk(emb, KNN_QUERY_IDS, **kw).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cs = [r.cos for r in rows]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, KNN_QUERY_IDS, k=KNN_K, n_cells=16, nprobe=8, iters=1
+        ).collect()
+    }
+    exact = similarity.knn_bruteforce(emb, KNN_QUERY_IDS, k=KNN_K).collect()
+    got = {(r.query_id, r.neighbor_id) for r in a}
+    hits_pq = sum((r.query_id, r.neighbor_id) in got for r in exact)
+    hits_ivf = sum((r.query_id, r.neighbor_id) in ivf for r in exact)
+    assert hits_pq >= hits_ivf  # matched probe cost, no PQ loss
