@@ -229,6 +229,8 @@ def user_totals_tws_stream(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
+            # required StatefulProcessor hook; no resources to release
+            # (state lives in the store, nothing opened in init)
             pass
 
     return (
