@@ -18,9 +18,10 @@ generalized from the per-round tier lists of earlier rounds:
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The r07 prefix is therefore the 3 round-7 keys (d19/d20/t28), the 11
-oracled keys whose last check was r02, and the 36 alphabetically-
-first keys of the 50-key r03 cohort; prefix ∩ r06 prefix = ∅.
+The r08 prefix is therefore the 3 round-8 keys (d23/p19/s17) and
+the 47 alphabetically-first keys of the r03/r04-evidence cohort
+(q20, q31-q36, r01, s04-s08, the h-series…); prefix ∩ r07 prefix
+= ∅ (verified at rotation time).
 """
 
 from __future__ import annotations
@@ -53,10 +54,10 @@ _BANDED_R06 = (
 )
 
 #: Round of each key's most recent driver-side correctness evidence
-#: (union over CORRECTNESS_r01-r06; regenerate when rotating). Keys
+#: (union over CORRECTNESS_r01-r07; regenerate when rotating). Keys
 #: absent here have never been driver-checked and lead the queue.
 _LAST_CHECKED = {
-    "a01_asof_join": 3,
+    "a01_asof_join": 7,
     "a02_approx_stats": 6,
     "a03_asof_forward": 4,
     "a04_asof_tolerance": 5,
@@ -69,10 +70,10 @@ _LAST_CHECKED = {
     "d05_embed_neardup": 6,
     "d06_dedup_clusters": 6,
     "d07_dedup_apply": 6,
-    "d08_semantic_dedup_apply": 3,
-    "d09_shared_longrun": 3,
-    "d10_dedup_clusters_star": 3,
-    "d11_editdist_pairs": 3,
+    "d08_semantic_dedup_apply": 7,
+    "d09_shared_longrun": 7,
+    "d10_dedup_clusters_star": 7,
+    "d11_editdist_pairs": 7,
     "d12_semantic_dedup_lsh": 5,
     "d13_incremental_dedup": 4,
     "d14_containment_pairs": 4,
@@ -80,22 +81,26 @@ _LAST_CHECKED = {
     "d16_threshold_sweep": 5,
     "d17_pair_provenance": 5,
     "d18_minhash_calibration": 6,
-    "e01_events_window": 3,
-    "e02_sessionize": 3,
-    "e03_event_topk": 3,
-    "e04_sliding_window": 3,
-    "e05_running_totals": 3,
-    "e06_resample_ffill": 3,
-    "e07_stream_enrich": 3,
-    "e08_rate_anomaly": 3,
-    "e09_funnel": 3,
-    "e10_retention": 3,
-    "e11_session_window": 3,
-    "e12_cdc_snapshot": 3,
-    "e13_gap_detection": 3,
-    "e14_conversion_latency": 3,
-    "e15_rolling_wau": 3,
-    "e16_interarrival_stats": 3,
+    "d19_substring_spans": 7,
+    "d20_substring_apply": 7,
+    "d21_duplication_profile": 7,
+    "d22_intra_doc_repeats": 7,
+    "e01_events_window": 7,
+    "e02_sessionize": 7,
+    "e03_event_topk": 7,
+    "e04_sliding_window": 7,
+    "e05_running_totals": 7,
+    "e06_resample_ffill": 7,
+    "e07_stream_enrich": 7,
+    "e08_rate_anomaly": 7,
+    "e09_funnel": 7,
+    "e10_retention": 7,
+    "e11_session_window": 7,
+    "e12_cdc_snapshot": 7,
+    "e13_gap_detection": 7,
+    "e14_conversion_latency": 7,
+    "e15_rolling_wau": 7,
+    "e16_interarrival_stats": 7,
     "e17_cep_match": 4,
     "e18_bot_users": 4,
     "e19_seasonality": 5,
@@ -122,23 +127,23 @@ _LAST_CHECKED = {
     "h19_discounted_revenue": 4,
     "h20_potential_promotion": 4,
     "h21_waiting_suppliers": 4,
-    "m01_multimodal_meta": 2,
-    "m02_decode_resize": 2,
-    "m03_frame_sample": 3,
-    "m04_payload_chunks": 3,
+    "m01_multimodal_meta": 7,
+    "m02_decode_resize": 7,
+    "m03_frame_sample": 7,
+    "m04_payload_chunks": 7,
     "m05_media_dedup": 4,
     "m06_media_filter": 5,
     "m07_crossmodal_knn": 6,
-    "p01_stratified_sample": 2,
-    "p02_contamination": 2,
+    "p01_stratified_sample": 7,
+    "p02_contamination": 7,
     "p03_pack_sequences": 6,
-    "p04_profile": 3,
-    "p05_tombstone_delete": 3,
-    "p06_dataset_split": 3,
-    "p07_mixture_sample": 3,
-    "p08_dq_report": 3,
-    "p09_exact_k_sample": 3,
-    "p10_leakproof_split": 3,
+    "p04_profile": 7,
+    "p05_tombstone_delete": 7,
+    "p06_dataset_split": 7,
+    "p07_mixture_sample": 7,
+    "p08_dq_report": 7,
+    "p09_exact_k_sample": 7,
+    "p10_leakproof_split": 7,
     "p11_weighted_sample": 4,
     "p12_dup_weights": 5,
     "p13_winsorize": 5,
@@ -146,6 +151,7 @@ _LAST_CHECKED = {
     "p15_token_budget_select": 5,
     "p16_epoch_upsample": 5,
     "p17_alpha_mixture": 5,
+    "p18_span_decontaminate": 7,
     "q01_pricing_summary": 6,
     "q02_filter_scan": 6,
     "q03_cross_join_where": 6,
@@ -164,7 +170,7 @@ _LAST_CHECKED = {
     "q16_revenue_by_nation": 6,
     "q17_union_all": 6,
     "q18_window_rank": 6,
-    "q19_rollup": 3,
+    "q19_rollup": 7,
     "q20_pivot": 3,
     "q21_order_count_dist": 6,
     "q22_anti_join": 6,
@@ -213,6 +219,7 @@ _LAST_CHECKED = {
     "q65_insert_select": 5,
     "q66_sort_key": 5,
     "q67_merge_upsert": 5,
+    "q68_ignore_nulls_window": 7,
     "r01_range_join": 3,
     "s01_knn_bruteforce": 6,
     "s02_lsh_ann": 2,
@@ -229,14 +236,15 @@ _LAST_CHECKED = {
     "s13_filtered_knn": 5,
     "s14_silhouette": 5,
     "s15_hybrid_rrf": 6,
+    "s16_pq_ann": 7,
     "t01_langid": 6,
-    "t02_quality_score": 2,
-    "t03_token_count": 2,
-    "t04_fingerprint": 2,
-    "t05_vocab_topk": 2,
-    "t06_repetition": 2,
-    "t07_pii_scrub": 2,
-    "t08_chunk_documents": 2,
+    "t02_quality_score": 7,
+    "t03_token_count": 7,
+    "t04_fingerprint": 7,
+    "t05_vocab_topk": 7,
+    "t06_repetition": 7,
+    "t07_pii_scrub": 7,
+    "t08_chunk_documents": 7,
     "t09_tfidf_rank": 3,
     "t10_token_entropy": 3,
     "t11_langid_confusion": 3,
@@ -255,6 +263,7 @@ _LAST_CHECKED = {
     "t25_vocab_growth": 5,
     "t26_compression_ratio": 6,
     "t27_bm25_rank": 6,
+    "t28_linear_quality": 7,
 }
 
 #: Rows-only BY DESIGN (not convertible without polluting the scale
