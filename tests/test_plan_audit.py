@@ -128,6 +128,14 @@ _ALLOWED_HINTS = {
     # PQ: per-query ADC lookup tables (|queries|·m rows) + the
     # rerank's caller-bounded query-vector broadcast
     "s16_pq_ann": 2,
+    # IVF-PQ: probe set (|queries|·nprobe rows) + ADC tables
+    # (|queries|·m rows) + rerank query-vector broadcast — all
+    # caller-bounded by KNN_QUERY_IDS
+    "s17_ivfpq_ann": 3,
+    # distributed_cumsum's partition-count-bounded offsets table;
+    # the sel subtree is referenced twice post-checkpoint (packing
+    # semi-join + logit join) so the analyzed plan counts it twice
+    "p19_pipeline_manifest": 2,
 }
 
 
@@ -174,6 +182,12 @@ _ALLOWED_GLOBAL_WINDOWS = {
     # mean-recall band over the per-query recall table (s03's shape)
     # — |KNN_QUERY_IDS| (8) rows max
     "s16_pq_ann": 1,
+    # same banded shape — |KNN_QUERY_IDS| (8) rows max
+    "s17_ivfpq_ann": 1,
+    # distributed_cumsum's offsets running-sum (one row per shuffle
+    # partition, cluster-config-bounded — p15's shape); the sel
+    # subtree is referenced twice post-checkpoint so it counts twice
+    "p19_pipeline_manifest": 2,
 }
 
 
@@ -219,6 +233,9 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
         # PQ: codebook Lloyd assignment + m-int encoding are dense
         # block-matmul kernels (same class as s03's IVF passes)
         "s16",
+        # IVF-PQ: the same two kernels composed (cell assignment +
+        # code assignment in one Arrow pass)
+        "s17",
     )
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):

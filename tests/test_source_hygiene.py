@@ -32,7 +32,8 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 #:     (3) K·d per-cell means, (4) MMR pool collect ≤ pool rows,
 #:     (5) PQ codebook seeds (n_codes rows), (6) PQ per-(sub, code)
 #:     Lloyd means (m·k rows), (7) PQ query vectors for the ADC
-#:     lookup tables (|query_ids| rows)
+#:     lookup tables (|query_ids| rows), (8) IVF-PQ query vectors
+#:     for probe cells + ADC tables (|query_ids| rows, s17)
 #:   pipeline.py: s10's and s15's 1-row query-vector fetches
 #:     (orderBy+limit(1) each)
 #:   plans/explain.py: run_with_observation returns the caller's own
@@ -42,7 +43,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 _COLLECT_ALLOW = {
     "sql/dialect.py": 1,
     "operators/dedup.py": 1,
-    "operators/similarity.py": 7,
+    "operators/similarity.py": 8,
     "queries/pipeline.py": 2,
     "plans/explain.py": 1,
     # 1-row max-timestamp scalar for the watermark sentinel staging
