@@ -5,10 +5,12 @@ Round-over-round headline comparison has twice been polluted by
 BENCH_r07 / the round-7 closing snapshot). This tool kills that
 ambiguity: it checks out a reference commit (the previous round's
 boundary by default) into a git worktree and runs the FULL key sweep
-in four alternating phases — A(ref) B(head) B(head) A(ref) — within
-one machine-hour, then reports per-key paired ratios computed from
-the MIN of each side (the least-contended run, the number a plan
-change must move to be real).
+in six singly-alternating phases — A(ref) B(head) ×3 — within one
+machine-hour, then reports per-key paired ratios computed from the
+MIN of each side (the least-contended run, the number a plan change
+must move to be real). Single-phase alternation matters: a first
+ABBA cut was defeated by an ambient slowdown that arrived mid-run
+and persisted, landing entirely on the B side.
 
 Interpretation contract: the paired ratio column is the load-bearing
 round-over-round evidence; absolute headlines remain reported but
@@ -106,12 +108,16 @@ def main() -> int:
             check=True,
         )
     try:
-        # ABBA: ambient drift that is monotone over the hour cancels
-        # out of min(A) vs min(B)
-        runs_a = [_run_phase(worktree, sf_dir, "A1(ref)")]
-        runs_b = [_run_phase(REPO, sf_dir, "B1(head)")]
-        runs_b.append(_run_phase(REPO, sf_dir, "B2(head)"))
-        runs_a.append(_run_phase(worktree, sf_dir, "A2(ref)"))
+        # ABABAB: a first ABBA cut showed that an ambient slowdown
+        # arriving mid-run and PERSISTING lands entirely on one side
+        # (A1 fast, B1/B2/A2 slow -> min(A) fast, min(B) slow ->
+        # false regressions on sub-second keys). Three single-phase
+        # alternations make both sides sample every ambient window
+        # at ~1-phase granularity; min over 3 samples/side.
+        runs_a, runs_b = [], []
+        for cycle in range(3):
+            runs_a.append(_run_phase(worktree, sf_dir, f"A{cycle+1}(ref)"))
+            runs_b.append(_run_phase(REPO, sf_dir, f"B{cycle+1}(head)"))
     finally:
         subprocess.run(
             ["git", "-C", REPO, "worktree", "remove", "--force", worktree],
