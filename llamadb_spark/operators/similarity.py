@@ -1091,6 +1091,97 @@ def pq_topk(
     )
 
 
+def _pq_train_residual_codebooks(
+    emb: DataFrame,
+    cents,
+    n_subspaces: int,
+    n_codes: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Train PQ codebooks on IVF RESIDUALS r = x_norm − centroid[cell]
+    (the IVFADC form of Jégou et al. 2011 §V): residual magnitudes are
+    much smaller than raw coordinates, so the same m·k* code budget
+    quantizes them with lower error. Same distribution shape as
+    pq_train_codebooks — deterministic xxhash64 seeds, Arrow-batched
+    Lloyd passes, tiny (sub, code) mean reductions — with the cell
+    assignment fused into each pass. Residuals are NOT re-normalized
+    (they are offsets, not directions)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    bc_c = spark.sparkContext.broadcast(cents)
+    v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
+
+    def _resid(x: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(xn @ c.T, axis=1)
+        return xn - c[cell]
+
+    seeds = (
+        v.withColumn("_h", F.xxhash64(col("_id")))
+        .orderBy("_h")
+        .limit(n_codes)
+        .collect()
+    )
+    mat = np.array([np.asarray(r._v, dtype=np.float64) for r in seeds])
+    res = _resid(mat, cents)
+    d = res.shape[1]
+    d_sub = d // n_subspaces
+    assert d_sub * n_subspaces == d, "dim must divide n_subspaces"
+    books = np.stack(
+        [res[:, j * d_sub : (j + 1) * d_sub] for j in range(n_subspaces)]
+    )
+
+    for _ in range(iters):
+        bc_b = spark.sparkContext.broadcast(books)
+
+        def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b = bc_b.value
+            c = bc_c.value
+            m, _k, ds = b.shape
+            for batch in batches:
+                x = np.array(
+                    [np.asarray(r, dtype=np.float64) for r in batch["_v"]]
+                )
+                r_ = _resid(x, c)
+                out = {"sub": [], "code": [], "vec": []}
+                for j in range(m):
+                    xs = r_[:, j * ds : (j + 1) * ds]
+                    d2 = (
+                        -2.0 * (xs @ b[j].T)
+                        + (b[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    code = np.argmin(d2, axis=1)
+                    out["sub"].extend([j] * len(xs))
+                    out["code"].extend(code.tolist())
+                    out["vec"].extend(xs.tolist())
+                yield pd.DataFrame(out)
+
+        assigned = v.mapInPandas(
+            _assign, "sub int, code int, vec array<double>"
+        )
+        means = (
+            assigned.groupBy("sub", "code")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("vec", i + 1))
+                        for i in range(d_sub)
+                    ]
+                ).alias("c")
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["sub"], r["code"]] = np.asarray(r["c"])
+    return books
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1101,6 +1192,7 @@ def ivfpq_topk(
     n_subspaces: int = 16,
     n_codes: int = 32,
     iters: int = 2,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1116,9 +1208,23 @@ def ivfpq_topk(
     (IVF + exact scoring) candidates are scored from m small ints
     instead of d floats — at 100 TB of vectors that is the difference
     between scanning a ~6 TB code index and the full vector table.
-    Codebooks here are corpus-global (plain PQ within probed cells) —
-    the documented first cut; per-cell RESIDUAL codebooks are a
-    drop-in refinement with the same plan shape.
+
+    ``residual=False`` (default): corpus-global codebooks quantize
+    the normalized vectors directly (plain PQ within probed cells).
+    ``residual=True`` is IVFADC proper (Jégou §V): codebooks quantize
+    r = x_norm − centroid[cell], and the ADC tables become per
+    (query, probed cell) — still driver-bounded,
+    |queries|·nprobe·m·k* floats. On corpora with real cluster
+    structure the residual form buys a finer quantization per code
+    budget (an equal-recall shortlist shrink). MEASURED NEGATIVE
+    RESULT on this repo's near-isotropic synthetic embeddings
+    (sf0.01/sf0.1, nprobe=8, iters∈{1,2}): residual recall ≤ plain at
+    shortlist 25/50 (e.g. 0.375 vs 0.625 mean at sf0.1/sl=25) and
+    only converges to plain by sl=100-200 — the 16 centroids of a
+    near-isotropic cloud carry almost no mass, so r ≈ x and the
+    per-cell table fragmentation just adds quantization noise. Plain
+    stays the default; residual is the documented knob for clustered
+    corpora.
 
     Plan shape: index build = one Arrow-batched pass emitting (id,
     cell, codes) — no shuffle; query side = driver-bounded collects
@@ -1141,10 +1247,15 @@ def ivfpq_topk(
     cents = ivf_train_centroids(
         emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
     )
-    books = pq_train_codebooks(
-        emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if residual:
+        books = _pq_train_residual_codebooks(
+            emb, cents, n_subspaces, n_codes, iters, id_col, vec_col
+        )
+    else:
+        books = pq_train_codebooks(
+            emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)
     v = emb.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v"))
@@ -1158,9 +1269,10 @@ def ivfpq_topk(
             x = np.array([np.asarray(r, dtype=np.float64) for r in batch["_v"]])
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             cell = np.argmax(xn @ c.T, axis=1)
+            tgt = (xn - c[cell]) if residual else xn
             codes = np.empty((len(x), m_), dtype=np.int64)
             for j in range(m_):
-                xs = xn[:, j * ds : (j + 1) * ds]
+                xs = tgt[:, j * ds : (j + 1) * ds]
                 d2 = -2.0 * (xs @ b[j].T) + (b[j] ** 2).sum(axis=1)[None, :]
                 codes[:, j] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
@@ -1174,23 +1286,44 @@ def ivfpq_topk(
     index = v.mapInPandas(_index, "neighbor_id long, cell int, codes array<bigint>")
 
     # query side: nprobe cells + ADC lookup tables, driver-bounded by
-    # the query list (the ivf_topk/pq_topk boundary)
+    # the query list (the ivf_topk/pq_topk boundary). Plain PQ keys
+    # tables (query, sub); residual keys them (query, CELL, sub):
+    # the lookup target is q_norm − centroid[cell] per probed cell.
     qrows = v.filter(col("_id").isin(query_ids)).collect()
     m_, _kk, ds = books.shape
     probe_rows, table_rows = [], []
     for r in qrows:
         x = np.asarray(r._v, dtype=np.float64)
         xn = x / max(np.linalg.norm(x), 1e-12)
-        for cell in np.argsort(-(cents @ xn))[:nprobe]:
+        probed = np.argsort(-(cents @ xn))[:nprobe]
+        for cell in probed:
             probe_rows.append((int(r._id), int(cell)))
-        for j in range(m_):
-            xs = xn[j * ds : (j + 1) * ds]
-            d2 = ((books[j] - xs[None, :]) ** 2).sum(axis=1)
-            table_rows.append((int(r._id), j, [float(t) for t in d2]))
+        if residual:
+            for cell in probed:
+                tgt = xn - cents[cell]
+                for j in range(m_):
+                    xs = tgt[j * ds : (j + 1) * ds]
+                    d2 = ((books[j] - xs[None, :]) ** 2).sum(axis=1)
+                    table_rows.append(
+                        (int(r._id), int(cell), j,
+                         [float(t) for t in d2])
+                    )
+        else:
+            for j in range(m_):
+                xs = xn[j * ds : (j + 1) * ds]
+                d2 = ((books[j] - xs[None, :]) ** 2).sum(axis=1)
+                table_rows.append((int(r._id), j, [float(t) for t in d2]))
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    tables = spark.createDataFrame(
-        table_rows, "query_id long, sub int, tbl array<double>"
-    )
+    if residual:
+        tables = spark.createDataFrame(
+            table_rows, "query_id long, cell int, sub int, tbl array<double>"
+        )
+        table_keys = ["query_id", "cell", "sub"]
+    else:
+        tables = spark.createDataFrame(
+            table_rows, "query_id long, sub int, tbl array<double>"
+        )
+        table_keys = ["query_id", "sub"]
 
     # probe (candidates = codes in each query's nprobe cells), then
     # ADC over candidates only
@@ -1200,10 +1333,11 @@ def ivfpq_topk(
     scored = (
         cand.select(
             "query_id",
+            "cell",
             "neighbor_id",
             F.posexplode("codes").alias("sub", "code"),
         )
-        .join(broadcast(tables), ["query_id", "sub"])
+        .join(broadcast(tables), table_keys)
         .select(
             "query_id",
             "neighbor_id",

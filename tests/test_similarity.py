@@ -381,3 +381,37 @@ def test_ivfpq_topk_contract_and_recall(spark, sf_dir):
     hits_pq = sum((r.query_id, r.neighbor_id) in got for r in exact)
     hits_ivf = sum((r.query_id, r.neighbor_id) in ivf for r in exact)
     assert hits_pq >= hits_ivf  # matched probe cost, no PQ loss
+
+
+def test_ivfpq_residual_contract(spark, sf_dir):
+    """IVFADC (residual=True) correctness contract: deterministic,
+    dense ranks, self-excluded, and at a saturating shortlist its
+    recall matches the plain-PQ path (both are ceilinged by cell
+    selection; the residual form's value is corpus-dependent — see
+    the measured-negative-result note in ivfpq_topk)."""
+    from llamadb_spark.operators import similarity
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    kw = dict(k=KNN_K, shortlist=200, n_cells=16, nprobe=8, iters=1)
+    a = similarity.ivfpq_topk(emb, KNN_QUERY_IDS, residual=True, **kw).collect()
+    b = similarity.ivfpq_topk(emb, KNN_QUERY_IDS, residual=True, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r.neighbor_id != q for r in rows)
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(emb, KNN_QUERY_IDS, **kw).collect()
+    }
+    exact = similarity.knn_bruteforce(emb, KNN_QUERY_IDS, k=KNN_K).collect()
+    got = {(r.query_id, r.neighbor_id) for r in a}
+    hits_res = sum((r.query_id, r.neighbor_id) in got for r in exact)
+    hits_plain = sum((r.query_id, r.neighbor_id) in plain for r in exact)
+    # saturating shortlist: both paths recover the same probed-cell
+    # ceiling (allow 1 hit of noise)
+    assert abs(hits_res - hits_plain) <= 1
