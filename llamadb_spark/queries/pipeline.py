@@ -4459,6 +4459,99 @@ GROUP BY doc_id, diag, grp
 """
 
 
+def d24_quality_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection — the
+    production keep-policy: within each near-dup cluster keep the
+    HIGHEST-QUALITY member (t28's exact integer logit, doc_id
+    tie-break), not the arbitrary min-id d07 keeps. Real pipelines
+    choose the canonical copy by quality (the cleanest crawl of a
+    syndicated article), and the swap is free — the cluster pass
+    already exists; only the per-cluster argmax changes.
+
+    Output: (cluster_id, keep_id, n_members, keep_logit_micro), one
+    row per near-dup cluster. Exactly DuckDB-oracled (recursive-CTE
+    clusters + VALUES-table logits + the same window argmax).
+
+    Scale: the d02/d06 machinery (blocked pairs, min-label CC) plus
+    ONE window partitioned by cluster_id (cluster-bounded) and a
+    broadcast-joinable logit table; nothing new shuffles corpus-wide.
+    """
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs)
+    logits = textops.linear_quality_score(
+        docs, weights_micro=T28_WEIGHTS_MICRO, bias_micro=T28_BIAS_MICRO
+    ).select(col("doc_id").alias("node"), "logit_micro")
+    m = cc.join(logits, "node")
+    w = Window.partitionBy("cluster_id").orderBy(
+        col("logit_micro").desc(), col("node").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(col("rn") == 1)
+        .select(
+            "cluster_id",
+            col("node").alias("keep_id"),
+            "n_members",
+            col("logit_micro").alias("keep_logit_micro"),
+        )
+    )
+
+
+ORACLE_D24 = rf"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_D02}
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS node, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u
+),
+qtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+wt AS (SELECT * FROM (VALUES {{T28V}}) AS t(tok, w_micro)),
+q AS (
+  SELECT doc_id,
+         CAST(sum(coalesce(wt.w_micro, 0)) + {{T28B}} AS BIGINT)
+           AS logit_micro
+  FROM qtoks LEFT JOIN wt USING (tok)
+  GROUP BY doc_id
+),
+m AS (
+  SELECT cc.node, cc.cluster_id, q.logit_micro,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.logit_micro DESC, cc.node) AS rn,
+         count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN q ON q.doc_id = cc.node
+)
+SELECT cluster_id, node AS keep_id, n_members,
+       logit_micro AS keep_logit_micro
+FROM m WHERE rn = 1
+""".replace("{T28V}", _T28_VALUES).replace("{T28B}", str(T28_BIAS_MICRO))
+
+
 def d23_intra_doc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repeat REMOVAL apply (VERDICT r07 #7 — the Lee et
     al. self-repeat cut d22 detects but nothing applied): merge each
@@ -5257,6 +5350,7 @@ QUERIES = {
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "d23_intra_doc_apply": d23_intra_doc_apply,
+    "d24_quality_dedup_reps": d24_quality_dedup_reps,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
@@ -5288,6 +5382,7 @@ ORACLES = {
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "d23_intra_doc_apply": ORACLE_D23,
+    "d24_quality_dedup_reps": ORACLE_D24,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,

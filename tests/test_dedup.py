@@ -504,3 +504,45 @@ def test_intra_doc_apply_removes_second_occurrences(spark):
     # doc 2: stutter collapses to ONE leading segment
     assert got[2].clean_text == "HEAD:" + seg + ":END"
     assert got[2].removed_chars == 3 * len(seg)
+
+
+def test_quality_dedup_reps_policy(spark, sf_dir):
+    """d24: the kept member of every cluster has the maximal t28
+    logit among its members (doc_id tie-break), and cluster
+    membership matches the min-label CC."""
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import dedup, textops
+    from llamadb_spark.queries.pipeline import (
+        JACCARD_THRESHOLD,
+        STOP_SHINGLE_DF,
+        T28_BIAS_MICRO,
+        T28_WEIGHTS_MICRO,
+        _docs,
+        d24_quality_dedup_reps,
+    )
+
+    docs = _docs(spark, sf_dir)
+    reps = {
+        r.cluster_id: r for r in d24_quality_dedup_reps(spark, sf_dir).collect()
+    }
+    assert reps
+    pairs = dedup.jaccard_ngram_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
+    ).select("a_id", "b_id")
+    cc = dedup.connected_components(pairs).collect()
+    logit = {
+        r.doc_id: r.logit_micro
+        for r in textops.linear_quality_score(
+            docs, weights_micro=T28_WEIGHTS_MICRO, bias_micro=T28_BIAS_MICRO
+        ).collect()
+    }
+    members: dict = {}
+    for r in cc:
+        members.setdefault(r.cluster_id, []).append(r.node)
+    assert set(members) == set(reps)
+    for cid, nodes in members.items():
+        best = min(nodes, key=lambda n: (-logit[n], n))
+        assert reps[cid].keep_id == best
+        assert reps[cid].n_members == len(nodes)
+        assert reps[cid].keep_logit_micro == logit[best]
