@@ -4552,6 +4552,103 @@ FROM m WHERE rn = 1
 """.replace("{T28V}", _T28_VALUES).replace("{T28B}", str(T28_BIAS_MICRO))
 
 
+#: d25 line-dedup corpus construction: body sliced into fixed-width
+#: lines plus a per-source boilerplate header — the exact pattern
+#: C4-style line dedup exists to remove (site chrome repeated on
+#: every page of a source).
+D25_LINE_W = 80
+
+
+def d25_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the C4 pipeline step,
+    Raffel et al. 2020 §2.2 — public: "we removed any line that
+    occurred more than once in the data set", keep-first form):
+    every distinct line keeps its FIRST occurrence by (doc_id,
+    line_no); later occurrences are stripped and documents
+    reassembled from their surviving lines. The seeded corpus gives
+    each doc a per-source boilerplate header line + fixed-width body
+    slices, so dedup must strip the header everywhere except the
+    first doc of each source — the real-world site-chrome case.
+
+    Output: one row per doc — (doc_id, n_lines, n_removed,
+    clean_text). Exactly DuckDB-oracled.
+
+    Scale: ONE shuffle of the exploded lines keyed by line content
+    for the keep-first window (d01's exact-dedup shape at line
+    granularity; the line text must ride the shuffle anyway for
+    reassembly), then a per-doc regroup. Nothing quadratic, no
+    Python. At PB scale you'd key the window on xxhash64(line) and
+    re-join text — the span-family discipline — documented, not
+    default, to keep the oracle contract byte-exact.
+    """
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    w = D25_LINE_W
+    body = F.expr(
+        f"transform(sequence(1, CAST(ceil(length(text)/{w}.0) AS INT)),"
+        f" i -> substring(text, (i-1)*{w}+1, {w}))"
+    )
+    header = F.concat(F.lit("hdr-"), col("source"), F.lit("-boilerplate"))
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.concat(F.array(header), body)
+        ).alias("line_no", "line"),
+    )
+    first = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    ranked = lines.withColumn("rn", F.row_number().over(first))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((col("rn") > 1).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                col("rn") == 1,
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "clean_text")
+    )
+
+
+ORACLE_D25 = f"""
+WITH lines AS (
+  SELECT doc_id, 0 AS line_no,
+         'hdr-' || source || '-boilerplate' AS line
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i AS line_no,
+         substr(text, (i-1)*{D25_LINE_W}+1, {D25_LINE_W}) AS line
+  FROM documents,
+       unnest(generate_series(
+         1, CAST(ceil(length(text)/{D25_LINE_W}.0) AS INT))) AS t(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY line
+                               ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed,
+       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                FILTER (rn = 1), '') AS clean_text
+FROM ranked GROUP BY doc_id
+"""
+
+
 def d23_intra_doc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repeat REMOVAL apply (VERDICT r07 #7 — the Lee et
     al. self-repeat cut d22 detects but nothing applied): merge each
@@ -5351,6 +5448,7 @@ QUERIES = {
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "d23_intra_doc_apply": d23_intra_doc_apply,
     "d24_quality_dedup_reps": d24_quality_dedup_reps,
+    "d25_line_dedup": d25_line_dedup,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
@@ -5383,6 +5481,7 @@ ORACLES = {
     "d22_intra_doc_repeats": ORACLE_D22,
     "d23_intra_doc_apply": ORACLE_D23,
     "d24_quality_dedup_reps": ORACLE_D24,
+    "d25_line_dedup": ORACLE_D25,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,

@@ -546,3 +546,54 @@ def test_quality_dedup_reps_policy(spark, sf_dir):
         assert reps[cid].keep_id == best
         assert reps[cid].n_members == len(nodes)
         assert reps[cid].keep_logit_micro == logit[best]
+
+
+def test_line_dedup_strips_boilerplate_keep_first(spark, sf_dir):
+    """d25 vs a Python reference implementation of C4 keep-first line
+    dedup over the same seeded corpus: per-source boilerplate headers
+    survive only in their first doc, and repetitive docs lose their
+    internal duplicate slices too (keep-first is corpus-wide)."""
+    from llamadb_spark.queries.pipeline import (
+        D25_LINE_W,
+        _docs,
+        d25_line_dedup,
+    )
+
+    rows = {r.doc_id: r for r in d25_line_dedup(spark, sf_dir).collect()}
+    docs = sorted(
+        _docs(spark, sf_dir).select("doc_id", "source", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    # reference: explode all lines in (doc_id, line_no) order, keep
+    # the first occurrence of each distinct line
+    w = D25_LINE_W
+    all_lines = []
+    for r in docs:
+        lines = ["hdr-" + r.source + "-boilerplate"] + [
+            r.text[i : i + w] for i in range(0, len(r.text), w)
+        ]
+        for ln, line in enumerate(lines):
+            all_lines.append((r.doc_id, ln, line))
+    seen = set()
+    want = {}
+    for did, ln, line in sorted(all_lines):
+        nl, nr, kept = want.setdefault(did, [0, 0, []])
+        want[did][0] += 1
+        if line in seen:
+            want[did][1] += 1
+        else:
+            seen.add(line)
+            want[did][2].append(line)
+    assert set(rows) == set(want)
+    for did, (n_lines, n_removed, kept) in want.items():
+        assert rows[did].n_lines == n_lines, did
+        assert rows[did].n_removed == n_removed, did
+        assert rows[did].clean_text == "\n".join(kept), did
+    # the headline case: each source's header survives exactly once
+    n_sources = len({r.source for r in docs})
+    header_removals = sum(
+        1 for did, ln, line in all_lines
+        if ln == 0 and rows[did].n_removed > 0
+        and "boilerplate" not in rows[did].clean_text
+    )
+    assert header_removals == len(docs) - n_sources
