@@ -4552,6 +4552,172 @@ FROM m WHERE rn = 1
 """.replace("{T28V}", _T28_VALUES).replace("{T28B}", str(T28_BIAS_MICRO))
 
 
+#: t29 Gopher repetition gates (Rae et al. 2021 Table A1, public):
+#: a doc fails if the most common word 2/3/4-gram covers more than
+#: 20/18/16% of its characters, or duplicated 5-grams more than 15%.
+#: Fractions are exact integer PARTS-PER-MILLION (BIGINT `div`) so
+#: the hash oracle never sees a float.
+T29_TOP_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
+T29_DUP5_PPM = 150_000
+
+
+def t29_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1 — public):
+    per document, the character share of the MOST COMMON word
+    2/3/4-gram and the EXCESS character mass of duplicated 5-grams
+    ((count-1)·gram_chars — the documented simplification of the
+    paper's overlap-deduplicated character count; the union-of-
+    occurrence-intervals form is what operators/spans.py computes at
+    span granularity), each as exact integer ppm of doc chars, plus
+    the pass/fail gate at the published thresholds. Complements t06
+    (single-n dup-shingle ratio) with the actual multi-n published
+    filter set.
+
+    Scale: token arrays built once per doc; n-grams via
+    transform/slice (JVM higher-order fns, no explode join-back);
+    per-(doc, n) tops via one aggregate over exploded grams — all
+    shuffles keyed by doc_id with map-side combine. No Python, no
+    floats.
+    """
+    from pyspark.sql.functions import col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.split(F.trim(F.lower(col("text"))), r"\s+").alias("tk"),
+    )
+
+    def grams(n: int):
+        return toks.select(
+            "doc_id",
+            "n_chars",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tk)-{n-1}, 0)),"
+                    f" i -> concat_ws(' ', slice(tk, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+
+    counts = (
+        grams(2).unionByName(grams(3)).unionByName(grams(4))
+        .unionByName(grams(5))
+        .groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("gchars", F.length("gram").cast("long"))
+    )
+    # top n-gram per (doc, n) for n in 2..4: max by (cnt, gram) —
+    # deterministic tie-break on the gram text
+    top = (
+        counts.filter(col("n") <= 4)
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(
+            F.max(F.struct("cnt", "gram", "gchars")).alias("t")
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("(t.cnt * t.gchars * 1000000) div n_chars").alias("ppm"),
+        )
+    )
+    dup5 = (
+        counts.filter((col("n") == 5) & (col("cnt") >= 2))
+        .groupBy("doc_id", "n_chars")
+        .agg(F.sum((col("cnt") - 1) * col("gchars")).alias("dupchars"))
+        .select(
+            "doc_id",
+            F.expr("(dupchars * 1000000) div n_chars").alias("dup5_ppm"),
+        )
+    )
+    wide = (
+        top.groupBy("doc_id")
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("ppm"))
+        .select(
+            "doc_id",
+            F.coalesce(col("2"), F.lit(0)).alias("top2_ppm"),
+            F.coalesce(col("3"), F.lit(0)).alias("top3_ppm"),
+            F.coalesce(col("4"), F.lit(0)).alias("top4_ppm"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(wide, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("top2_ppm"), F.lit(0)).alias("top2_ppm"),
+            F.coalesce(col("top3_ppm"), F.lit(0)).alias("top3_ppm"),
+            F.coalesce(col("top4_ppm"), F.lit(0)).alias("top4_ppm"),
+            F.coalesce(col("dup5_ppm"), F.lit(0)).alias("dup5_ppm"),
+        )
+        .withColumn(
+            "passes_gopher",
+            (col("top2_ppm") <= T29_TOP_PPM[2])
+            & (col("top3_ppm") <= T29_TOP_PPM[3])
+            & (col("top4_ppm") <= T29_TOP_PPM[4])
+            & (col("dup5_ppm") <= T29_DUP5_PPM),
+        )
+    )
+
+
+ORACLE_T29 = f"""
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_chars, n.n,
+         array_to_string(tk[i:i+n.n-1], ' ') AS gram
+  FROM base,
+       (SELECT unnest([2, 3, 4, 5]) AS n) AS n,
+       unnest(generate_series(1, greatest(len(tk) - n.n + 1, 0))) AS t(i)
+),
+counts AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS cnt,
+         CAST(length(gram) AS BIGINT) AS gchars
+  FROM g GROUP BY ALL
+),
+top AS (
+  SELECT doc_id, n, (cnt * gchars * 1000000) // n_chars AS ppm
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                 ORDER BY cnt DESC, gram DESC) AS rn
+    FROM counts WHERE n <= 4
+  ) WHERE rn = 1
+),
+dup5 AS (
+  SELECT doc_id,
+         (sum((cnt - 1) * gchars) * 1000000) // any_value(n_chars)
+           AS dup5_ppm
+  FROM counts WHERE n = 5 AND cnt >= 2 GROUP BY doc_id
+),
+wide AS (
+  SELECT doc_id,
+         coalesce(max(ppm) FILTER (n = 2), 0) AS top2_ppm,
+         coalesce(max(ppm) FILTER (n = 3), 0) AS top3_ppm,
+         coalesce(max(ppm) FILTER (n = 4), 0) AS top4_ppm
+  FROM top GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(w.top2_ppm, 0) AS BIGINT) AS top2_ppm,
+       CAST(coalesce(w.top3_ppm, 0) AS BIGINT) AS top3_ppm,
+       CAST(coalesce(w.top4_ppm, 0) AS BIGINT) AS top4_ppm,
+       CAST(coalesce(d.dup5_ppm, 0) AS BIGINT) AS dup5_ppm,
+       (coalesce(w.top2_ppm, 0) <= {T29_TOP_PPM[2]}
+        AND coalesce(w.top3_ppm, 0) <= {T29_TOP_PPM[3]}
+        AND coalesce(w.top4_ppm, 0) <= {T29_TOP_PPM[4]}
+        AND coalesce(d.dup5_ppm, 0) <= {T29_DUP5_PPM}) AS passes_gopher
+FROM base b
+LEFT JOIN wide w USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+"""
+
+
 #: d25 line-dedup corpus construction: body sliced into fixed-width
 #: lines plus a per-source boilerplate header — the exact pattern
 #: C4-style line dedup exists to remove (site chrome repeated on
@@ -5444,6 +5610,7 @@ QUERIES = {
     "d19_substring_spans": d19_substring_spans,
     "d20_substring_apply": d20_substring_apply,
     "t28_linear_quality": t28_linear_quality,
+    "t29_gopher_repetition": t29_gopher_repetition,
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "d23_intra_doc_apply": d23_intra_doc_apply,
@@ -5477,6 +5644,7 @@ ORACLES = {
     "d19_substring_spans": ORACLE_D19,
     "d20_substring_apply": ORACLE_D20,
     "t28_linear_quality": ORACLE_T28,
+    "t29_gopher_repetition": ORACLE_T29,
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "d23_intra_doc_apply": ORACLE_D23,

@@ -236,3 +236,42 @@ def test_linear_quality_broadcast_path_equals_literal_map(spark):
     # and the broadcast plan really broadcasts the dim side
     plan = linear_quality_score(docs, big, **kw)._jdf.queryExecution()
     assert "Broadcast" in plan.executedPlan().toString()
+
+
+def test_gopher_repetition_hand_checked(spark):
+    """t29 ppm math against a hand-computed doc: 'a b a b a b c'
+    (13 chars). Top 2-gram 'a b' occurs 3x (3 chars) -> 3*3 ppm of
+    13; dup-5gram 'a b a b a' x1... (no 5-gram repeats) -> 0."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.queries import pipeline as P
+
+    # doc 2: 60 distinct tokens — every n-gram unique, so the top
+    # shares are one occurrence's chars over the doc (the gates
+    # assume long docs; a tiny all-distinct doc would still "fail"
+    # them by construction)
+    long_distinct = " ".join(f"tok{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, long_distinct)],
+        "doc_id long, text string",
+    )
+    # reuse the operator body via a monkeypatched _docs
+    orig = P._docs
+    try:
+        P._docs = lambda spark, sf_dir: docs.withColumn(
+            "source", F.lit("s")
+        )
+        rows = {r.doc_id: r for r in
+                P.t29_gopher_repetition(spark, "ignored").collect()}
+    finally:
+        P._docs = orig
+    r1 = rows[1]
+    assert r1.top2_ppm == (3 * 3 * 1_000_000) // 13  # 'a b' 3x
+    assert r1.top3_ppm == (2 * 5 * 1_000_000) // 13  # 'a b a' 2x
+    assert r1.top4_ppm == (2 * 7 * 1_000_000) // 13  # 'a b a b' 2x
+    # the three 5-grams ('a b a b a', 'b a b a b', 'a b a b c') are
+    # all distinct -> no duplicate-5-gram mass
+    assert r1.dup5_ppm == 0
+    assert not r1.passes_gopher  # top2 share 69% >> 20%
+    r2 = rows[2]
+    assert r2.dup5_ppm == 0 and r2.passes_gopher
