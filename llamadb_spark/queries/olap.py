@@ -478,8 +478,77 @@ GROUP BY event_type
 """
 
 
+def a07_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) per (event_type,
+    day) — the standard irregular-time-series aggregate (a plain AVG
+    over-weights bursts; TWAP weights each observation by how long
+    it was the live value). Weight = microseconds until the next
+    event of the same (type, day); each day's last event carries no
+    forward interval and is excluded from the weighting (documented
+    endpoint convention).
+
+    Determinism discipline (d16/p12): values are quantized to integer
+    micro-units with an explicit floor() (Spark CAST truncates,
+    DuckDB CAST rounds — floor is identical in both), weights are
+    integer microseconds, and TWAP is an exact BIGINT-ratio
+    `div` — no float summation order anywhere near the hash oracle.
+
+    Scale: one lead() window per (type, day) partition + one
+    aggregate; shuffles keyed by (type, day) with map-side combine.
+    Output: (event_type, day, n_obs, twap_micro).
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        # ts is TIMESTAMP_NTZ in the parquet; only DIFFERENCES are
+        # used, so the cast's session-timezone shift cancels
+        F.unix_micros(col("ts").cast("timestamp")).alias("us"),
+        F.floor(col("value") * 1_000_000).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    dt = (F.lead("us").over(w) - col("us")).alias("dt_us")
+    weighted = ev.select("event_type", "day", "v_micro", dt).filter(
+        col("dt_us").isNotNull()
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(col("v_micro") * col("dt_us")).alias("vw"),
+            F.sum("dt_us").alias("tw"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_obs",
+            F.expr("vw div tw").alias("twap_micro"),
+        )
+    )
+
+
+ORACLE_A07 = """
+WITH w AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT event_type, day, count(*) AS n_obs,
+       CAST(sum(v_micro * dt_us) // sum(dt_us) AS BIGINT) AS twap_micro
+FROM w WHERE dt_us IS NOT NULL
+GROUP BY event_type, day
+"""
+
+
 QUERIES = {
     "q19_rollup": q19_rollup,
+    "a07_twap": a07_twap,
     "q20_pivot": q20_pivot,
     "a01_asof_join": a01_asof_join,
     "a03_asof_forward": a03_asof_forward,
@@ -494,6 +563,7 @@ QUERIES = {
 
 ORACLES = {
     "q19_rollup": ORACLE_Q19,
+    "a07_twap": ORACLE_A07,
     "q20_pivot": ORACLE_Q20,
     "a01_asof_join": ORACLE_A01,
     "a03_asof_forward": ORACLE_A03,
