@@ -33,7 +33,10 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 #:     (5) PQ codebook seeds (n_codes rows), (6) PQ per-(sub, code)
 #:     Lloyd means (m·k rows), (7) PQ query vectors for the ADC
 #:     lookup tables (|query_ids| rows), (8) IVF-PQ query vectors
-#:     for probe cells + ADC tables (|query_ids| rows, s17)
+#:     for probe cells + ADC tables (|query_ids| rows, s17),
+#:     (9) residual-PQ codebook seeds (n_codes rows) and
+#:     (10) residual per-(sub, code) Lloyd means (m·k rows) — the
+#:     IVFADC trainer's twins of (5)/(6)
 #:   pipeline.py: s10's and s15's 1-row query-vector fetches
 #:     (orderBy+limit(1) each)
 #:   plans/explain.py: run_with_observation returns the caller's own
@@ -43,7 +46,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..", "llamadb_spark")
 _COLLECT_ALLOW = {
     "sql/dialect.py": 1,
     "operators/dedup.py": 1,
-    "operators/similarity.py": 8,
+    "operators/similarity.py": 10,
     "queries/pipeline.py": 2,
     "plans/explain.py": 1,
     # 1-row max-timestamp scalar for the watermark sentinel staging
