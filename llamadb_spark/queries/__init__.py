@@ -18,10 +18,10 @@ generalized from the per-round tier lists of earlier rounds:
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The r08 prefix is therefore the 3 round-8 keys (d23/p19/s17) and
-the 47 alphabetically-first keys of the r03/r04-evidence cohort
-(q20, q31-q36, r01, s04-s08, the h-series…); prefix ∩ r07 prefix
-= ∅ (verified at rotation time).
+The r08 prefix is therefore the 7 round-8 keys (d23/d24/d25/p19/
+s17/t29/a07) and the alphabetically-first keys of the r03/r04-
+evidence cohort (q20, q31-q36, r01, s04-s08, the h-series…);
+prefix ∩ r07 prefix = ∅ (verified at rotation time).
 """
 
 from __future__ import annotations
