@@ -597,3 +597,46 @@ def test_line_dedup_strips_boilerplate_keep_first(spark, sf_dir):
         and "boilerplate" not in rows[did].clean_text
     )
     assert header_removals == len(docs) - n_sources
+
+
+def test_line_dedup_hot_line_no_content_window(spark):
+    """VERDICT r08 #1 stress: one boilerplate line present in EVERY
+    doc (the C4 site-chrome case, >=50%% of docs sharing a line). The
+    keep-first plan must have NO Window node at all — the previous
+    row_number() over (partition by line) funneled every occurrence
+    of the hot line into one non-splittable task (AQE splits joins,
+    not windows); the fix is groupBy(line).min(struct) + join-back,
+    whose partial agg map-side-combines the hot line and whose join
+    IS AQE-skew-splittable. Also covers ADVICE r08: an empty-text doc
+    yields a header-only row, not two spurious body lines."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.queries import pipeline as P
+
+    # 200 docs, all from one source -> every doc shares the header
+    # line; doc texts distinct so bodies survive
+    docs = spark.createDataFrame(
+        [(i, "s0", f"body-{i:04d}-" + "z" * 70) for i in range(200)]
+        + [(999, "s0", "")],  # empty-text doc: header-only
+        "doc_id long, source string, text string",
+    )
+    orig = P._docs
+    try:
+        P._docs = lambda spark, sf_dir: docs
+        out = P.d25_line_dedup(spark, "ignored")
+        rows = {r.doc_id: r for r in out.collect()}
+    finally:
+        P._docs = orig
+    # plan shape: zero Window nodes anywhere (keep-first is agg+join)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "keep-first must not use a window"
+    # hot line kept exactly once: doc 0 keeps it, 200 others lose it
+    kept_header = [
+        d for d, r in rows.items() if "hdr-s0-boilerplate" in r.clean_text
+    ]
+    assert kept_header == [0]
+    assert sum(r.n_removed for r in rows.values()) == 200
+    # empty-text doc: exactly the header line, nothing spurious
+    r999 = rows[999]
+    assert r999.n_lines == 1 and r999.n_removed == 1
+    assert r999.clean_text == ""

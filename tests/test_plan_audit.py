@@ -221,6 +221,64 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     )
 
 
+#: Windows partitioned ONLY by unbounded-cardinality CONTENT columns
+#: (doc text / exploded line / shingle gram / token) concentrate every
+#: occurrence of the hottest value into ONE window partition — and
+#: AQE's skew handling splits JOINS, not windows, so a boilerplate
+#: line present in half the corpus becomes a single task sorting
+#: billions of rows (the d25 r08 finding). Content keys may appear in
+#: a partition spec only ALONGSIDE a per-entity key (doc_id etc.) that
+#: bounds the partition. Keep-first/keep-one over raw content must be
+#: the groupBy(content).agg(min_by(...)) + join-back shape instead:
+#: the partial agg is map-side combinable and the join-back is
+#: AQE-skew-splittable.
+_CONTENT_COLS = ("text", "line", "gram", "shingle", "clean_text", "token")
+
+
+def _content_partitioned_windows(df) -> list:
+    import re
+
+    hits = []
+    pat = re.compile(
+        r"\b(" + "|".join(_CONTENT_COLS) + r")#\d+"
+    )
+
+    def walk(node):
+        if node.nodeName() == "Window":
+            try:
+                spec = node.partitionSpec()
+                exprs = [
+                    spec.apply(i).toString() for i in range(spec.length())
+                ]
+            except Exception:
+                exprs = []
+            if exprs:
+                content = [e for e in exprs if pat.search(e)]
+                # hazard only when EVERY partition key is content —
+                # (doc_id, gram) is doc-bounded and fine
+                if content and len(content) == len(exprs):
+                    hits.append(exprs)
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+def test_no_window_partitioned_by_raw_content(spark, sf_dir):
+    over = {}
+    for name, fn in entry_mod.queries().items():
+        hits = _content_partitioned_windows(fn(spark, sf_dir))
+        if hits:
+            over[name] = hits
+    assert not over, (
+        "Window partitioned only by unbounded-cardinality content "
+        "columns (hot value -> one non-splittable task; AQE splits "
+        f"joins, not windows): {over}"
+    )
+
+
 def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
     # Arrow-batched Python is the sanctioned slow path, but ONLY for
     # operators whose hot kernel is a dense-linear-algebra or media

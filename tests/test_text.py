@@ -275,3 +275,41 @@ def test_gopher_repetition_hand_checked(spark):
     assert not r1.passes_gopher  # top2 share 69% >> 20%
     r2 = rows[2]
     assert r2.dup5_ppm == 0 and r2.passes_gopher
+
+
+def test_gopher_repetition_short_docs_no_crash(spark):
+    """ADVICE r08 (high): docs with fewer than n tokens used to build
+    sequence(1, 0) = DESCENDING [1, 0] and slice(tk, 0, n) threw
+    INVALID_PARAMETER_VALUE.START, killing the whole query. A 1-token
+    doc (under every n in 2..5) and a 3-token doc (under n=4,5 only)
+    must instead contribute empty gram arrays — zero ppm across the
+    board for the 1-token doc, and agree with DuckDB's empty
+    generate_series(1, 0) semantics."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.queries import pipeline as P
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "three tokens here"), (3, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    orig = P._docs
+    try:
+        P._docs = lambda spark, sf_dir: docs.withColumn(
+            "source", F.lit("s")
+        )
+        rows = {r.doc_id: r for r in
+                P.t29_gopher_repetition(spark, "ignored").collect()}
+    finally:
+        P._docs = orig
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert (r1.top2_ppm, r1.top3_ppm, r1.top4_ppm, r1.dup5_ppm) == (
+        0, 0, 0, 0,
+    )
+    assert r1.passes_gopher
+    r2 = rows[2]  # 3 tokens: 2- and 3-grams exist, 4/5-grams don't
+    assert r2.top2_ppm > 0 and r2.top3_ppm > 0
+    assert r2.top4_ppm == 0 and r2.dup5_ppm == 0
+    r3 = rows[3]  # 6 tokens, 'x y' 3x of 11 chars
+    assert r3.top2_ppm == (3 * 3 * 1_000_000) // 11

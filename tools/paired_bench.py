@@ -62,14 +62,24 @@ with open(out_path, "w") as fh:
 
 def _default_ref() -> str:
     """The most recent driver round-boundary commit (its message
-    starts with 'round N:'), i.e. the code the previous BENCH ran."""
+    starts with 'round N:'), i.e. the code the previous BENCH ran.
+    HEAD itself may BE a round-boundary commit (the driver commits
+    'round N: end-of-round snapshot' at the boundary), in which case
+    comparing against it would silently pair HEAD vs HEAD and report
+    ~1.0 ratios — so the scan starts at HEAD~1 (ADVICE r08)."""
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
     out = subprocess.run(
-        ["git", "-C", REPO, "log", "--format=%H %s", "-50"],
+        ["git", "-C", REPO, "log", "--format=%H %s", "-50", "HEAD~1"],
         capture_output=True, text=True, check=True,
     ).stdout
     for line in out.splitlines():
         sha, _, subject = line.partition(" ")
         if subject.startswith("round ") and ":" in subject:
+            if sha == head:  # defensive; HEAD~1 scan should exclude
+                continue
             return sha
     raise SystemExit("no round-boundary commit found; pass a ref")
 
