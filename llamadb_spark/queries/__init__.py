@@ -18,10 +18,10 @@ generalized from the per-round tier lists of earlier rounds:
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The r08 prefix is therefore the 7 round-8 keys (d23/d24/d25/p19/
-s17/t29/a07) and the alphabetically-first keys of the r03/r04-
-evidence cohort (q20, q31-q36, r01, s04-s08, the h-series…);
-prefix ∩ r07 prefix = ∅ (verified at rotation time).
+The r09 prefix is therefore the new round-9 key (t30_bpe_tokens)
+followed by the r04-evidence cohort (q37-q54 advanced keys, t16,
+s11…) and the alphabetically-first r05-evidence keys; prefix ∩ r08
+prefix = ∅ (verified at rotation time).
 """
 
 from __future__ import annotations
@@ -59,10 +59,11 @@ _BANDED_R06 = (
 _LAST_CHECKED = {
     "a01_asof_join": 7,
     "a02_approx_stats": 6,
-    "a03_asof_forward": 4,
+    "a03_asof_forward": 8,
     "a04_asof_tolerance": 5,
     "a05_asof_nearest": 5,
     "a06_sketch_rollup": 6,
+    "a07_twap": 8,
     "d01_exact_dedup": 6,
     "d02_jaccard_ngram": 6,
     "d03_minhash_lsh": 6,
@@ -74,9 +75,8 @@ _LAST_CHECKED = {
     "d09_shared_longrun": 7,
     "d10_dedup_clusters_star": 7,
     "d11_editdist_pairs": 7,
-    "d12_semantic_dedup_lsh": 5,
-    "d13_incremental_dedup": 4,
-    "d14_containment_pairs": 4,
+    "d13_incremental_dedup": 8,
+    "d14_containment_pairs": 8,
     "d15_cluster_sizes": 5,
     "d16_threshold_sweep": 5,
     "d17_pair_provenance": 5,
@@ -85,6 +85,9 @@ _LAST_CHECKED = {
     "d20_substring_apply": 7,
     "d21_duplication_profile": 7,
     "d22_intra_doc_repeats": 7,
+    "d23_intra_doc_apply": 8,
+    "d24_quality_dedup_reps": 8,
+    "d25_line_dedup": 8,
     "e01_events_window": 7,
     "e02_sessionize": 7,
     "e03_event_topk": 7,
@@ -101,37 +104,37 @@ _LAST_CHECKED = {
     "e14_conversion_latency": 7,
     "e15_rolling_wau": 7,
     "e16_interarrival_stats": 7,
-    "e17_cep_match": 4,
-    "e18_bot_users": 4,
+    "e17_cep_match": 8,
+    "e18_bot_users": 8,
     "e19_seasonality": 5,
     "e20_user_concentration": 5,
     "e21_transition_matrix": 5,
     "e22_session_durations": 5,
     "e23_weekly_churn": 5,
     "e24_transition_stream": 5,
-    "g01_pagerank": 4,
-    "g02_degree_histogram": 4,
+    "g01_pagerank": 8,
+    "g02_degree_histogram": 8,
     "g03_triangle_count": 5,
-    "h03_shipping_priority": 4,
-    "h04_priority_checking": 4,
-    "h05_local_supplier_volume": 4,
-    "h06_revenue_forecast": 4,
-    "h07_volume_shipping": 4,
-    "h09_product_type_profit": 4,
-    "h10_returned_items": 4,
-    "h11_important_stock": 4,
-    "h12_ship_priority_class": 4,
-    "h14_promo_effect": 4,
-    "h16_supplier_counts": 4,
-    "h18_large_orders": 4,
-    "h19_discounted_revenue": 4,
-    "h20_potential_promotion": 4,
-    "h21_waiting_suppliers": 4,
+    "h03_shipping_priority": 8,
+    "h04_priority_checking": 8,
+    "h05_local_supplier_volume": 8,
+    "h06_revenue_forecast": 8,
+    "h07_volume_shipping": 8,
+    "h09_product_type_profit": 8,
+    "h10_returned_items": 8,
+    "h11_important_stock": 8,
+    "h12_ship_priority_class": 8,
+    "h14_promo_effect": 8,
+    "h16_supplier_counts": 8,
+    "h18_large_orders": 8,
+    "h19_discounted_revenue": 8,
+    "h20_potential_promotion": 8,
+    "h21_waiting_suppliers": 8,
     "m01_multimodal_meta": 7,
     "m02_decode_resize": 7,
     "m03_frame_sample": 7,
     "m04_payload_chunks": 7,
-    "m05_media_dedup": 4,
+    "m05_media_dedup": 8,
     "m06_media_filter": 5,
     "m07_crossmodal_knn": 6,
     "p01_stratified_sample": 7,
@@ -144,7 +147,7 @@ _LAST_CHECKED = {
     "p08_dq_report": 7,
     "p09_exact_k_sample": 7,
     "p10_leakproof_split": 7,
-    "p11_weighted_sample": 4,
+    "p11_weighted_sample": 8,
     "p12_dup_weights": 5,
     "p13_winsorize": 5,
     "p14_shard_balance": 5,
@@ -152,6 +155,7 @@ _LAST_CHECKED = {
     "p16_epoch_upsample": 5,
     "p17_alpha_mixture": 5,
     "p18_span_decontaminate": 7,
+    "p19_pipeline_manifest": 8,
     "q01_pricing_summary": 6,
     "q02_filter_scan": 6,
     "q03_cross_join_where": 6,
@@ -171,7 +175,7 @@ _LAST_CHECKED = {
     "q17_union_all": 6,
     "q18_window_rank": 6,
     "q19_rollup": 7,
-    "q20_pivot": 3,
+    "q20_pivot": 8,
     "q21_order_count_dist": 6,
     "q22_anti_join": 6,
     "q23_cube": 6,
@@ -182,12 +186,12 @@ _LAST_CHECKED = {
     "q28_string_funcs": 6,
     "q29_grouping_sets": 6,
     "q30_null_handling": 6,
-    "q31_percentiles": 3,
-    "q32_stats_agg": 3,
-    "q33_full_outer_join": 3,
-    "q34_explode_tokens": 3,
-    "q35_json_extract": 3,
-    "q36_regexp_extract": 3,
+    "q31_percentiles": 8,
+    "q32_stats_agg": 8,
+    "q33_full_outer_join": 8,
+    "q34_explode_tokens": 8,
+    "q35_json_extract": 8,
+    "q36_regexp_extract": 8,
     "q37_decimal_exact": 4,
     "q38_range_frame": 4,
     "q39_semi_join": 4,
@@ -220,15 +224,14 @@ _LAST_CHECKED = {
     "q66_sort_key": 5,
     "q67_merge_upsert": 5,
     "q68_ignore_nulls_window": 7,
-    "r01_range_join": 3,
+    "r01_range_join": 8,
     "s01_knn_bruteforce": 6,
-    "s02_lsh_ann": 2,
     "s03_ivf_ann": 6,
-    "s04_embed_quantize": 3,
-    "s05_label_centroids": 3,
-    "s06_centroid_sim": 3,
-    "s07_centroid_classify": 3,
-    "s08_embed_dim_stats": 3,
+    "s04_embed_quantize": 8,
+    "s05_label_centroids": 8,
+    "s06_centroid_sim": 8,
+    "s07_centroid_classify": 8,
+    "s08_embed_dim_stats": 8,
     "s09_pca_project": 6,
     "s10_mmr_rerank": 6,
     "s11_rerank_ann": 4,
@@ -237,6 +240,7 @@ _LAST_CHECKED = {
     "s14_silhouette": 5,
     "s15_hybrid_rrf": 6,
     "s16_pq_ann": 7,
+    "s17_ivfpq_ann": 8,
     "t01_langid": 6,
     "t02_quality_score": 7,
     "t03_token_count": 7,
@@ -245,13 +249,13 @@ _LAST_CHECKED = {
     "t06_repetition": 7,
     "t07_pii_scrub": 7,
     "t08_chunk_documents": 7,
-    "t09_tfidf_rank": 3,
-    "t10_token_entropy": 3,
-    "t11_langid_confusion": 3,
-    "t12_pmi_collocations": 3,
+    "t09_tfidf_rank": 8,
+    "t10_token_entropy": 8,
+    "t11_langid_confusion": 8,
+    "t12_pmi_collocations": 8,
     "t13_heavy_hitters": 6,
-    "t14_unigram_logprob": 3,
-    "t15_doc_keywords": 3,
+    "t14_unigram_logprob": 8,
+    "t15_doc_keywords": 8,
     "t16_bigram_logprob": 4,
     "t17_zipf_slope": 4,
     "t19_token_yield": 4,
@@ -264,6 +268,7 @@ _LAST_CHECKED = {
     "t26_compression_ratio": 6,
     "t27_bm25_rank": 6,
     "t28_linear_quality": 7,
+    "t29_gopher_repetition": 8,
 }
 
 #: Rows-only BY DESIGN (not convertible without polluting the scale

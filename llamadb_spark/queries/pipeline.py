@@ -3404,22 +3404,31 @@ FROM d GROUP BY shard
 P15_TOKEN_BUDGET = 50_000
 
 
-def p15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p15_token_budget_select(
+    spark: SparkSession, sf_dir: str, token_counter: str = "ws"
+) -> DataFrame:
     """Token-budget corpus selection: keep the highest-quality
-    documents whose cumulative whitespace-token count fits a fixed
-    training budget — the "I can afford N tokens, which docs make the
-    cut" decision every pretraining data plan ends with. Selection is
+    documents whose cumulative token count fits a fixed training
+    budget — the "I can afford N tokens, which docs make the cut"
+    decision every pretraining data plan ends with. Selection is
     the maximal prefix of the quality-descending order (t02's quality
     score, doc_id tie-break) whose running token total stays within
     budget; reported per source (where the surviving mass comes
     from).
+
+    ``token_counter``: the budget currency — "ws" (default, the
+    DuckDB-oracled contract: whitespace tokens) or "bpe" (exact BPE
+    counts via operators/bpe.py — what a training run actually
+    spends; VERDICT r08 #2). The candidate ORDER is currency-
+    independent, so the two selections are nested prefixes.
 
     Scale: the running total comes from operators/ranking.py
     distributed_cumsum — range-repartition on the order + per-
     partition window + partition-count-bounded offsets — NOT a
     global-order window, which would single-task the whole corpus
     (the e20 hazard, audited suite-wide). One scan for scoring, one
-    range shuffle, one final ≤n_sources-group aggregate.
+    range shuffle, one final ≤n_sources-group aggregate; the bpe
+    variant adds the vocab-bounded encode + one word-keyed join.
     """
     from pyspark.sql.functions import col
 
@@ -3430,10 +3439,19 @@ def p15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "quality"
     )
     base = scored.join(docs.select("doc_id", "source"), "doc_id")
+    if token_counter == "bpe":
+        from llamadb_spark.operators.bpe import bpe_token_counts
+
+        bt = bpe_token_counts(docs).select(
+            "doc_id", col("bpe_tokens").alias("budget_tokens")
+        )
+        base = base.join(bt, "doc_id").drop("n_tokens")
+    else:
+        base = base.withColumnRenamed("n_tokens", "budget_tokens")
     cum = distributed_cumsum(
         base,
         [col("quality").desc(), col("doc_id").asc()],
-        "n_tokens",
+        "budget_tokens",
         out_col="cum_tokens",
     )
     return (
@@ -3441,7 +3459,7 @@ def p15_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_selected"),
-            F.sum("n_tokens").alias("tokens_selected"),
+            F.sum("budget_tokens").alias("tokens_selected"),
         )
     )
 
@@ -4725,6 +4743,66 @@ LEFT JOIN dup5 d USING (doc_id)
 """
 
 
+def t30_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counts per document (VERDICT r08 #2 — the
+    budget currency t03's whitespace/regex counts approximate; the
+    two diverge 30-50% on web text). Sennrich et al. 2016 encode,
+    expressed as a rank-ordered chain of built-in string replaces
+    over a ``|tok~`` rendering (see operators/bpe.py for the two
+    public equivalences that make this exact), run ONCE per distinct
+    word and joined back — |vocab| encodes for a trillion-token
+    corpus. Output: (doc_id, n_words, bpe_tokens, ws_tokens), all
+    exact BIGINTs; the oracle runs the identical replace chain in
+    DuckDB, generated from the same merge table.
+
+    Scale: explode→per-(doc,word) count (map-side combine) →
+    vocab-bounded encode → word-keyed join-back (AQE-skew-splittable)
+    → per-doc sum (map-side combine). No Python, no windows; the
+    encode chain is whole-stage codegen."""
+    from llamadb_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
+def _oracle_t30() -> str:
+    from llamadb_spark.operators.bpe import WORD_SPLIT, bpe_encode_sql
+
+    enc = bpe_encode_sql("word")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '{WORD_SPLIT}')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+per_word AS (
+  SELECT doc_id, word, count(*) AS n_occ FROM words GROUP BY ALL
+),
+vocab AS (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, '|', '')) AS BIGINT)
+           AS n_tok
+  FROM (SELECT DISTINCT word, {enc} AS enc FROM per_word)
+),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(sum(p.n_occ) AS BIGINT) AS n_words,
+         CAST(sum(p.n_occ * v.n_tok) AS BIGINT) AS bpe_tokens
+  FROM per_word p JOIN vocab v USING (word) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       coalesce(p.bpe_tokens, 0) AS bpe_tokens,
+       CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+            AS BIGINT) AS ws_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLE_T30 = _oracle_t30()
+
+
 #: d25 line-dedup corpus construction: body sliced into fixed-width
 #: lines plus a per-source boilerplate header — the exact pattern
 #: C4-style line dedup exists to remove (site chrome repeated on
@@ -5082,7 +5160,9 @@ P19_TOKEN_BUDGET = 20_000
 P19_N_SHARDS = 8
 
 
-def p19_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p19_pipeline_manifest(
+    spark: SparkSession, sf_dir: str, token_counter: str = "ws"
+) -> DataFrame:
     """The artifact a data team actually ships (VERDICT r07 #3): ONE
     DAG composing the already-proven stages end-to-end — raw corpus →
     exact dedup (d01 policy) → near-dup clusters (d02 Jaccard pairs →
@@ -5184,11 +5264,26 @@ def p19_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv3, weights_micro=T28_WEIGHTS_MICRO, bias_micro=T28_BIAS_MICRO
     ).filter(col("is_quality"))
 
-    # Stage 5 — token-budget selection (quality-descending prefix)
+    # Stage 5 — token-budget selection (quality-descending prefix).
+    # token_counter="bpe" budgets in exact BPE tokens of the CLEANED
+    # text (operators/bpe.py — the currency training actually spends,
+    # VERDICT r08 #2); the candidate ORDER (logit desc, doc_id) is
+    # currency-independent, so ws/bpe selections are nested prefixes.
+    if token_counter == "bpe":
+        from llamadb_spark.operators.bpe import bpe_token_counts
+
+        bt = bpe_token_counts(surv3).select(
+            "doc_id", col("bpe_tokens").alias("budget_tokens")
+        )
+        qb = q.select("doc_id", "logit_micro").join(bt, "doc_id")
+    else:
+        qb = q.select(
+            "doc_id", col("n_tokens").alias("budget_tokens"), "logit_micro"
+        )
     sel = distributed_cumsum(
-        q.select("doc_id", "n_tokens", "logit_micro"),
+        qb,
         [col("logit_micro").desc(), col("doc_id").asc()],
-        "n_tokens",
+        "budget_tokens",
         out_col="cum_tokens",
     ).filter(col("cum_tokens") <= P19_TOKEN_BUDGET)
 
@@ -5640,6 +5735,7 @@ QUERIES = {
     "d20_substring_apply": d20_substring_apply,
     "t28_linear_quality": t28_linear_quality,
     "t29_gopher_repetition": t29_gopher_repetition,
+    "t30_bpe_tokens": t30_bpe_tokens,
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "d23_intra_doc_apply": d23_intra_doc_apply,
@@ -5674,6 +5770,7 @@ ORACLES = {
     "d20_substring_apply": ORACLE_D20,
     "t28_linear_quality": ORACLE_T28,
     "t29_gopher_repetition": ORACLE_T29,
+    "t30_bpe_tokens": ORACLE_T30,
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "d23_intra_doc_apply": ORACLE_D23,

@@ -329,3 +329,50 @@ def test_p19_composed_manifest_invariants(spark, sf_dir):
     selected = {r.doc_id for r in rows}
     assert not (selected & exact_losers)
     assert not (selected & nd_losers)
+
+
+def test_p19_bpe_budget_variant_nested_prefix(spark, sf_dir):
+    """VERDICT r08 #2: the composed pipeline budgeted in exact BPE
+    tokens (token_counter="bpe" — the currency training actually
+    spends) instead of whitespace tokens. The candidate ordering
+    (logit desc, doc_id) is currency-independent, so the two
+    selections MUST be nested prefixes of the same order; schema and
+    all packing invariants are unchanged."""
+    from llamadb_spark.queries.pipeline import p19_pipeline_manifest
+
+    ws = p19_pipeline_manifest(spark, sf_dir).localCheckpoint()
+    bpe = p19_pipeline_manifest(
+        spark, sf_dir, token_counter="bpe"
+    ).localCheckpoint()
+    assert ws.schema == bpe.schema
+    ws_rows = {r.doc_id: r for r in ws.collect()}
+    bpe_rows = {r.doc_id: r for r in bpe.collect()}
+    assert ws_rows and bpe_rows
+    a, b = set(ws_rows), set(bpe_rows)
+    assert a <= b or b <= a, "ws/bpe selections must be nested prefixes"
+    # shared docs carry identical attestation columns — only the
+    # budget CUT POINT moves with the currency
+    for did in a & b:
+        assert ws_rows[did] == bpe_rows[did]
+    # invariants hold under the bpe currency too
+    assert all(
+        r.fits_budget and r.fill_covers_doc and r.logit_micro > 0
+        for r in bpe_rows.values()
+    )
+
+
+def test_p15_bpe_budget_variant(spark, sf_dir):
+    """p15 budgeted in BPE tokens: runs green with the same schema;
+    the selected token mass stays within the (currency-reinterpreted)
+    budget, and the per-source doc counts never exceed the ws
+    variant's when BPE counts dominate ws counts on this corpus."""
+    from llamadb_spark.queries.pipeline import (
+        P15_TOKEN_BUDGET,
+        p15_token_budget_select,
+    )
+
+    ws = p15_token_budget_select(spark, sf_dir)
+    bpe = p15_token_budget_select(spark, sf_dir, token_counter="bpe")
+    assert ws.schema == bpe.schema
+    got = bpe.collect()
+    assert got and sum(r.tokens_selected for r in got) <= P15_TOKEN_BUDGET

@@ -531,3 +531,68 @@ def test_strided_spans_contained_and_recall_bounded(spark, texts, stride):
                 s, n = max(hits, key=lambda x: x[1])
                 assert s - es < stride  # start under-coverage bound
                 assert (es + en) - (s + n) < stride  # end bound
+
+
+# --- BPE replace-chain equivalence (operators/bpe.py) ---------------
+
+def _chain_encode_py(word: str, merges) -> list[str]:
+    """Python mirror of the rank-ordered replace chain: str.replace
+    has the same non-overlapping left-to-right resume-after-match
+    semantics as Spark's and DuckDB's replace()."""
+    s = "".join(f"|{c}~" for c in word)
+    for a, b in merges:
+        s = s.replace(f"|{a}~|{b}~", f"|{a}{b}~")
+    return [t[:-1] for t in s.split("|") if t]
+
+
+@given(
+    word=st.text(
+        alphabet="abcdefghilmnoprstuw", min_size=0, max_size=24
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_replace_chain_matches_priority_queue(word):
+    """The load-bearing equivalence (operators/bpe.py fact #1+#2):
+    rank-ordered replace sweeps over the |tok~ rendering produce
+    EXACTLY the classic min-rank-pair priority-queue encode — on
+    random words including adjacent-repeat shapes (llll, thethe)
+    where a naive separator encoding diverges."""
+    from llamadb_spark.operators.bpe import DEFAULT_MERGES, bpe_encode_py
+
+    assert _chain_encode_py(word, DEFAULT_MERGES) == bpe_encode_py(
+        word, DEFAULT_MERGES
+    )
+
+
+def test_bpe_spark_chain_matches_reference(spark):
+    """Engine pin: the Spark column form (regexp_replace + replace
+    chain) agrees with the priority-queue reference on fixed
+    adversarial words — adjacent self-merges, chained merges, words
+    with no applicable merges, and the empty-ish edge."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        bpe_encode_py,
+        bpe_encoded,
+        bpe_token_count,
+    )
+
+    words = [
+        "llllll", "thethethe", "forfor", "withwith", "aaaa", "x",
+        "the", "thither", "weathers", "zzzz", "q", "others",
+        "information", "understanding", "warehouse",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    rows = {
+        r.word: (r.enc, r.n)
+        for r in df.select(
+            "word",
+            bpe_encoded(F.col("word"), DEFAULT_MERGES).alias("enc"),
+            bpe_token_count(F.col("word"), DEFAULT_MERGES).alias("n"),
+        ).collect()
+    }
+    for w in words:
+        toks = bpe_encode_py(w, DEFAULT_MERGES)
+        want_enc = "".join(f"|{t}~" for t in toks)
+        assert rows[w] == (want_enc, len(toks)), (w, rows[w], toks)
