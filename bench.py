@@ -519,8 +519,15 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
     lsh_ann_pairs at sf0.01 and at the bench SF, and fit the
     exponent e in t ~ rows^e. e < 1.3 is the evidence the LSH path's
     cost is ~linear in corpus size — the 100 TB asymptotics claim,
-    measured instead of asserted. Each point is the best of 2 runs
-    (JVM/code-path warmth dominates single runs at these sizes).
+    measured instead of asserted.
+
+    Protocol (VERDICT r08 #5 — the committed exponent drifted
+    1.02→1.16 between rounds because each round's fit was one pass
+    exposed to whatever ambient window it ran in): THREE interleaved
+    cycles over the ascending points in one session (x2 x4 x8 x16,
+    ×3 — the paired-bench single-phase-alternation discipline), a
+    per-cycle fit to expose the spread, and the headline fit from
+    the per-point MIN across cycles (the least-contended runs).
     """
     import math
 
@@ -581,70 +588,101 @@ def d12_scaling_demo(spark, sf_dir: str) -> dict:
         ("x8", 8),
         ("x16", 16),
     ]
+    from llamadb_spark.operators.similarity import auto_num_planes
+
     out: dict = {}
-    pts = []
+    # stage the per-point corpora once; the operator's OWN
+    # auto-sizing formula (single source of truth, ADVICE r07) is
+    # recorded so the fit's evidence includes proof the plane count
+    # actually grew with the corpus (7→8→9 across 8x→16x)
+    staged = []
     for tag, mult in points:
         emb = scaled(mult)
         n = emb.count()
-        # the operator's OWN auto-sizing formula (single source of
-        # truth, ADVICE r07) — recorded so the fit's evidence
-        # includes proof the plane count actually grew with the
-        # corpus (7→8→9 across 8x→16x)
-        from llamadb_spark.operators.similarity import auto_num_planes
+        staged.append((tag, emb, n, auto_num_planes(n, 64)))
 
-        planes = auto_num_planes(n, 64)
-        best = None
-        n_pairs = None
-        for _ in range(2):
-            t0 = time.time()
-            # the SCALE configuration (#215): auto plane sizing keeps
-            # expected bucket occupancy constant as n grows, which is
-            # what makes pair-generation ~linear — a FIXED plane
-            # count (d12's small-SF recall config) re-acquires an
-            # n²/2^planes term once buckets fill, and that quadratic
-            # tail is precisely what auto sizing removes at 100 TB.
-            pairs = lsh_ann_pairs(
-                emb,
-                threshold=EMBED_NEARDUP_THRESHOLD,
-                num_planes="auto",
-                target_bucket_rows=64,
-                num_tables=D12_LSH_TABLES,
-            )
-            # count() executes the identical pair-gen plan plus one
-            # scalar agg; n_pairs per point discriminates an engine
-            # slowdown (time grows, pairs don't) from a data effect
-            # (near-threshold pair mass itself growing superlinearly)
-            n_pairs = pairs.count()
-            sec = time.time() - t0
-            best = sec if best is None else min(best, sec)
+    def one_timing(emb):
+        t0 = time.time()
+        # the SCALE configuration (#215): auto plane sizing keeps
+        # expected bucket occupancy constant as n grows, which is
+        # what makes pair-generation ~linear — a FIXED plane
+        # count (d12's small-SF recall config) re-acquires an
+        # n²/2^planes term once buckets fill, and that quadratic
+        # tail is precisely what auto sizing removes at 100 TB.
+        pairs = lsh_ann_pairs(
+            emb,
+            threshold=EMBED_NEARDUP_THRESHOLD,
+            num_planes="auto",
+            target_bucket_rows=64,
+            num_tables=D12_LSH_TABLES,
+        )
+        # count() executes the identical pair-gen plan plus one
+        # scalar agg; n_pairs per point discriminates an engine
+        # slowdown (time grows, pairs don't) from a data effect
+        # (near-threshold pair mass itself growing superlinearly)
+        n_pairs = pairs.count()
+        return time.time() - t0, n_pairs
+
+    def fit(pts):
+        xs = [math.log(n) for n, _ in pts]
+        ys = [math.log(t) for _, t in pts]
+        k = len(pts)
+        mx, my = sum(xs) / k, sum(ys) / k
+        sxx = sum((x - mx) ** 2 for x in xs)
+        sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        syy = sum((y - my) ** 2 for y in ys)
+        if sxx <= 0:
+            return None, None, []
+        segs = [
+            round(math.log(t2 / t1) / math.log(n2 / n1), 3)
+            for (n1, t1), (n2, t2) in zip(pts, pts[1:])
+        ]
+        return (
+            round(sxy / sxx, 3),
+            round((sxy * sxy) / (sxx * syy), 4) if syy > 0 else None,
+            segs,
+        )
+
+    cycles = 3
+    timings: dict = {tag: [] for tag, _ in points}
+    pair_counts: dict = {}
+    for _cyc in range(cycles):
+        for tag, emb, n, _planes in staged:
+            sec, n_pairs = one_timing(emb)
+            timings[tag].append(sec)
+            pair_counts[tag] = n_pairs
+    # per-cycle fits: the spread the round-over-round story needs
+    run_exponents, run_segments = [], []
+    for c in range(cycles):
+        e, _r2, segs = fit(
+            [(n, timings[tag][c]) for tag, _emb, n, _pl in staged]
+        )
+        run_exponents.append(e)
+        run_segments.append(segs)
+    # headline fit: per-point MIN across the interleaved cycles
+    pts = []
+    for tag, _emb, n, planes in staged:
+        best = min(timings[tag])
         out[f"{tag}_rows"] = n
         out[f"{tag}_sec"] = round(best, 3)
         out[f"{tag}_planes"] = planes
-        out[f"{tag}_pairs"] = n_pairs
+        out[f"{tag}_pairs"] = pair_counts[tag]
+        out[f"{tag}_runs"] = [round(t, 3) for t in timings[tag]]
         pts.append((n, best))
     out["base_rows"] = n0
-    xs = [math.log(n) for n, _ in pts]
-    ys = [math.log(t) for _, t in pts]
-    k = len(pts)
-    mx, my = sum(xs) / k, sum(ys) / k
-    sxx = sum((x - mx) ** 2 for x in xs)
-    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-    syy = sum((y - my) ** 2 for y in ys)
-    if sxx > 0:
-        slope = sxy / sxx
-        out["exponent"] = round(slope, 3)
-        out["r_squared"] = (
-            round((sxy * sxy) / (sxx * syy), 4) if syy > 0 else None
-        )
-        out["n_points"] = k
-    else:
-        out["exponent"] = None
-    out["segment_exponents"] = [
-        round(
-            math.log(t2 / t1) / math.log(n2 / n1), 3
-        )
-        for (n1, t1), (n2, t2) in zip(pts, pts[1:])
-    ]
+    out["runs"] = cycles
+    out["run_exponents"] = run_exponents
+    out["exponent_spread"] = (
+        round(max(run_exponents) - min(run_exponents), 3)
+        if all(e is not None for e in run_exponents)
+        else None
+    )
+    out["run_segments"] = run_segments
+    exponent, r2, segs = fit(pts)
+    out["exponent"] = exponent
+    out["r_squared"] = r2
+    out["n_points"] = len(pts)
+    out["segment_exponents"] = segs
     return out
 
 

@@ -1709,3 +1709,81 @@ def test_param_stamp_restampable_until_first_commit(spark, tmp_path):
     write_version(spark.range(1), span_corpus)
     with pytest.raises(ValueError, match="not comparable"):
         _check_span_params(span_corpus, min_len=30)
+
+
+def test_ingest_line_dedup_stream_three_batch_gating(spark, tmp_path):
+    """Streaming line dedup (VERDICT r08 #6 — d25's C4 keep-first at
+    ingest time): cross-batch duplicate lines are stripped against
+    the persisted line-hash index, intra-batch keep-first holds by
+    (doc_id, line_no), and replaying the whole drop is idempotent
+    (ledger-gated, corpus versions unchanged)."""
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import versions
+    from llamadb_spark.streaming.ingest_line_dedup import (
+        ingest_line_dedup_stream,
+    )
+
+    hdr = "SITE CHROME"
+    batches = [
+        # batch 0: doc 1 intro-duces the chrome line + body b1
+        [(1, hdr + "\nbody-one"), (2, "body-two\nbody-three")],
+        # batch 1: doc 3 repeats the chrome line (cross-batch dup) +
+        # docs 3 and 4 share a NEW line (intra-batch: doc 3 line 1
+        # is the keeper, doc 4's copy strips)
+        [(3, hdr + "\nshared-new"), (4, "shared-new\nbody-four")],
+        # batch 2: everything already seen -> fully stripped doc
+        [(5, hdr + "\nshared-new")],
+    ]
+    schema = "doc_id long, text string"
+    drop = tmp_path / "doc_drop"
+    drop.mkdir()
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            staged
+        )
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = str(drop / f"{i:02d}-docs.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        return ingest_line_dedup_stream(
+            stream, str(tmp_path / "corpus"), str(tmp_path / "lindex")
+        )
+
+    corpus, index = run()
+    rows = {r.doc_id: r for r in corpus.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].clean_text == hdr + "\nbody-one"
+    assert rows[2].clean_text == "body-two\nbody-three"
+    # cross-batch: doc 3 loses the chrome line, keeps its new line
+    assert rows[3].clean_text == "shared-new"
+    assert (rows[3].n_lines, rows[3].n_removed) == (2, 1)
+    # intra-batch keep-first: doc 4's copy of shared-new strips
+    assert rows[4].clean_text == "body-four"
+    # batch 2: fully stripped doc survives as an empty clean_text row
+    assert rows[5].clean_text == "" and rows[5].n_removed == 2
+    # one corpus + index version per micro-batch
+    assert versions(str(tmp_path / "corpus")) == [0, 1, 2]
+    assert versions(str(tmp_path / "lindex")) == [0, 1, 2]
+    # index holds exactly the distinct first-occurrence lines
+    assert index.count() == 6  # hdr, body-one..four, shared-new
+
+    # replay the identical drop: every batch id is in both ledgers,
+    # so nothing recommits — corpus and index unchanged
+    corpus2, index2 = run()
+    assert versions(str(tmp_path / "corpus")) == [0, 1, 2]
+    assert {(r.doc_id, r.clean_text) for r in corpus2.collect()} == {
+        (r.doc_id, r.clean_text) for r in corpus.collect()
+    }
+    assert index2.count() == 6
