@@ -1216,15 +1216,23 @@ def ivfpq_topk(
     (query, probed cell) — still driver-bounded,
     |queries|·nprobe·m·k* floats. On corpora with real cluster
     structure the residual form buys a finer quantization per code
-    budget (an equal-recall shortlist shrink). MEASURED NEGATIVE
-    RESULT on this repo's near-isotropic synthetic embeddings
-    (sf0.01/sf0.1, nprobe=8, iters∈{1,2}): residual recall ≤ plain at
-    shortlist 25/50 (e.g. 0.375 vs 0.625 mean at sf0.1/sl=25) and
-    only converges to plain by sl=100-200 — the 16 centroids of a
-    near-isotropic cloud carry almost no mass, so r ≈ x and the
-    per-cell table fragmentation just adds quantization noise. Plain
-    stays the default; residual is the documented knob for clustered
-    corpora.
+    budget (an equal-recall shortlist shrink). MEASURED BOTH WAYS
+    (tools/residual_eval.py):
+    - near-isotropic corpora (this repo's synthetic embeddings,
+      sf0.01/sf0.1, nprobe=8, iters∈{1,2}): residual recall ≤ plain
+      at shortlist 25/50 (e.g. 0.375 vs 0.625 mean at sf0.1/sl=25),
+      converging only by sl=100-200 — 16 centroids of an isotropic
+      cloud carry almost no mass, so r ≈ x and per-cell table
+      fragmentation just adds quantization noise.
+    - CLUSTERED corpora (VERDICT r08 #3: mixture-of-16-Gaussians,
+      n=20k, d=64, nprobe=8, same code budget): residual WINS, and
+      the win grows with cluster tightness — recall@5 at sl=25:
+      0.600 vs 0.525 (σ=0.15), 0.675 vs 0.375 (σ=0.10); at sl=50:
+      0.775 vs 0.725 (σ=0.15), 0.800 vs 0.550 (σ=0.10) — exactly
+      Jégou §V's prediction, now measured where intended.
+    Plain stays the default for THIS repo's near-isotropic test
+    corpus; flip residual=True when the corpus has real cluster
+    structure (most production embedding corpora do).
 
     Plan shape: index build = one Arrow-batched pass emitting (id,
     cell, codes) — no shuffle; query side = driver-bounded collects
