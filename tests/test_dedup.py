@@ -611,7 +611,7 @@ def test_line_dedup_hot_line_no_content_window(spark):
     yields a header-only row, not two spurious body lines."""
     import pyspark.sql.functions as F
 
-    from llamadb_spark.queries import pipeline as P
+    from llamadb_spark.queries import pipeline_dedup as P
 
     # 200 docs, all from one source -> every doc shares the header
     # line; doc texts distinct so bodies survive

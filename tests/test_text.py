@@ -244,7 +244,7 @@ def test_gopher_repetition_hand_checked(spark):
     13; dup-5gram 'a b a b a' x1... (no 5-gram repeats) -> 0."""
     import pyspark.sql.functions as F
 
-    from llamadb_spark.queries import pipeline as P
+    from llamadb_spark.queries import pipeline_text as P
 
     # doc 2: 60 distinct tokens — every n-gram unique, so the top
     # shares are one occurrence's chars over the doc (the gates
@@ -287,7 +287,7 @@ def test_gopher_repetition_short_docs_no_crash(spark):
     generate_series(1, 0) semantics."""
     import pyspark.sql.functions as F
 
-    from llamadb_spark.queries import pipeline as P
+    from llamadb_spark.queries import pipeline_text as P
 
     docs = spark.createDataFrame(
         [(1, "solo"), (2, "three tokens here"), (3, "x y x y x y")],
