@@ -1292,11 +1292,44 @@ def ivfpq_topk(
             )
 
     index = v.mapInPandas(_index, "neighbor_id long, cell int, codes array<bigint>")
+    return _ivfpq_query(
+        index, cents, books, emb, query_ids,
+        k=k, shortlist=shortlist, nprobe=nprobe, residual=residual,
+        id_col=id_col, vec_col=vec_col,
+    )
 
-    # query side: nprobe cells + ADC lookup tables, driver-bounded by
-    # the query list (the ivf_topk/pq_topk boundary). Plain PQ keys
-    # tables (query, sub); residual keys them (query, CELL, sub):
-    # the lookup target is q_norm − centroid[cell] per probed cell.
+
+def _ivfpq_query(
+    index: DataFrame,
+    cents,
+    books,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    shortlist: int,
+    nprobe: int,
+    residual: bool,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The query half of IVF-PQ, shared by :func:`ivfpq_topk` (train
+    + query in one plan, the driver-attested bench shape) and
+    operators/ann_index.py's persisted train-once/query-many path.
+    ``index`` is the (neighbor_id, cell, codes) relation; ``cents``/
+    ``books`` are the trained numpy model.
+
+    Query side: nprobe cells + ADC lookup tables, driver-bounded by
+    the query list (the ivf_topk/pq_topk boundary). Plain PQ keys
+    tables (query, sub); residual keys them (query, CELL, sub):
+    the lookup target is q_norm − centroid[cell] per probed cell.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    v = emb.select(
+        col(id_col).alias("_id"), as_double(col(vec_col)).alias("_v")
+    )
     qrows = v.filter(col("_id").isin(query_ids)).collect()
     m_, _kk, ds = books.shape
     probe_rows, table_rows = [], []

@@ -415,3 +415,54 @@ def test_ivfpq_residual_contract(spark, sf_dir):
     # saturating shortlist: both paths recover the same probed-cell
     # ceiling (allow 1 hit of noise)
     assert abs(hits_res - hits_plain) <= 1
+
+
+def test_persisted_ivfpq_index_train_once_query_many(spark, sf_dir, tmp_path):
+    """operators/ann_index.py: the persisted train-once/query-many
+    deployment shape. (1) querying the persisted index returns
+    EXACTLY what the in-memory ivfpq_topk returns for the same
+    params (same deterministic trainers, literally the same query
+    code via similarity._ivfpq_query); (2) the query-time plan does
+    ZERO training work — no Arrow/Python stage anywhere (the corpus
+    encode happened at build); (3) a params mismatch fails loudly
+    instead of mis-scoring against incompatible codes."""
+    from llamadb_spark.operators import similarity
+    from llamadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_query_index,
+    )
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    kw = dict(n_cells=16, n_subspaces=16, n_codes=32, iters=1)
+    idx = str(tmp_path / "ivfpq_idx")
+    params = build_ivfpq_index(emb, idx, **kw)
+    assert params["dim"] % params["n_subspaces"] == 0
+
+    q = ivfpq_query_index(
+        spark, idx, emb, KNN_QUERY_IDS, k=KNN_K, shortlist=200, nprobe=8,
+        expect={"n_cells": 16, "residual": False},
+    )
+    got = sorted(map(tuple, q.collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                emb, KNN_QUERY_IDS, k=KNN_K, shortlist=200, nprobe=8, **kw
+            ).collect(),
+        )
+    )
+    assert got == want and got  # identical results, train-free path
+
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, f"query-time plan must not {node}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different\\s+params"):
+        ivfpq_query_index(
+            spark, idx, emb, KNN_QUERY_IDS, expect={"n_cells": 64}
+        )
