@@ -45,47 +45,23 @@ def _params_path(path: str) -> str:
     return os.path.join(path, _PARAMS_FILE)
 
 
-def build_ivfpq_index(
+def _encode_codes(
     emb: DataFrame,
-    path: str,
-    n_cells: int = 16,
-    n_subspaces: int = 16,
-    n_codes: int = 32,
-    iters: int = 2,
-    residual: bool = False,
+    cents,
+    books,
+    residual: bool,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> dict:
-    """Train and persist the index; returns the params stamp.
-
-    Scale: the trainers' collects are bounded (seed rows, Lloyd
-    means); the corpus encode is one Arrow pass writing (id, cell,
-    codes) — no shuffle; the model parquet is n_cells + m·n_codes
-    rows. Re-building overwrites atomically per artifact.
-    """
+) -> DataFrame:
+    """Encode vectors against a (frozen) model: one Arrow pass →
+    (neighbor_id, cell, codes m×int), no shuffle. Shared by the
+    initial build and incremental appends so stored codes are
+    byte-identical however they arrived."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    from llamadb_spark.operators.similarity import (
-        _pq_train_residual_codebooks,
-        ivf_train_centroids,
-        pq_train_codebooks,
-    )
-
     spark = emb.sparkSession
-    cents = ivf_train_centroids(
-        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
-    )
-    if residual:
-        books = _pq_train_residual_codebooks(
-            emb, cents, n_subspaces, n_codes, iters, id_col, vec_col
-        )
-    else:
-        books = pq_train_codebooks(
-            emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
-            id_col=id_col, vec_col=vec_col,
-        )
     bc_c = spark.sparkContext.broadcast(cents)
     bc_b = spark.sparkContext.broadcast(books)
     v = emb.select(
@@ -118,8 +94,50 @@ def build_ivfpq_index(
                 }
             )
 
-    codes_df = v.mapInPandas(
+    return v.mapInPandas(
         _index, "neighbor_id long, cell int, codes array<bigint>"
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 16,
+    n_codes: int = 32,
+    iters: int = 2,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train and persist the index; returns the params stamp.
+
+    Scale: the trainers' collects are bounded (seed rows, Lloyd
+    means); the corpus encode is one Arrow pass writing (id, cell,
+    codes) — no shuffle; the model parquet is n_cells + m·n_codes
+    rows. Re-building overwrites atomically per artifact.
+    """
+    from llamadb_spark.operators.similarity import (
+        _pq_train_residual_codebooks,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    spark = emb.sparkSession
+    cents = ivf_train_centroids(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters
+    )
+    if residual:
+        books = _pq_train_residual_codebooks(
+            emb, cents, n_subspaces, n_codes, iters, id_col, vec_col
+        )
+    else:
+        books = pq_train_codebooks(
+            emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    codes_df = _encode_codes(
+        emb, cents, books, residual, id_col=id_col, vec_col=vec_col
     )
     codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
 
@@ -145,6 +163,37 @@ def build_ivfpq_index(
     }
     with open(_params_path(path), "w") as fh:
         json.dump(params, fh)
+    return params
+
+
+def append_ivfpq_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally index NEW vectors against the FROZEN model (the
+    streaming-ingest companion of build: codebooks train once; daily
+    drops append). One Arrow encode pass over only the new batch, an
+    append write of its codes — the corpus is never re-encoded and
+    the model files are untouched, so concurrent readers keep a
+    consistent model view.
+
+    Caveats, documented not hidden: (1) appended vectors are
+    quantized with codebooks trained on the ORIGINAL distribution —
+    under real drift, recall on new data decays and the remedy is a
+    rebuild (the stamp makes partial retrains impossible to apply
+    silently); (2) id dedup is the ingest pipeline's job (#266's
+    ledgered gating) — append writes exactly what it is given.
+
+    Returns the (unchanged) params stamp.
+    """
+    params, cents, books = load_ivfpq_model(emb_new.sparkSession, path)
+    codes_df = _encode_codes(
+        emb_new, cents, books, params["residual"],
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes_df.write.mode("append").parquet(os.path.join(path, "codes"))
     return params
 
 

@@ -466,3 +466,64 @@ def test_persisted_ivfpq_index_train_once_query_many(spark, sf_dir, tmp_path):
         ivfpq_query_index(
             spark, idx, emb, KNN_QUERY_IDS, expect={"n_cells": 64}
         )
+
+
+def test_ivfpq_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_ivfpq_index: new vectors are encoded against the FROZEN
+    model and appended — (1) stored codes after build(A)+append(B)
+    are exactly encode(A∪B) under the frozen model (one shared
+    encode pass, byte-identical however rows arrived); (2) the model
+    files are untouched by the append; (3) a planted near-duplicate
+    appended later is actually FOUND as its query's top neighbor."""
+    import pyspark.sql.functions as F
+
+    from llamadb_spark.operators.ann_index import (
+        _encode_codes,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_query_index,
+        load_ivfpq_model,
+    )
+    from llamadb_spark.queries.pipeline import KNN_K, _emb
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    # half B, plus a planted near-dup of vec 0 at a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(990_001).alias("vec_id"), "embedding", "label"
+    )
+    half_b = emb.filter(F.col("vec_id") % 2 == 1).unionByName(dup)
+    full = half_a.unionByName(half_b)
+
+    idx = str(tmp_path / "idx")
+    kw = dict(n_cells=16, n_subspaces=16, n_codes=32, iters=1)
+    build_ivfpq_index(half_a, idx, **kw)
+    model_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/model").collect())
+    )
+    params = append_ivfpq_index(half_b, idx)
+    assert params["n_cells"] == 16
+    # model untouched by append
+    model_after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/model").collect())
+    )
+    assert model_before == model_after
+
+    # stored codes == one-pass encode of the union with the frozen model
+    _p, cents, books = load_ivfpq_model(spark, idx)
+    want = sorted(
+        (r.neighbor_id, r.cell, tuple(r.codes))
+        for r in _encode_codes(full, cents, books, False).collect()
+    )
+    got = sorted(
+        (r.neighbor_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    assert got == want
+
+    # the appended near-dup is findable: top neighbor of vec 0
+    res = ivfpq_query_index(
+        spark, idx, full, [0], k=KNN_K, shortlist=200, nprobe=8
+    ).collect()
+    top = min(res, key=lambda r: r.rank)
+    assert top.neighbor_id == 990_001 and top.cos > 0.99

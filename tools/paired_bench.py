@@ -49,7 +49,13 @@ qs["q09_order_limit"](spark, sf_dir).write.format("noop").mode(
     "overwrite").save()
 timings = {}
 import gc
-for i, name in enumerate(qs):
+# CANONICAL (sorted) key order, NOT registry order: the registry is
+# an evidence-rotation queue that reorders every round, so dict-order
+# sweeps put different keys in the cold early slots on each side and
+# the paired ratios read rotation position, not code (measured in
+# round 9: the freshly-front-rotated r04 cohort all "regressed"
+# 1.6-2.3x while back-rotated keys "won" 0.2-0.6x, both spurious).
+for i, name in enumerate(sorted(qs)):
     t0 = time.time()
     qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings[name] = round(time.time() - t0, 3)
