@@ -64,6 +64,7 @@ from llamadb_spark.queries.pipeline_text import (
     ORACLE_T28,
     ORACLE_T29,
     ORACLE_T30,
+    ORACLE_T31,
     PMI_K,
     PMI_MIN_COUNT,
     RRF_K,
@@ -114,6 +115,7 @@ from llamadb_spark.queries.pipeline_text import (
     t28_linear_quality,
     t29_gopher_repetition,
     t30_bpe_tokens,
+    t31_bpe_fertility,
 )  # noqa: F401
 from llamadb_spark.queries.pipeline_dedup import (
     CONTAINMENT_THRESHOLD,
@@ -1425,6 +1427,7 @@ QUERIES = {
     "t28_linear_quality": t28_linear_quality,
     "t29_gopher_repetition": t29_gopher_repetition,
     "t30_bpe_tokens": t30_bpe_tokens,
+    "t31_bpe_fertility": t31_bpe_fertility,
     "d21_duplication_profile": d21_duplication_profile,
     "d22_intra_doc_repeats": d22_intra_doc_repeats,
     "d23_intra_doc_apply": d23_intra_doc_apply,
@@ -1459,6 +1462,7 @@ ORACLES = {
     "t28_linear_quality": ORACLE_T28,
     "t29_gopher_repetition": ORACLE_T29,
     "t30_bpe_tokens": ORACLE_T30,
+    "t31_bpe_fertility": ORACLE_T31,
     "d21_duplication_profile": ORACLE_D21,
     "d22_intra_doc_repeats": ORACLE_D22,
     "d23_intra_doc_apply": ORACLE_D23,

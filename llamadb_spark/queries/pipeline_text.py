@@ -1283,3 +1283,88 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 ORACLE_T30 = _oracle_t30()
+
+
+def t31_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility in the REAL currency: UTF-8 bytes per
+    exact BPE token per language, alongside the BPE-per-whitespace
+    blowup factor — the pair that converts a raw-bytes corpus budget
+    into trainable tokens (t23 is the whitespace PROXY; the two
+    diverge exactly where subword tokenizers split hardest, which is
+    what this key measures). One scan for bytes + the t30 vocab-
+    bounded encode; one per-language aggregate.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators.bpe import bpe_token_counts
+
+    docs = _docs(spark, sf_dir)
+    counts = bpe_token_counts(docs)
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.octet_length(F.encode(col("text"), "UTF-8")).alias("n_bytes"),
+        )
+        .join(counts, "doc_id")
+        .filter(col("bpe_tokens") > 0)
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.round(F.sum("n_bytes") / F.sum("bpe_tokens"), 6).alias(
+            "bytes_per_bpe_token"
+        ),
+        F.round(F.sum("bpe_tokens") / F.sum("ws_tokens"), 6).alias(
+            "bpe_per_ws_token"
+        ),
+    )
+
+
+def _oracle_t31() -> str:
+    from llamadb_spark.operators.bpe import WORD_SPLIT, bpe_encode_sql
+
+    enc = bpe_encode_sql("word")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '{WORD_SPLIT}')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+per_word AS (
+  SELECT doc_id, word, count(*) AS n_occ FROM words GROUP BY ALL
+),
+vocab AS (
+  SELECT word,
+         CAST(length(enc) - length(replace(enc, '|', '')) AS BIGINT)
+           AS n_tok
+  FROM (SELECT DISTINCT word, {enc} AS enc FROM per_word)
+),
+per_doc AS (
+  SELECT p.doc_id,
+         CAST(sum(p.n_occ * v.n_tok) AS BIGINT) AS bpe_tokens
+  FROM per_word p JOIN vocab v USING (word) GROUP BY p.doc_id
+)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS total_bytes,
+       CAST(sum(p.bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(len(string_split_regex(trim(lower(d.text)), '\\s+')))
+            AS BIGINT) AS total_ws_tokens,
+       round(sum(octet_length(encode(d.text)))
+             / CAST(sum(p.bpe_tokens) AS DOUBLE), 6)
+         AS bytes_per_bpe_token,
+       round(sum(p.bpe_tokens)
+             / CAST(sum(len(string_split_regex(trim(lower(d.text)),
+                                               '\\s+'))) AS DOUBLE), 6)
+         AS bpe_per_ws_token
+FROM documents d JOIN per_doc p USING (doc_id)
+WHERE p.bpe_tokens > 0
+GROUP BY d.lang
+"""
+
+
+ORACLE_T31 = _oracle_t31()
