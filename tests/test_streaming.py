@@ -1787,3 +1787,73 @@ def test_ingest_line_dedup_stream_three_batch_gating(spark, tmp_path):
         (r.doc_id, r.clean_text) for r in corpus.collect()
     }
     assert index2.count() == 6
+
+
+def test_ingest_line_dedup_per_table_replay_gating(spark, tmp_path):
+    """Crash between the corpus commit and the index commit (the
+    line family commits corpus first): the replayed batch must
+    re-commit ONLY the index, probing it as it stood BEFORE the
+    batch so the recomputed first-occurrences are identical — no
+    duplicate corpus version, no lost index rows. And the inverse
+    window (index committed, corpus lost) probes the PRE-batch index
+    via the ledgered base version so the batch's own lines don't
+    gate themselves on replay."""
+    import os
+    import shutil
+
+    from llamadb_spark.sources.versioned import latest_version, versions
+    from llamadb_spark.streaming.ingest_line_dedup import (
+        ingest_line_dedup_stream,
+    )
+    from llamadb_spark.streaming.ivm import committed_batches
+
+    hdr = "CHROME LINE"
+    batches = [
+        [(1, hdr + "\nbody-a")],
+        [(2, hdr + "\nbody-b")],
+    ]
+    schema = "doc_id long, text string"
+    drop = tmp_path / "ld_drop"
+    drop.mkdir()
+    for i, rows in enumerate(batches):
+        staged = str(tmp_path / f"ld_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            staged
+        )
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        dst = str(drop / f"{i:02d}-docs.parquet")
+        shutil.copyfile(os.path.join(staged, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    corpus_path = str(tmp_path / "ld_corpus")
+    index_path = str(tmp_path / "ld_index")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        return ingest_line_dedup_stream(stream, corpus_path, index_path)
+
+    corpus, index = run()
+    rows = {r.doc_id: r.clean_text for r in corpus.collect()}
+    assert rows == {1: hdr + "\nbody-a", 2: "body-b"}
+    assert index.count() == 3  # hdr, body-a, body-b
+
+    # crash window: index commit for batch 1 lost, corpus survived
+    shutil.rmtree(os.path.join(index_path, "v=1"))
+    with open(os.path.join(index_path, "_latest"), "w") as fh:
+        fh.write("0")
+    assert latest_version(index_path) == 0
+    assert committed_batches(corpus_path) == {0: 0, 1: 1}
+    assert committed_batches(index_path) == {0: 0}
+
+    corpus2, index2 = run()
+    rows2 = {r.doc_id: r.clean_text for r in corpus2.collect()}
+    assert rows2 == rows
+    assert versions(corpus_path) == [0, 1]  # no duplicate commit
+    assert versions(index_path) == [0, 1]   # re-committed only here
+    assert index2.count() == 3
