@@ -8,20 +8,21 @@ freshness policy. Round-7 policy (VERDICT r06 "Next round" #3),
 generalized from the per-round tier lists of earlier rounds:
 
   1. keys NEVER driver-checked (new this round) lead;
-  2. then every key ascending by the round of its most recent
+  2. then keys whose query plan changed this round (_PLAN_CHANGED,
+     VERDICT r09 #2): a fresh plan deserves fresh independent
+     attestation even if its old plan was recently green;
+  3. then every key ascending by the round of its most recent
      driver evidence (_LAST_CHECKED, regenerated each round from
      the CORRECTNESS_r0N.json files) — oldest evidence first, ties
-     alphabetical. This automatically makes each round's prefix
-     disjoint from the previous round's (freshly-checked keys sink
-     to the back of the queue);
-  3. rows-only-by-design keys (s02, d12 — scale-path keys whose
+     alphabetical;
+  4. rows-only-by-design keys (s02, d12 — scale-path keys whose
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The r09 prefix is therefore the new round-9 key (t30_bpe_tokens)
-followed by the r04-evidence cohort (q37-q54 advanced keys, t16,
-s11…) and the alphabetically-first r05-evidence keys; prefix ∩ r08
-prefix = ∅ (verified at rotation time).
+The r10 prefix is therefore the new round-10 keys (s18_index_query,
+d26_url_domains, p20_domain_caps), then the force-included
+plan-changed keys (d25, t29, p19 from the r9 plan changes; p03 from
+the r10 BPE-currency change), then the r05-evidence cohort.
 """
 
 from __future__ import annotations
@@ -60,8 +61,8 @@ _LAST_CHECKED = {
     "a01_asof_join": 7,
     "a02_approx_stats": 6,
     "a03_asof_forward": 8,
-    "a04_asof_tolerance": 5,
-    "a05_asof_nearest": 5,
+    "a04_asof_tolerance": 9,
+    "a05_asof_nearest": 9,
     "a06_sketch_rollup": 6,
     "a07_twap": 8,
     "d01_exact_dedup": 6,
@@ -77,9 +78,9 @@ _LAST_CHECKED = {
     "d11_editdist_pairs": 7,
     "d13_incremental_dedup": 8,
     "d14_containment_pairs": 8,
-    "d15_cluster_sizes": 5,
-    "d16_threshold_sweep": 5,
-    "d17_pair_provenance": 5,
+    "d15_cluster_sizes": 9,
+    "d16_threshold_sweep": 9,
+    "d17_pair_provenance": 9,
     "d18_minhash_calibration": 6,
     "d19_substring_spans": 7,
     "d20_substring_apply": 7,
@@ -106,15 +107,15 @@ _LAST_CHECKED = {
     "e16_interarrival_stats": 7,
     "e17_cep_match": 8,
     "e18_bot_users": 8,
-    "e19_seasonality": 5,
-    "e20_user_concentration": 5,
-    "e21_transition_matrix": 5,
-    "e22_session_durations": 5,
-    "e23_weekly_churn": 5,
-    "e24_transition_stream": 5,
+    "e19_seasonality": 9,
+    "e20_user_concentration": 9,
+    "e21_transition_matrix": 9,
+    "e22_session_durations": 9,
+    "e23_weekly_churn": 9,
+    "e24_transition_stream": 9,
     "g01_pagerank": 8,
     "g02_degree_histogram": 8,
-    "g03_triangle_count": 5,
+    "g03_triangle_count": 9,
     "h03_shipping_priority": 8,
     "h04_priority_checking": 8,
     "h05_local_supplier_volume": 8,
@@ -135,7 +136,7 @@ _LAST_CHECKED = {
     "m03_frame_sample": 7,
     "m04_payload_chunks": 7,
     "m05_media_dedup": 8,
-    "m06_media_filter": 5,
+    "m06_media_filter": 9,
     "m07_crossmodal_knn": 6,
     "p01_stratified_sample": 7,
     "p02_contamination": 7,
@@ -148,12 +149,12 @@ _LAST_CHECKED = {
     "p09_exact_k_sample": 7,
     "p10_leakproof_split": 7,
     "p11_weighted_sample": 8,
-    "p12_dup_weights": 5,
-    "p13_winsorize": 5,
-    "p14_shard_balance": 5,
-    "p15_token_budget_select": 5,
-    "p16_epoch_upsample": 5,
-    "p17_alpha_mixture": 5,
+    "p12_dup_weights": 9,
+    "p13_winsorize": 9,
+    "p14_shard_balance": 9,
+    "p15_token_budget_select": 9,
+    "p16_epoch_upsample": 9,
+    "p17_alpha_mixture": 9,
     "p18_span_decontaminate": 7,
     "p19_pipeline_manifest": 8,
     "q01_pricing_summary": 6,
@@ -192,30 +193,30 @@ _LAST_CHECKED = {
     "q34_explode_tokens": 8,
     "q35_json_extract": 8,
     "q36_regexp_extract": 8,
-    "q37_decimal_exact": 4,
-    "q38_range_frame": 4,
-    "q39_semi_join": 4,
-    "q40_conditional_agg": 4,
-    "q41_array_hof": 4,
-    "q42_cte_top_supplier": 4,
-    "q43_min_cost_supplier": 4,
-    "q44_market_share": 4,
-    "q45_unpivot": 4,
-    "q46_scd2_intervals": 4,
-    "q47_window_dist": 4,
-    "q48_grouping_id": 4,
-    "q49_pagination": 4,
-    "q50_nulls_order": 4,
-    "q51_string_agg": 4,
-    "q52_histogram": 4,
-    "q53_mode_disc": 4,
-    "q54_lateral_topk": 4,
-    "q55_right_join": 5,
-    "q56_qualify_latest": 5,
-    "q57_values_inline": 5,
-    "q58_date_arith": 5,
-    "q59_multi_pivot": 5,
-    "q60_rows_frame": 5,
+    "q37_decimal_exact": 9,
+    "q38_range_frame": 9,
+    "q39_semi_join": 9,
+    "q40_conditional_agg": 9,
+    "q41_array_hof": 9,
+    "q42_cte_top_supplier": 9,
+    "q43_min_cost_supplier": 9,
+    "q44_market_share": 9,
+    "q45_unpivot": 9,
+    "q46_scd2_intervals": 9,
+    "q47_window_dist": 9,
+    "q48_grouping_id": 9,
+    "q49_pagination": 9,
+    "q50_nulls_order": 9,
+    "q51_string_agg": 9,
+    "q52_histogram": 9,
+    "q53_mode_disc": 9,
+    "q54_lateral_topk": 9,
+    "q55_right_join": 9,
+    "q56_qualify_latest": 9,
+    "q57_values_inline": 9,
+    "q58_date_arith": 9,
+    "q59_multi_pivot": 9,
+    "q60_rows_frame": 9,
     "q61_recursive_cte": 5,
     "q62_set_ops_all": 5,
     "q63_group_by_all": 5,
@@ -234,7 +235,7 @@ _LAST_CHECKED = {
     "s08_embed_dim_stats": 8,
     "s09_pca_project": 6,
     "s10_mmr_rerank": 6,
-    "s11_rerank_ann": 4,
+    "s11_rerank_ann": 9,
     "s12_cluster_balance": 6,
     "s13_filtered_knn": 5,
     "s14_silhouette": 5,
@@ -256,10 +257,10 @@ _LAST_CHECKED = {
     "t13_heavy_hitters": 6,
     "t14_unigram_logprob": 8,
     "t15_doc_keywords": 8,
-    "t16_bigram_logprob": 4,
-    "t17_zipf_slope": 4,
-    "t19_token_yield": 4,
-    "t20_quality_deciles": 4,
+    "t16_bigram_logprob": 9,
+    "t17_zipf_slope": 9,
+    "t19_token_yield": 9,
+    "t20_quality_deciles": 9,
     "t21_source_overlap": 5,
     "t22_source_divergence": 5,
     "t23_token_fertility": 5,
@@ -269,7 +270,22 @@ _LAST_CHECKED = {
     "t27_bm25_rank": 6,
     "t28_linear_quality": 7,
     "t29_gopher_repetition": 8,
+    "t30_bpe_tokens": 9,
+    "t31_bpe_fertility": 9,
 }
+
+#: Keys whose query PLAN materially changed during the CURRENT round
+#: (or, for round 10, whose r9 plan change has only local-parity
+#: evidence — VERDICT r09 #2): they outrank the oldest-evidence
+#: cohort so the driver independently attests the NEW plan this
+#: round instead of waiting for the rotation to come back around.
+#: Reset/regenerate each round alongside _LAST_CHECKED.
+_PLAN_CHANGED = frozenset({
+    "d25_line_dedup",        # r9: window -> agg+join-back keep-first
+    "t29_gopher_repetition", # r9: descending-sequence guard
+    "p19_pipeline_manifest", # r9: staged detection + BPE budgets
+    "p03_pack_sequences",    # r10: BPE token-counter threading
+})
 
 #: Rows-only BY DESIGN (not convertible without polluting the scale
 #: path's own plan with its exact O(N^2) twin): evidence is
@@ -287,8 +303,12 @@ ATTESTATION_KEYS = frozenset(_BANDED_R06)
 
 def _rank(k: str) -> tuple:
     if k in _ROWS_ONLY_BY_DESIGN:
-        return (99, k)
-    return (_LAST_CHECKED.get(k, 0), k)
+        return (3, 0, k)
+    if k not in _LAST_CHECKED:
+        return (0, 0, k)  # never driver-checked: lead
+    if k in _PLAN_CHANGED:
+        return (1, _LAST_CHECKED[k], k)  # plan changed: re-attest now
+    return (2, _LAST_CHECKED[k], k)
 
 
 def _rotated(merged):
