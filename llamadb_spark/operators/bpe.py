@@ -28,10 +28,19 @@ Spark formulation possible:
    resume-after-match scan IS the canonical stride-2 BPE sweep
    (``aaaa`` with merge (a,a) -> ``|aa~|aa~``, exactly [aa, aa]).
 
-So the encoder is a chain of built-in ``replace`` calls — whole-stage
-codegen, zero Python — and the token count is just the number of
+So the encoder is a chain of built-in ``replace`` calls — JVM string
+functions, zero Python — and the token count is just the number of
 ``|`` openers left. The same chain renders as DuckDB SQL, giving the
 oracle an exact independent twin (no banded attestation needed).
+
+The chain form has a measured MERGE-AXIS limit (round 10): the
+Catalyst analyzer overflows the driver stack recursing over the
+m-deep expression tree at m >= 384, so production-size merge tables
+(8k-50k) cannot ship as a chain at all. ``bpe_encode_vocab`` selects
+the path: chain up to REPLACE_CHAIN_MAX_MERGES (the oracle-twin
+form), Arrow ``mapInPandas`` over the DISTINCT-word vocabulary above
+it — still off the per-occurrence hot path (see Scale below), pinned
+equal to the chain by hypothesis + an 8k-merge equality test.
 
 Scale: encoding runs once per DISTINCT word (the vocabulary — Heaps'
 law sublinear in corpus size), never per occurrence; per-doc counts
@@ -75,10 +84,40 @@ WORD_SPLIT = "[^a-z]+"
 
 
 def _check_merges(merges) -> None:
-    for a, b in merges:
+    """Validate the well-formedness the rank-order ≡ priority-queue
+    equivalence requires (ADVICE r09: previously only marker chars
+    were rejected, so a malformed table could silently mis-count):
+
+    - no merge side contains a marker character;
+    - every multi-char side is the PRODUCT of an earlier merge (a
+      token that can actually exist when its rank comes up — the
+      invariant every real BPE trainer produces by construction);
+    - no two merges produce the same surface string (with duplicate
+      products, two distinct vocab tokens render identically and the
+      string-form sweep cannot tell them apart — e.g. merges
+      [(a,b),(b,c),(a,bc),(abc,d),(ab,c)] on 'abcd' give the chain
+      [abc, d] but the priority queue [abcd]).
+    """
+    seen_products: set[str] = set()
+    for i, (a, b) in enumerate(merges):
         for part in (a, b):
             if not part or any(c in (_OPEN, _TERM) for c in part):
                 raise ValueError(f"merge part {part!r} contains a marker")
+            if len(part) > 1 and part not in seen_products:
+                raise ValueError(
+                    f"merge {i} side {part!r} is neither a single "
+                    "character nor the product of an earlier merge — "
+                    "the rank-order equivalence does not hold for "
+                    "unformable sides"
+                )
+        prod = a + b
+        if prod in seen_products:
+            raise ValueError(
+                f"merge {i} product {prod!r} duplicates an earlier "
+                "merge's product — surface strings must identify "
+                "tokens uniquely for the replace-chain form"
+            )
+        seen_products.add(prod)
 
 
 def bpe_encoded(word: Column, merges=DEFAULT_MERGES) -> Column:
@@ -102,6 +141,90 @@ def bpe_token_count(word: Column, merges=DEFAULT_MERGES) -> Column:
     return (
         F.length(enc) - F.length(F.replace(enc, F.lit(_OPEN), F.lit("")))
     ).cast("long")
+
+
+#: Merge-table size above which the replace-chain encode is replaced
+#: by the Arrow vocab encode (see ``bpe_encode_vocab``). Measured
+#: (tools/bpe_scale_eval.py, round 10, local[32], 5k-word vocab,
+#: synthetic well-formed tables):
+#:   merges   build+analyze   execute      vs Arrow path
+#:   256      0.3 s           0.6 s        0.35 s
+#:   320      1.0 s           2.4 s        ok
+#:   384+     java.lang.StackOverflowError during analysis — the
+#:            Catalyst analyzer recurses over the m-deep nested
+#:            replace() tree and exhausts the default driver stack
+#:            (512, 768, 1024, 8192 all fail identically)
+#: So the binding constraint is the ANALYZER's recursion depth, far
+#: below any production merge list (8k-50k); executor CPU never
+#: enters the picture. 256 keeps the chain comfortably under the
+#: measured 384 failure point; every larger table routes to the
+#: Arrow path whose cost is O(vocab · word_len), independent of plan
+#: depth (0.3-1.8 s at every size tried, 256 through 32768).
+REPLACE_CHAIN_MAX_MERGES = 256
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame,
+    merges=DEFAULT_MERGES,
+    word_col: str = "word",
+    max_chain_merges: int | None = None,
+) -> DataFrame:
+    """Encode a DISTINCT-word vocabulary table: (word_col) ->
+    (word_col, encoded ``|tok~`` rendering, n_tok).
+
+    Path selection on ``len(merges)`` (VERDICT r09 #1):
+
+    - ``<= max_chain_merges`` (default REPLACE_CHAIN_MAX_MERGES):
+      the rank-ordered replace chain — pure JVM string functions,
+      and the form the DuckDB oracle mirrors exactly.
+    - above: Arrow ``mapInPandas`` running the priority-queue
+      ``bpe_encode_py`` kernel per distinct word (ranks built once
+      per batch from a broadcast merge list). Python here is NOT the
+      hot path: the input is the vocabulary (Heaps-law sublinear in
+      corpus size — millions of rows at 100 TB, not trillions), and
+      per-occurrence costs remain the join-back aggregate in
+      ``bpe_token_counts``. The two paths are pinned equal by a
+      hypothesis test plus an 8k-merge Spark-side equality test.
+    """
+    _check_merges(merges)
+    if max_chain_merges is None:
+        max_chain_merges = REPLACE_CHAIN_MAX_MERGES
+    if len(merges) <= max_chain_merges:
+        enc = bpe_encoded(col(word_col), merges)
+        return vocab.select(
+            col(word_col),
+            enc.alias("encoded"),
+            (
+                F.length(enc)
+                - F.length(F.replace(enc, F.lit(_OPEN), F.lit("")))
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = vocab.sparkSession
+    bc = spark.sparkContext.broadcast(tuple(merges))
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = {pair: i for i, pair in enumerate(bc.value)}
+        for batch in batches:
+            encs, ntoks = [], []
+            for w in batch[word_col]:
+                toks = _encode_ranks(w, ranks)
+                encs.append(
+                    "".join(f"{_OPEN}{t}{_TERM}" for t in toks)
+                )
+                ntoks.append(len(toks))
+            yield pd.DataFrame(
+                {word_col: batch[word_col], "encoded": encs, "n_tok": ntoks}
+            )
+
+    return vocab.mapInPandas(
+        _enc, f"{word_col} string, encoded string, n_tok long"
+    )
 
 
 def bpe_token_counts(
@@ -135,9 +258,9 @@ def bpe_token_counts(
     per_word = words.groupBy(id_col, "word").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
-    vocab = per_word.select("word").distinct().select(
-        "word", bpe_token_count(col("word"), merges).alias("n_tok")
-    )
+    vocab = bpe_encode_vocab(
+        per_word.select("word").distinct(), merges, word_col="word"
+    ).select("word", "n_tok")
     per_doc = (
         per_word.join(vocab, "word")
         .groupBy(id_col)
@@ -176,10 +299,14 @@ def bpe_encode_sql(word_expr: str, merges=DEFAULT_MERGES) -> str:
 
 
 def bpe_encode_py(word: str, merges=DEFAULT_MERGES) -> list[str]:
-    """Classic priority-queue BPE encode (the GPT-2 ``bpe()`` loop) —
-    the independent reference the replace-chain form is tested
-    against; NOT used by any query plan."""
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    """Classic priority-queue BPE encode (the GPT-2 ``bpe()`` loop).
+    The independent reference the replace-chain form is hypothesis-
+    pinned against, and (since round 10) the per-word kernel of the
+    Arrow vocab-encode path used above REPLACE_CHAIN_MAX_MERGES."""
+    return _encode_ranks(word, {pair: i for i, pair in enumerate(merges)})
+
+
+def _encode_ranks(word: str, ranks: dict) -> list[str]:
     toks = list(word)
     while len(toks) > 1:
         pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}

@@ -35,20 +35,39 @@ def pack_sequences(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Pack documents into bins of ≤ `budget` whitespace tokens with
+    """Pack documents into bins of ≤ `budget` tokens with
     first-fit-decreasing per deterministic shard. Oversized docs
     (> budget tokens) get a singleton bin rather than being dropped —
     the caller decides whether to truncate.
 
+    The budget CURRENCY defaults to whitespace tokens computed here;
+    pass ``sizes`` — a (id_col, n_tokens) frame, e.g. exact BPE
+    counts from operators/bpe.bpe_token_counts — to pack in the
+    currency a training run actually spends (VERDICT r09 #6). The
+    FFD machinery is currency-agnostic; the join replaces the inline
+    count and everything downstream is unchanged.
+
     Output: (id, n_tokens, bin_id, bin_fill) — bin_fill is the bin's
     total tokens, repeated on each member row.
     """
-    sized = docs.select(
-        col(id_col).alias("doc_id"),
-        F.size(tokens(col(text_col))).cast("long").alias("n_tokens"),
-        (col(id_col) % n_shards).alias("shard"),
-    )
+    if sizes is not None:
+        sized = docs.select(col(id_col).alias("doc_id")).join(
+            sizes.select(
+                col(id_col).alias("doc_id"),
+                col("n_tokens").cast("long").alias("n_tokens"),
+            ),
+            "doc_id",
+        ).select(
+            "doc_id", "n_tokens", (col("doc_id") % n_shards).alias("shard")
+        )
+    else:
+        sized = docs.select(
+            col(id_col).alias("doc_id"),
+            F.size(tokens(col(text_col))).cast("long").alias("n_tokens"),
+            (col(id_col) % n_shards).alias("shard"),
+        )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

@@ -97,7 +97,9 @@ FROM tr JOIN ev ON tr.shingle = ev.shingle
 GROUP BY tr.doc_id
 """
 P03_BUDGET = 2048
-def p03_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p03_pack_sequences(
+    spark: SparkSession, sf_dir: str, token_counter: str = "ws"
+) -> DataFrame:
     """Sequence packing (first-fit-decreasing per shard) with a
     driver-attestable contract: one output row per document carrying
     the exact-computable token count plus the packing invariants as
@@ -106,12 +108,26 @@ def p03_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle (one row per document) attests the every-doc-exactly-
     once invariant; the booleans attest the bin discipline. The bin
     assignment itself (greedy, not SQL-expressible) stays available
-    via operators/packing.pack_sequences and its property tests."""
+    via operators/packing.pack_sequences and its property tests.
+
+    ``token_counter``: "ws" (default — the DuckDB-oracled contract:
+    whitespace tokens) or "bpe" (exact BPE counts via operators/
+    bpe.py, the context-window currency training actually fills —
+    VERDICT r09 #6, same threading as p15/p19). The FFD discipline
+    and the attestation booleans are currency-independent."""
     from pyspark.sql.functions import col
 
     from llamadb_spark.operators import packing
 
-    packed = packing.pack_sequences(_docs(spark, sf_dir), budget=P03_BUDGET)
+    docs = _docs(spark, sf_dir)
+    sizes = None
+    if token_counter == "bpe":
+        from llamadb_spark.operators.bpe import bpe_token_counts
+
+        sizes = bpe_token_counts(docs).select(
+            "doc_id", col("bpe_tokens").alias("n_tokens")
+        )
+    packed = packing.pack_sequences(docs, budget=P03_BUDGET, sizes=sizes)
     return packed.select(
         "doc_id",
         "n_tokens",

@@ -376,3 +376,34 @@ def test_p15_bpe_budget_variant(spark, sf_dir):
     assert ws.schema == bpe.schema
     got = bpe.collect()
     assert got and sum(r.tokens_selected for r in got) <= P15_TOKEN_BUDGET
+
+
+def test_p03_bpe_pack_variant(spark, sf_dir):
+    """VERDICT r09 #6: p03 packs in exact BPE tokens when
+    token_counter="bpe" — the context-window currency a training run
+    actually fills. Same schema, same every-doc-exactly-once row
+    set, same FFD invariants; n_tokens must equal the exact BPE
+    counts (so bins genuinely budget in the new currency, not a
+    relabeled whitespace count)."""
+    from llamadb_spark.operators.bpe import bpe_token_counts
+    from llamadb_spark.queries.pipeline import (
+        _docs,
+        p03_pack_sequences,
+    )
+
+    ws = p03_pack_sequences(spark, sf_dir).localCheckpoint()
+    bpe = p03_pack_sequences(
+        spark, sf_dir, token_counter="bpe"
+    ).localCheckpoint()
+    assert ws.schema == bpe.schema
+    ws_rows = {r.doc_id: r for r in ws.collect()}
+    bpe_rows = {r.doc_id: r for r in bpe.collect()}
+    assert set(ws_rows) == set(bpe_rows)  # every doc exactly once
+    assert all(
+        r.fits_budget and r.fill_covers_doc for r in bpe_rows.values()
+    )
+    want = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_token_counts(_docs(spark, sf_dir)).collect()
+    }
+    assert all(r.n_tokens == want[d] for d, r in bpe_rows.items())

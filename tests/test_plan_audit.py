@@ -245,13 +245,13 @@ def _content_partitioned_windows(df) -> list:
 
     def walk(node):
         if node.nodeName() == "Window":
-            try:
-                spec = node.partitionSpec()
-                exprs = [
-                    spec.apply(i).toString() for i in range(spec.length())
-                ]
-            except Exception:
-                exprs = []
+            # No try/except: if the py4j surface for partitionSpec()
+            # ever changes, the audit must FAIL LOUDLY, not silently
+            # treat every window as partition-free (ADVICE r09).
+            spec = node.partitionSpec()
+            exprs = [
+                spec.apply(i).toString() for i in range(spec.length())
+            ]
             if exprs:
                 content = [e for e in exprs if pat.search(e)]
                 # hazard only when EVERY partition key is content —

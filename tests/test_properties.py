@@ -596,3 +596,78 @@ def test_bpe_spark_chain_matches_reference(spark):
         toks = bpe_encode_py(w, DEFAULT_MERGES)
         want_enc = "".join(f"|{t}~" for t in toks)
         assert rows[w] == (want_enc, len(toks)), (w, rows[w], toks)
+
+
+def test_check_merges_rejects_malformed_tables():
+    """ADVICE r09: the rank-order ≡ priority-queue equivalence only
+    holds for well-formed tables; _check_merges must enforce it, not
+    assume it. The duplicate-product example is the documented
+    divergence: on 'abcd' the chain gives [abc, d], the priority
+    queue [abcd]."""
+    import pytest
+
+    from llamadb_spark.operators.bpe import _check_merges, bpe_encode_py
+
+    dup = [("a", "b"), ("b", "c"), ("a", "bc"), ("abc", "d"), ("ab", "c")]
+    with pytest.raises(ValueError, match="duplicates an earlier"):
+        _check_merges(dup)
+    # and the divergence it guards against is real:
+    assert bpe_encode_py("abcd", dup) == ["abcd"]
+
+    with pytest.raises(ValueError, match="neither a single character"):
+        _check_merges([("a", "b"), ("cd", "e")])  # 'cd' never formed
+    _check_merges([("a", "b"), ("ab", "c")])  # well-formed passes
+
+
+def _synth_8k_merges():
+    from tools.bpe_scale_eval import synth_merges
+
+    return synth_merges(8192)
+
+
+@given(word=st.text(alphabet="abcdefghij", min_size=0, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_bpe_chain_matches_arrow_kernel_8k_merges(word):
+    """The chain ≡ priority-queue pin at PRODUCTION merge-table size
+    (the Arrow path's kernel is bpe_encode_py): pure-Python replace
+    chain — same left-to-right resume-after-match semantics as
+    Spark's and DuckDB's replace(), no Catalyst depth limit — against
+    the queue kernel on an 8192-merge well-formed table."""
+    from llamadb_spark.operators.bpe import bpe_encode_py
+
+    merges = _MERGES_8K
+    assert _chain_encode_py(word, merges) == bpe_encode_py(word, merges)
+
+
+_MERGES_8K = _synth_8k_merges()
+
+
+def test_bpe_arrow_vocab_encode_8k_merges(spark):
+    """VERDICT r09 #1 done-criterion: a >=8k-merge encode runs green
+    on Spark. The chain form cannot ship at this size (analyzer
+    StackOverflowError at >=384 merges, measured in
+    tools/bpe_scale_eval.py) so bpe_encode_vocab must route to the
+    Arrow mapInPandas path; its output is pinned against the pure-
+    Python replace-chain mirror word by word."""
+    from tools.bpe_scale_eval import synth_words
+
+    from llamadb_spark.operators.bpe import (
+        REPLACE_CHAIN_MAX_MERGES,
+        bpe_encode_vocab,
+    )
+
+    merges = _MERGES_8K
+    assert len(merges) > REPLACE_CHAIN_MAX_MERGES
+    words = synth_words(300)
+    vocab = spark.createDataFrame([(w,) for w in set(words)], "word string")
+    got = {
+        r.word: (r.encoded, r.n_tok)
+        for r in bpe_encode_vocab(vocab, merges).collect()
+    }
+    plan = bpe_encode_vocab(vocab, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" in plan
+    for w in set(words):
+        toks = _chain_encode_py(w, merges)
+        want = ("".join(f"|{t}~" for t in toks), len(toks))
+        assert got[w] == want, (w, got[w], want)
