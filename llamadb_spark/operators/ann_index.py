@@ -3,34 +3,47 @@ shape VERDICT r08 flagged as the gap between the driver-attested s17
 key — which retrains per run as evidence cost — and how a production
 billion-vector service actually runs, Jégou et al. 2011 §V).
 
-``build_ivfpq_index`` trains the coarse centroids and PQ codebooks,
-encodes the corpus in one Arrow pass, and persists THREE artifacts
-under the index path:
+Storage layout (round 10 — versioned store, ADVICE r09): every build
+writes a FRESH immutable version directory and flips a tiny manifest
+pointer last, so a rebuild can never pair an old model with new codes
+(the in-place overwrite hazard: codes, then model, then params were
+swapped in sequence, and a concurrent query could read across the
+boundary — undetectable when the retrain used identical params, since
+centroids differ but the stamp matches):
 
-- ``codes``     parquet: (neighbor_id, cell, codes m×int) — the only
-  corpus-sized piece, ~m bytes/vector vs 4·d for raw floats (the
-  100 TB → ~6 TB compression that makes a full in-cluster index
-  feasible);
-- ``model``     parquet: centroids and per-subspace codebooks as rows
-  (kind, i, sub, vec) — n_cells + m·n_codes small rows;
-- ``_ivfpq_params`` JSON stamp: the training configuration. A query
-  with mismatched params fails loudly instead of silently mis-scoring
-  against incompatible codes (the ingest_span_dedup stamp
-  discipline).
+    <path>/_manifest/            1-row JSON {version} — flipped LAST
+    <path>/<version>/params/     1-row JSON: training config + nonce
+    <path>/<version>/model/      parquet: centroids + PQ codebooks
+    <path>/<version>/codes/      parquet: (neighbor_id, cell, m ints)
+                                 — the only corpus-sized piece,
+                                 ~m bytes/vector vs 4·d raw (the
+                                 100 TB → ~6 TB compression)
+
+A reader resolves the manifest ONCE, then reads params/model/codes
+from that single immutable version — consistent by construction.
+Old versions are left in place (a resolved reader may still be
+scanning them); pruning is a retention decision the caller owns.
+EVERY artifact, manifest and params included, is written and read
+through Spark's storage layer — no driver-local open()/json — so the
+index works unchanged when <path> is shared/remote storage (the
+second ADVICE r09 hazard: parquet on the DFS, stamp on one node's
+local disk).
 
 ``ivfpq_query_index`` loads the model (one bounded collect:
-n_cells + m·n_codes rows), reads the codes relation, and runs the
-exact same probe → ADC → exact-rerank plan as the in-memory
-``ivfpq_topk`` — literally the same code, ``similarity._ivfpq_query``
-— so the two paths cannot drift. Query time does ZERO training work:
-no k-means passes, no corpus encode, no Arrow stage at all (the test
-pins this on the physical plan).
+n_cells + m·n_codes rows), reads the codes relation from the SAME
+version, and runs the exact probe → ADC → exact-rerank plan as the
+in-memory ``ivfpq_topk`` — literally the same code,
+``similarity._ivfpq_query`` — so the two paths cannot drift. Query
+time does ZERO training work: no k-means passes, no corpus encode,
+no Arrow stage at all (the test pins this on the physical plan).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,11 +51,40 @@ from pyspark.sql.functions import col
 
 from llamadb_spark.functions.vector import as_double
 
-_PARAMS_FILE = "_ivfpq_params"
+_MANIFEST = "_manifest"
 
 
-def _params_path(path: str) -> str:
-    return os.path.join(path, _PARAMS_FILE)
+def current_index_version(spark: SparkSession, path: str) -> str:
+    """Resolve the manifest pointer. The manifest flip (a tiny
+    overwrite) has a brief delete-then-write window on filesystems
+    without atomic directory swap, so the read retries once or twice
+    instead of failing a query that raced a rebuild."""
+    last_err: Exception | None = None
+    for _ in range(3):
+        try:
+            rows = spark.read.json(os.path.join(path, _MANIFEST)).collect()
+            if rows:
+                return rows[0]["version"]
+        except Exception as e:  # noqa: BLE001 — retried, then re-raised
+            last_err = e
+        time.sleep(0.2)
+    raise FileNotFoundError(
+        f"no readable index manifest under {path}: {last_err}"
+    )
+
+
+def _vdir(path: str, version: str) -> str:
+    return os.path.join(path, version)
+
+
+def _write_json_row(spark: SparkSession, payload: dict, path: str) -> None:
+    spark.createDataFrame(
+        [(json.dumps(payload),)], "j string"
+    ).coalesce(1).write.mode("overwrite").text(path)
+
+
+def _read_json_row(spark: SparkSession, path: str) -> dict:
+    return json.loads(spark.read.text(path).collect()[0][0])
 
 
 def _encode_codes(
@@ -110,12 +152,15 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Train and persist the index; returns the params stamp.
+    """Train and persist the index; returns the params stamp
+    (including the fresh ``version`` this build wrote).
 
     Scale: the trainers' collects are bounded (seed rows, Lloyd
     means); the corpus encode is one Arrow pass writing (id, cell,
     codes) — no shuffle; the model parquet is n_cells + m·n_codes
-    rows. Re-building overwrites atomically per artifact.
+    rows. A rebuild writes a NEW immutable version directory and
+    flips the manifest last — concurrent readers keep whichever
+    version they resolved, whole.
     """
     from llamadb_spark.operators.similarity import (
         _pq_train_residual_codebooks,
@@ -136,10 +181,13 @@ def build_ivfpq_index(
             emb, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
+    version = f"v_{uuid.uuid4().hex[:12]}"
+    vdir = _vdir(path, version)
+
     codes_df = _encode_codes(
         emb, cents, books, residual, id_col=id_col, vec_col=vec_col
     )
-    codes_df.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    codes_df.write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
 
     model_rows = [
         ("cent", int(i), -1, [float(t) for t in cents[i]])
@@ -151,7 +199,7 @@ def build_ivfpq_index(
     ]
     spark.createDataFrame(
         model_rows, "kind string, i int, sub int, vec array<double>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "model"))
+    ).write.mode("overwrite").parquet(os.path.join(vdir, "model"))
 
     params = {
         "n_cells": n_cells,
@@ -160,9 +208,12 @@ def build_ivfpq_index(
         "iters": iters,
         "residual": residual,
         "dim": int(cents.shape[1]),
+        "version": version,
     }
-    with open(_params_path(path), "w") as fh:
-        json.dump(params, fh)
+    _write_json_row(spark, params, os.path.join(vdir, "params"))
+    # flip the pointer LAST: the version is complete before it is
+    # reachable, so readers never see a partial build
+    _write_json_row(spark, {"version": version}, os.path.join(path, _MANIFEST))
     return params
 
 
@@ -175,36 +226,42 @@ def append_ivfpq_index(
     """Incrementally index NEW vectors against the FROZEN model (the
     streaming-ingest companion of build: codebooks train once; daily
     drops append). One Arrow encode pass over only the new batch, an
-    append write of its codes — the corpus is never re-encoded and
-    the model files are untouched, so concurrent readers keep a
-    consistent model view.
+    append write of its codes into the CURRENT version — the corpus
+    is never re-encoded and the model files are untouched, so
+    concurrent readers keep a consistent model view.
 
     Caveats, documented not hidden: (1) appended vectors are
     quantized with codebooks trained on the ORIGINAL distribution —
     under real drift, recall on new data decays and the remedy is a
-    rebuild (the stamp makes partial retrains impossible to apply
-    silently); (2) id dedup is the ingest pipeline's job (#266's
-    ledgered gating) — append writes exactly what it is given.
+    rebuild (which writes a fresh version, never a partial retrain);
+    (2) id dedup is the ingest pipeline's job (#266's ledgered
+    gating) — append writes exactly what it is given.
 
     Returns the (unchanged) params stamp.
     """
-    params, cents, books = load_ivfpq_model(emb_new.sparkSession, path)
+    spark = emb_new.sparkSession
+    params, cents, books = load_ivfpq_model(spark, path)
     codes_df = _encode_codes(
         emb_new, cents, books, params["residual"],
         id_col=id_col, vec_col=vec_col,
     )
-    codes_df.write.mode("append").parquet(os.path.join(path, "codes"))
+    codes_df.write.mode("append").parquet(
+        os.path.join(_vdir(path, params["version"]), "codes")
+    )
     return params
 
 
 def load_ivfpq_model(spark: SparkSession, path: str):
-    """Load (params, centroids, codebooks) from a persisted index.
-    One bounded collect: n_cells + m·n_codes rows."""
+    """Load (params, centroids, codebooks) from the CURRENT version
+    of a persisted index; ``params['version']`` names the immutable
+    directory the matching codes live in. One bounded collect:
+    n_cells + m·n_codes rows."""
     import numpy as np
 
-    with open(_params_path(path)) as fh:
-        params = json.load(fh)
-    rows = spark.read.parquet(os.path.join(path, "model")).collect()
+    version = current_index_version(spark, path)
+    vdir = _vdir(path, version)
+    params = _read_json_row(spark, os.path.join(vdir, "params"))
+    rows = spark.read.parquet(os.path.join(vdir, "model")).collect()
     cents = np.zeros((params["n_cells"], params["dim"]))
     ds = params["dim"] // params["n_subspaces"]
     books = np.zeros((params["n_subspaces"], params["n_codes"], ds))
@@ -230,8 +287,10 @@ def ivfpq_query_index(
 ) -> DataFrame:
     """Query a persisted index: probe → ADC → exact rerank against
     ``emb`` (the vector table stays separate storage, as deployed).
-    ``expect`` optionally pins training params — a mismatch raises
-    instead of mis-scoring against incompatible codes."""
+    Model and codes are read from the SAME resolved version, so a
+    concurrent rebuild cannot split them. ``expect`` optionally pins
+    training params — a mismatch raises instead of mis-scoring
+    against incompatible codes."""
     from llamadb_spark.operators.similarity import _ivfpq_query
 
     params, cents, books = load_ivfpq_model(spark, path)
@@ -246,7 +305,9 @@ def ivfpq_query_index(
                 f"ivfpq index at {path} was built with different "
                 f"params (expected, stored): {diff}"
             )
-    index = spark.read.parquet(os.path.join(path, "codes"))
+    index = spark.read.parquet(
+        os.path.join(_vdir(path, params["version"]), "codes")
+    )
     return _ivfpq_query(
         index, cents, books, emb, query_ids,
         k=k, shortlist=shortlist, nprobe=nprobe,

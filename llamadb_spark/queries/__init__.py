@@ -52,6 +52,10 @@ _BANDED_R06 = (
     "m07_crossmodal_knn",
     # round-7/8 banded additions (same exact-twin attestation shape)
     "s16_pq_ann", "s17_ivfpq_ann",
+    # round-10: persisted-index query (s17's banded shape; the exact
+    # twin is the attestation cost, the probe->ADC->rerank is the
+    # scale path)
+    "s18_index_query",
 )
 
 #: Round of each key's most recent driver-side correctness evidence

@@ -1336,6 +1336,90 @@ SELECT query_id, neighbor_id AS exact_top1, cos AS top1_cos,
        TRUE AS recall_ok, TRUE AS mean_recall_ok
 FROM ranked WHERE rnk = 1
 """
+#: s18: same bands as s17 — the persisted index stores the SAME
+#: model the in-memory path trains (deterministic trainers), so the
+#: measured recall is identical by construction (pinned by
+#: test_persisted_ivfpq_index_train_once_query_many: persisted-query
+#: results == in-memory ivfpq_topk results exactly).
+S18_MIN_RECALL = S17_MIN_RECALL
+S18_MIN_MEAN_RECALL = S17_MIN_MEAN_RECALL
+def s18_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN query — the train-once/query-many
+    DEPLOYMENT shape, driver-attested (VERDICT r09 #3: #286/#287
+    landed the versioned index store but only pytest ever exercised
+    it). First run per (warehouse, sf) builds the IVF-PQ index into
+    the warehouse (bounded trainer collects + one Arrow encode pass,
+    the s17 machinery); EVERY subsequent run resolves the manifest
+    and queries train-free — no k-means, no corpus encode, no Arrow
+    stage in the query plan (pinned by the train-once pytest). A
+    params mismatch (e.g. after a config change) rebuilds a fresh
+    immutable version rather than mis-scoring against stale codes.
+
+    Contract: s17's banded shape — exact top-1 + cosine (DuckDB
+    recomputes) plus per-query/mean recall-band booleans the oracle
+    claims TRUE. Corpus refresh policy: params-change -> rebuild;
+    new-vector drops -> append_ivfpq_index (frozen codebooks);
+    distribution drift -> rebuild, by the owning pipeline.
+    """
+    import os
+
+    from pyspark.sql.functions import col
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators import ann_index
+
+    emb = _emb(spark, sf_dir)
+    kw = dict(
+        n_cells=16, n_subspaces=16, n_codes=32, iters=1, residual=False
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(warehouse, f"ivfpq_index_{sf_name}")
+    try:
+        stored, _c, _b = ann_index.load_ivfpq_model(spark, path)
+        if any(stored.get(k_) != v_ for k_, v_ in kw.items()):
+            ann_index.build_ivfpq_index(emb, path, **kw)
+    except FileNotFoundError:
+        ann_index.build_ivfpq_index(emb, path, **kw)
+    approx = ann_index.ivfpq_query_index(
+        spark, path, emb, KNN_QUERY_IDS, k=KNN_K,
+        shortlist=S17_SHORTLIST, nprobe=S17_NPROBE, expect=kw,
+    )
+    exact = similarity.knn_bruteforce(
+        emb, KNN_QUERY_IDS, k=KNN_K
+    ).localCheckpoint()
+    hits = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    top1 = exact.filter(col("rank") == 1).select(
+        "query_id",
+        col("neighbor_id").alias("exact_top1"),
+        col("cos").alias("top1_cos"),
+    )
+    w_all = Window.partitionBy()
+    return top1.join(hits, "query_id", "left").select(
+        "query_id",
+        "exact_top1",
+        "top1_cos",
+        (
+            F.coalesce(col("n_hit"), F.lit(0))
+            >= F.lit(float(S18_MIN_RECALL)) * KNN_K
+        ).alias("recall_ok"),
+        (
+            F.avg(
+                F.coalesce(col("n_hit"), F.lit(0)) / F.lit(float(KNN_K))
+            ).over(w_all)
+            >= S18_MIN_MEAN_RECALL
+        ).alias("mean_recall_ok"),
+    )
+ORACLE_S18 = ORACLE_S17
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_jaccard_ngram": d02_jaccard_ngram,
@@ -1436,6 +1520,7 @@ QUERIES = {
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
+    "s18_index_query": s18_index_query,
     "s12_cluster_balance": s12_cluster_balance,
     "p19_pipeline_manifest": p19_pipeline_manifest,
 }
@@ -1472,6 +1557,7 @@ ORACLES = {
     "p19_pipeline_manifest": ORACLE_P19,
     "s16_pq_ann": ORACLE_S16,
     "s17_ivfpq_ann": ORACLE_S17,
+    "s18_index_query": ORACLE_S18,
     "d03_minhash_lsh": ORACLE_D03,
     "d04_simhash": ORACLE_D04,
     "p03_pack_sequences": ORACLE_P03,

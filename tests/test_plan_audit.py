@@ -184,6 +184,8 @@ _ALLOWED_GLOBAL_WINDOWS = {
     "s16_pq_ann": 1,
     # same banded shape — |KNN_QUERY_IDS| (8) rows max
     "s17_ivfpq_ann": 1,
+    # same banded shape over the persisted-index query path
+    "s18_index_query": 1,
     # distributed_cumsum's offsets running-sum (one row per shuffle
     # partition, cluster-config-bounded — p15's shape); the sel
     # subtree is referenced twice post-checkpoint so it counts twice
@@ -294,6 +296,9 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
         # IVF-PQ: the same two kernels composed (cell assignment +
         # code assignment in one Arrow pass)
         "s17",
+        # s18 (persisted-index query) is DELIBERATELY NOT listed:
+        # its deployment claim is that query time does zero training
+        # work — no Arrow stage at all — so this audit enforces it.
     )
     for name, fn in entry_mod.queries().items():
         if name.startswith(allowed_prefixes):

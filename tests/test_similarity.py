@@ -497,15 +497,17 @@ def test_ivfpq_index_incremental_append(spark, sf_dir, tmp_path):
 
     idx = str(tmp_path / "idx")
     kw = dict(n_cells=16, n_subspaces=16, n_codes=32, iters=1)
-    build_ivfpq_index(half_a, idx, **kw)
+    built = build_ivfpq_index(half_a, idx, **kw)
+    vdir = f"{idx}/{built['version']}"
     model_before = sorted(
-        map(tuple, spark.read.parquet(f"{idx}/model").collect())
+        map(tuple, spark.read.parquet(f"{vdir}/model").collect())
     )
     params = append_ivfpq_index(half_b, idx)
     assert params["n_cells"] == 16
-    # model untouched by append
+    # append lands in the SAME version; model untouched
+    assert params["version"] == built["version"]
     model_after = sorted(
-        map(tuple, spark.read.parquet(f"{idx}/model").collect())
+        map(tuple, spark.read.parquet(f"{vdir}/model").collect())
     )
     assert model_before == model_after
 
@@ -517,7 +519,7 @@ def test_ivfpq_index_incremental_append(spark, sf_dir, tmp_path):
     )
     got = sorted(
         (r.neighbor_id, r.cell, tuple(r.codes))
-        for r in spark.read.parquet(f"{idx}/codes").collect()
+        for r in spark.read.parquet(f"{vdir}/codes").collect()
     )
     assert got == want
 
@@ -527,3 +529,68 @@ def test_ivfpq_index_incremental_append(spark, sf_dir, tmp_path):
     ).collect()
     top = min(res, key=lambda r: r.rank)
     assert top.neighbor_id == 990_001 and top.cos > 0.99
+
+
+def test_ivfpq_rebuild_writes_new_immutable_version(spark, sf_dir, tmp_path):
+    """ADVICE r09: an in-place rebuild could pair an old model with
+    new codes for a concurrent reader — undetectable when the
+    retrain used identical params. The versioned store makes that
+    impossible by construction: (1) a rebuild with the SAME params
+    lands in a fresh version dir and flips the manifest; (2) the
+    first build's artifacts are untouched — a reader that resolved
+    v1 keeps a complete, consistent v1; (3) no driver-local files
+    exist anywhere under the index path (every artifact, manifest
+    and params included, goes through the storage layer and would
+    land on the DFS in a shared-storage deployment)."""
+    import os
+
+    from llamadb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        current_index_version,
+        ivfpq_query_index,
+    )
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    kw = dict(n_cells=16, n_subspaces=16, n_codes=32, iters=1)
+    p1 = build_ivfpq_index(emb, idx, **kw)
+    v1_model = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/{p1['version']}/model").collect())
+    )
+    v1_res = sorted(
+        map(
+            tuple,
+            ivfpq_query_index(
+                spark, idx, emb, KNN_QUERY_IDS, k=KNN_K,
+                shortlist=200, nprobe=8,
+            ).collect(),
+        )
+    )
+
+    p2 = build_ivfpq_index(emb, idx, **kw)  # same params, new version
+    assert p2["version"] != p1["version"]
+    assert current_index_version(spark, idx) == p2["version"]
+    # v1 left whole and unchanged
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/{p1['version']}/model").collect())
+    ) == v1_model
+    # deterministic trainers: the new version answers identically
+    v2_res = sorted(
+        map(
+            tuple,
+            ivfpq_query_index(
+                spark, idx, emb, KNN_QUERY_IDS, k=KNN_K,
+                shortlist=200, nprobe=8,
+            ).collect(),
+        )
+    )
+    assert v2_res == v1_res
+
+    # storage-layer-only discipline: no bare files at the index root
+    # (manifest and params are datasets, not driver-local json)
+    root_files = [
+        f for f in os.listdir(idx)
+        if os.path.isfile(os.path.join(idx, f))
+    ]
+    assert root_files == []
