@@ -118,6 +118,8 @@ from llamadb_spark.queries.pipeline_text import (
     t31_bpe_fertility,
 )  # noqa: F401
 from llamadb_spark.queries.pipeline_dedup import (
+    ORACLE_D26,
+    d26_url_domains,
     CONTAINMENT_THRESHOLD,
     D04_HAMMING_BAND,
     D12_LSH_PLANES,
@@ -199,6 +201,9 @@ from llamadb_spark.queries.pipeline_dedup import (
     g03_triangle_count,
 )  # noqa: F401
 from llamadb_spark.queries.pipeline_select import (
+    ORACLE_P20,
+    P20_DOMAIN_CAP,
+    p20_domain_caps,
     CONTAM_N,
     EVAL_MOD,
     MIXTURE_TARGETS,
@@ -1517,12 +1522,14 @@ QUERIES = {
     "d23_intra_doc_apply": d23_intra_doc_apply,
     "d24_quality_dedup_reps": d24_quality_dedup_reps,
     "d25_line_dedup": d25_line_dedup,
+    "d26_url_domains": d26_url_domains,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
     "s18_index_query": s18_index_query,
     "s12_cluster_balance": s12_cluster_balance,
     "p19_pipeline_manifest": p19_pipeline_manifest,
+    "p20_domain_caps": p20_domain_caps,
 }
 ORACLES = {
     "d01_exact_dedup": ORACLE_D01,
@@ -1553,8 +1560,10 @@ ORACLES = {
     "d23_intra_doc_apply": ORACLE_D23,
     "d24_quality_dedup_reps": ORACLE_D24,
     "d25_line_dedup": ORACLE_D25,
+    "d26_url_domains": ORACLE_D26,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
+    "p20_domain_caps": ORACLE_P20,
     "s16_pq_ann": ORACLE_S16,
     "s17_ivfpq_ann": ORACLE_S17,
     "s18_index_query": ORACLE_S18,

@@ -78,3 +78,83 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
       >= {JACCARD_THRESHOLD}
 """
+
+
+# --- URL seeding for the domain-curation keys (d26/p20) -------------
+#
+# documents has no url column, so one is derived deterministically
+# from (doc_id, source) with PURE INTEGER arithmetic both engines
+# compute identically (no float pow, no engine hash): h is the Knuth
+# multiplicative hash of doc_id folded to 20 bits; cubing the uniform
+# h and taking the top bits concentrates mass on low domain ids
+# (P(domain 0) ≈ (1/4096)^(1/3) ≈ 8%) — the Zipf-ish head a real
+# crawl has, so per-domain caps (p20) actually bite. Suffixes cover
+# the single-label case and one multi-label case (co.uk), exercising
+# the longest-suffix-wins subtlety of registered-domain extraction.
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import col
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .withColumn("_h", (col("doc_id") * F.lit(2654435761)) % F.lit(1048576))
+    )
+    tld = (
+        F.when(col("_h") % 4 == 0, "com")
+        .when(col("_h") % 4 == 1, "org")
+        .when(col("_h") % 4 == 2, "net")
+        .otherwise("co.uk")
+    )
+    sub = (
+        F.when(F.expr("(_h div 7) % 3") == 0, "")
+        .when(F.expr("(_h div 7) % 3") == 1, "www.")
+        .otherwise("cdn.")
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("d"),
+        F.expr("(_h * _h * _h) div 281474976710656").cast("string"),
+        F.lit("."), tld, F.lit("/"), col("source"), F.lit("/"),
+        col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", "source", url.alias("url"))
+
+
+#: DuckDB twin of _docs_with_urls — a CTE body yielding
+#: (doc_id, source, url). Same integer arithmetic, '//' for 'div'.
+ORACLE_URL_SEED = """
+  SELECT doc_id, source,
+         'https://' ||
+         CASE ((h // 7) % 3) WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.' END ||
+         'd' || CAST(((h*h*h) // 281474976710656) AS VARCHAR) || '.' ||
+         CASE (h % 4) WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net' ELSE 'co.uk' END ||
+         '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM (SELECT doc_id, source, (doc_id * 2654435761) % 1048576 AS h
+        FROM documents)
+"""
+
+
+def _oracle_host_expr(url_expr: str) -> str:
+    return (
+        f"regexp_extract(lower({url_expr}),"
+        " '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)"
+    )
+
+
+def _oracle_domain_case(host_expr: str, want: str = "domain") -> str:
+    """CASE chain mirroring operators/urls.registered_domain /
+    public_suffix — generated from the SAME ordered suffix tuple, so
+    operator and oracle cannot disagree on match order."""
+    from llamadb_spark.operators.urls import PUBLIC_SUFFIXES
+
+    arms = []
+    for s in PUBLIC_SUFFIXES:
+        if want == "domain":
+            pat = "([^.]+\\." + s.replace(".", "\\.") + ")$"
+            val = f"regexp_extract({host_expr}, '{pat}', 1)"
+        else:
+            val = f"'{s}'"
+        arms.append(
+            f"WHEN {host_expr} LIKE '%.{s}' OR {host_expr} = '{s}'"
+            f" THEN {val}"
+        )
+    return "CASE " + " ".join(arms) + " ELSE '' END"

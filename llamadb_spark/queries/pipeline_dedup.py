@@ -1561,3 +1561,70 @@ JOIN (
   FROM pieces GROUP BY doc_id
 ) p ON p.doc_id = s.doc_id
 """
+
+
+# --- d26: registered-domain extraction / domain profile (round 10) --
+
+def d26_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction and per-domain profile —
+    the first step of crawl-level curation (C4/RefinedWeb cap and
+    dedup BY registered domain, not by raw host: www./cdn. subdomain
+    variants of one registrant must collapse, and multi-label public
+    suffixes like co.uk must not be mistaken for the registrable
+    label). VERDICT r09 #5.
+
+    URLs are seeded deterministically (documents has no url column —
+    pipeline_common._docs_with_urls, integer arithmetic the oracle
+    mirrors exactly); extraction is operators/urls.registered_domain
+    — a generated longest-suffix-first when-chain, pure codegen'd
+    JVM expressions. Output: one row per registered domain with its
+    public suffix, doc count, and distinct upstream sources — one
+    map-side-combinable aggregate over ≤|domains| groups.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import urls
+    from llamadb_spark.queries.pipeline_common import _docs_with_urls
+
+    docs = _docs_with_urls(spark, sf_dir)
+    host = urls.host_of(col("url"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            urls.registered_domain(host).alias("domain"),
+            urls.public_suffix(host).alias("suffix"),
+        )
+        .groupBy("domain", "suffix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def _oracle_d26() -> str:
+    from llamadb_spark.queries.pipeline_common import (
+        ORACLE_URL_SEED,
+        _oracle_domain_case,
+        _oracle_host_expr,
+    )
+
+    host = _oracle_host_expr("url")
+    return f"""
+WITH urls AS ({ORACLE_URL_SEED}),
+ext AS (
+  SELECT doc_id, source,
+         {_oracle_domain_case(host, "domain")} AS domain,
+         {_oracle_domain_case(host, "suffix")} AS suffix
+  FROM urls
+)
+SELECT domain, suffix, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS first_doc
+FROM ext GROUP BY domain, suffix
+"""
+
+
+ORACLE_D26 = _oracle_d26()

@@ -1243,3 +1243,127 @@ SELECT s.doc_id, v.source,
 FROM c s JOIN surv3 v USING (doc_id)
 WHERE s.cum_tokens <= {P19_TOKEN_BUDGET}
 """
+
+
+# --- p20: per-domain caps + domain-mix/tail report (round 10) -------
+
+#: Expected per-domain doc cap. Fixed absolute so the cap bites
+#: harder as SF grows (the seeded head domain holds ~6-8% of the
+#: corpus: ~29 docs at sf0.01 -> keep rate 103/1000, ~290 at sf0.1
+#: -> 10/1000), exactly how a real crawl cap behaves.
+P20_DOMAIN_CAP = 3
+#: A domain is "tail" with <= this many raw docs — the long tail a
+#: mix report tracks against the capped head.
+P20_TAIL_MAX_DOCS = 2
+
+
+def p20_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps + the domain-mix/tail report — the
+    C4/RefinedWeb crawl-hygiene step (cap any one registrant's mass
+    so boilerplate-heavy megadomains can't dominate the corpus), as
+    one declarative pass. VERDICT r09 #5.
+
+    The cap is operators/urls.domain_cap_sample's deterministic
+    Bernoulli rate draw (p07's machinery): per-domain EXACT
+    keep-first-k would need a rank window partitioned by domain, and
+    crawl domain mass is exactly the skew AQE cannot split inside a
+    window — one hot domain, one unsplittable 8-TB task at 100 TB.
+    The rate draw is a bounded count aggregate broadcast back onto a
+    codegen'd filter.
+
+    Output: one row per public suffix (bounded groups) — domain
+    count, raw vs kept doc mass, the head domain's raw size and
+    share (ppm, integer division — no float order dependence), and
+    the tail-domain count. Exact integers end to end, so the oracle
+    hash-matches.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import urls
+    from llamadb_spark.operators.sampling import bucket_hash
+    from llamadb_spark.queries.pipeline_common import _docs_with_urls
+
+    docs = _docs_with_urls(spark, sf_dir)
+    host = urls.host_of(col("url"))
+    base = docs.select(
+        "doc_id",
+        urls.registered_domain(host).alias("domain"),
+        urls.public_suffix(host).alias("suffix"),
+    )
+    counts = base.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.select(
+        "domain",
+        col("_n"),
+        F.least(
+            F.lit(1000), F.expr(f"({1000 * P20_DOMAIN_CAP} div _n)")
+        ).alias("_t"),
+    )
+    joined = base.join(F.broadcast(rates), "domain")
+    kept = bucket_hash(col("doc_id")) < col("_t")
+    return (
+        joined.groupBy("suffix")
+        .agg(
+            F.countDistinct("domain").alias("n_domains"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.max("_n").cast("long").alias("max_domain_docs"),
+            F.countDistinct(
+                F.when(col("_n") <= P20_TAIL_MAX_DOCS, col("domain"))
+            ).alias("tail_domains"),
+        )
+        .select(
+            "suffix",
+            "n_domains",
+            "n_docs",
+            "n_kept",
+            "max_domain_docs",
+            "tail_domains",
+            F.expr("(1000000 * max_domain_docs) div n_docs").alias(
+                "head_ppm"
+            ),
+        )
+    )
+
+
+def _oracle_p20() -> str:
+    from llamadb_spark.queries.pipeline_common import (
+        ORACLE_URL_SEED,
+        _oracle_domain_case,
+        _oracle_host_expr,
+    )
+
+    host = _oracle_host_expr("url")
+    return f"""
+WITH urls AS ({ORACLE_URL_SEED}),
+base AS (
+  SELECT doc_id,
+         {_oracle_domain_case(host, "domain")} AS domain,
+         {_oracle_domain_case(host, "suffix")} AS suffix
+  FROM urls
+),
+rates AS (
+  SELECT domain, count(*) AS _n,
+         least(1000, {1000 * P20_DOMAIN_CAP} // count(*)) AS _t
+  FROM base GROUP BY domain
+),
+j AS (
+  SELECT b.doc_id, b.domain, b.suffix, r._n, r._t,
+         CASE WHEN ((b.doc_id % 100003) * 2654435761) % 1000 < r._t
+              THEN 1 ELSE 0 END AS keep
+  FROM base b JOIN rates r USING (domain)
+),
+agg AS (
+  SELECT suffix, count(DISTINCT domain) AS n_domains,
+         count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+         max(_n) AS max_domain_docs,
+         count(DISTINCT CASE WHEN _n <= {P20_TAIL_MAX_DOCS}
+                             THEN domain END) AS tail_domains
+  FROM j GROUP BY suffix
+)
+SELECT suffix, n_domains, n_docs, n_kept, max_domain_docs,
+       tail_domains, (1000000 * max_domain_docs) // n_docs AS head_ppm
+FROM agg
+"""
+
+
+ORACLE_P20 = _oracle_p20()

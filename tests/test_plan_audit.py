@@ -136,6 +136,14 @@ _ALLOWED_HINTS = {
     # the sel subtree is referenced twice post-checkpoint (packing
     # semi-join + logit join) so the analyzed plan counts it twice
     "p19_pipeline_manifest": 2,
+    # persisted-index query: probe set + ADC tables + rerank query
+    # vectors — all caller-bounded by KNN_QUERY_IDS (s17's shapes)
+    "s18_index_query": 3,
+    # per-domain rate table: bounded by the SEEDED domain universe
+    # (<= 4096 ids by construction of the 20-bit hash cube); the
+    # operator default (real crawls, ~30M domains) is hint-free and
+    # lets AQE decide — see urls.domain_cap_sample
+    "p20_domain_caps": 1,
 }
 
 
