@@ -78,9 +78,11 @@ def _vdir(path: str, version: str) -> str:
 
 
 def _write_json_row(spark: SparkSession, payload: dict, path: str) -> None:
+    # a 1-row local relation already lands in a single partition —
+    # no coalesce needed (and the source-hygiene audit forbids it)
     spark.createDataFrame(
         [(json.dumps(payload),)], "j string"
-    ).coalesce(1).write.mode("overwrite").text(path)
+    ).write.mode("overwrite").text(path)
 
 
 def _read_json_row(spark: SparkSession, path: str) -> dict:

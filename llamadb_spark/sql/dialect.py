@@ -972,7 +972,7 @@ class LlamaSession:
         _, colname = spec.indexes[0]
         path = tempfile.mkdtemp(prefix=f"llamadb_idx_{name}_")
         df = self._data[name]
-        if df.rdd.isEmpty():
+        if df.isEmpty():
             # repartitionByRange needs sampleable rows; an empty
             # table stays a (schema-typed) empty in-memory relation
             return

@@ -51,8 +51,10 @@ _COLLECT_ALLOW = {
     "plans/explain.py": 1,
     # 1-row max-timestamp scalar for the watermark sentinel staging
     "streaming/streams.py": 1,
-    # persisted IVF-PQ model load — n_cells + m·n_codes small rows
-    "operators/ann_index.py": 1,
+    # persisted IVF-PQ index: model load (n_cells + m·n_codes small
+    # rows) + the 1-row manifest and 1-row params reads of the
+    # versioned store (round 10)
+    "operators/ann_index.py": 3,
 }
 
 _FORBIDDEN = re.compile(r"\.toPandas\(\)|\.coalesce\(1\)|\.repartition\(1\)")
@@ -96,12 +98,20 @@ def test_collect_only_at_bounded_allowlisted_sites():
     )
 
 
-def test_no_rdd_in_query_layer():
+def test_no_rdd_anywhere_in_package():
+    """Round 10 (VERDICT r09 #7): the RDD ban extends from queries/
+    to the ENTIRE package — .rdd forfeits Catalyst, codegen, and AQE,
+    so any use must be a deliberate, listed exception. The only
+    remaining exemption is the metadata-only
+    .rdd.getNumPartitions() probe (built into _RDD), used by the
+    loader's single-row-group rebalance check
+    (queries/pipeline_common.py) — no RDD compute path involved.
+    The last compute-path use (dialect.py's df.rdd.isEmpty(), which
+    forced a Python->RDD conversion just to probe emptiness) now
+    uses DataFrame.isEmpty(), which drives a limit(1) query plan."""
     hits = {}
     for rel, f in _sources():
-        if not rel.startswith("queries/"):
-            continue
         n = sum(len(_RDD.findall(c)) for c in _code_lines(f))
         if n:
             hits[rel] = n
-    assert not hits, f"RDD usage in the DataFrame-first query layer: {hits}"
+    assert not hits, f"RDD usage in the DataFrame-first package: {hits}"
