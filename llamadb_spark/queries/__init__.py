@@ -19,10 +19,13 @@ generalized from the per-round tier lists of earlier rounds:
      exact twin would pollute their own plan; evidence lives in
      recall/property tests) last: a driver row for them adds little.
 
-The r10 prefix is therefore the new round-10 keys (s18_index_query,
-d26_url_domains, p20_domain_caps), then the force-included
-plan-changed keys (d25, t29, p19 from the r9 plan changes; p03 from
-the r10 BPE-currency change), then the r05-evidence cohort.
+The r10 prefix is therefore the never-checked round-10 keys in
+alphabetical order (d26_url_domains, p20_domain_caps,
+s18_index_query), then the force-included plan-changed keys ordered
+by (evidence round, name) — p03_pack_sequences (r6 evidence, r10
+BPE-currency change), then d25_line_dedup / p19_pipeline_manifest /
+t29_gopher_repetition (r8 evidence, r9 plan changes) — then the
+r05-evidence cohort.
 """
 
 from __future__ import annotations
