@@ -78,6 +78,55 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+#: Query params dropped by canonical_url — session/campaign tracking
+#: noise that makes one page look like many URLs (the reason URL-level
+#: exact dedup needs canonicalization first). Anchored prefix match on
+#: the param NAME; everything else (id=, page=, q=) survives.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for identity comparison (the
+    pre-dedup normalization step): lowercase scheme and host (path
+    and query stay case-sensitive per RFC 3986), strip the fragment,
+    strip default ports (:80 for http, :443 for https), strip
+    trailing slashes from the path, and drop tracking query params
+    (TRACKING_PARAM_RE) while PRESERVING every other param in order.
+
+    All JVM-side: regexp splits + a higher-order ``filter`` over the
+    split query string + ``array_join`` — no UDF, no shuffle, fully
+    codegen-able, and every piece has an exact DuckDB twin
+    (list_filter / array_to_string) for hash attestation.
+    """
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(lit("?"), F.array_join(kept, "&"))
+    ).otherwise(lit(""))
+    return F.concat(scheme, lit("://"), host, path, query)
+
+
 def domain_cap_sample(
     df: DataFrame,
     cap: int,

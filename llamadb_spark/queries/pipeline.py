@@ -119,7 +119,9 @@ from llamadb_spark.queries.pipeline_text import (
 )  # noqa: F401
 from llamadb_spark.queries.pipeline_dedup import (
     ORACLE_D26,
+    ORACLE_D27,
     d26_url_domains,
+    d27_url_canonical,
     CONTAINMENT_THRESHOLD,
     D04_HAMMING_BAND,
     D12_LSH_PLANES,
@@ -1523,6 +1525,7 @@ QUERIES = {
     "d24_quality_dedup_reps": d24_quality_dedup_reps,
     "d25_line_dedup": d25_line_dedup,
     "d26_url_domains": d26_url_domains,
+    "d27_url_canonical": d27_url_canonical,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
@@ -1561,6 +1564,7 @@ ORACLES = {
     "d24_quality_dedup_reps": ORACLE_D24,
     "d25_line_dedup": ORACLE_D25,
     "d26_url_domains": ORACLE_D26,
+    "d27_url_canonical": ORACLE_D27,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "p20_domain_caps": ORACLE_P20,

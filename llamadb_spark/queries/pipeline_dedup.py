@@ -1628,3 +1628,106 @@ FROM ext GROUP BY domain, suffix
 
 
 ORACLE_D26 = _oracle_d26()
+
+
+# --- d27: URL canonicalization (round 10) ---------------------------
+
+#: Deterministic noise decorating the seeded URLs so every
+#: canonicalization rule actually fires on this corpus: trailing
+#: slash (doc_id%7), tracking params AROUND a param that must
+#: survive (%3), fragment (%5), and scheme/host case noise (%2).
+_D27_NOISY_SQL = (
+    "url"
+    " || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' ||"
+    " CAST(doc_id % 7 AS {str_t}) || '&utm_campaign=x' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ||"
+    " CAST(doc_id % 4 AS {str_t}) ELSE '' END)"
+)
+_D27_CASE_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN"
+    " upper(substring({n}, 1, 10)) || substring({n}, 11)"
+    " ELSE {n} END"
+)
+
+
+def d27_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization URL-level exact dedup
+    needs before identity comparison (one page otherwise looks like
+    many URLs: tracking params, fragments, case noise, default
+    ports, trailing slashes). operators/urls.canonical_url: regexp
+    splits + a higher-order filter over the query params (non-
+    tracking params survive IN ORDER) + array_join — all JVM-side,
+    one codegen'd projection, no shuffle.
+
+    Seeded URLs are decorated with deterministic noise so every rule
+    fires (see _D27_NOISY_SQL); output is per-doc (noisy url kept
+    for inspection, canonical form, changed flag) — the full-row
+    hash attests each rule against the DuckDB twin.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import urls
+    from llamadb_spark.queries.pipeline_common import _docs_with_urls
+
+    noisy = _D27_CASE_SQL.format(
+        n="(" + _D27_NOISY_SQL.format(str_t="STRING") + ")"
+    )
+    d = _docs_with_urls(spark, sf_dir).select(
+        "doc_id", F.expr(noisy).alias("url_raw")
+    )
+    canon = urls.canonical_url(col("url_raw"))
+    return d.select(
+        "doc_id",
+        "url_raw",
+        canon.alias("url_canonical"),
+        (canon != col("url_raw")).alias("changed"),
+    )
+
+
+def _oracle_d27() -> str:
+    from llamadb_spark.operators.urls import TRACKING_PARAM_RE
+    from llamadb_spark.queries.pipeline_common import ORACLE_URL_SEED
+
+    noisy = _D27_CASE_SQL.format(
+        n="(" + _D27_NOISY_SQL.format(str_t="VARCHAR") + ")"
+    )
+    return f"""
+WITH seed AS ({ORACLE_URL_SEED}),
+raw AS (SELECT doc_id, {noisy} AS url_raw FROM seed),
+parts AS (
+  SELECT doc_id, url_raw,
+    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url_raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_replace(regexp_extract(url_raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') AS path,
+    list_filter(string_split(regexp_extract(url_raw, '\\?([^#]*)', 1),
+                             '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                     '{TRACKING_PARAM_RE}')) AS kept
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url_raw,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END ||
+         path ||
+         CASE WHEN len(kept) > 0
+              THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS url_canonical
+  FROM parts
+)
+SELECT doc_id, url_raw, url_canonical,
+       url_canonical <> url_raw AS changed
+FROM canon
+"""
+
+
+ORACLE_D27 = _oracle_d27()

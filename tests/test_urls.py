@@ -67,3 +67,46 @@ def test_domain_cap_sample_rates_and_determinism(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule in isolation and composed:
+    scheme/host lowercased (path case preserved), fragment stripped,
+    default ports stripped (custom ports kept), trailing slashes
+    stripped, tracking params dropped while other params survive in
+    order."""
+    from llamadb_spark.operators.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/", "https://www.example.com/Path"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        (
+            "https://example.com/a?utm_source=x&id=7&utm_campaign=y",
+            "https://example.com/a?id=7",
+        ),
+        (
+            "https://example.com/a?id=7&page=2",
+            "https://example.com/a?id=7&page=2",
+        ),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        ("https://example.com/a?gclid=z#f", "https://example.com/a"),
+        ("https://example.com//", "https://example.com"),
+        (
+            "https://example.com/a?ref=hn&q=Spark",
+            "https://example.com/a?q=Spark",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    import pyspark.sql.functions as F
+
+    got = {
+        r.url: r.canon
+        for r in df.select(
+            "url", canonical_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
