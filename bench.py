@@ -211,6 +211,54 @@ def skew_demo(spark, sf_dir: str) -> dict:
     return {"naive_sec": naive_sec, "salted_sec": salted_sec}
 
 
+def index_deploy_demo(spark, sf_dir: str) -> dict:
+    """The train-once/query-many deployment shape (s18 / SURVEY
+    #286/#290/#291), measured end to end: one index BUILD (IVF +
+    PQ trainers, one Arrow corpus-encode pass, versioned-store
+    write) against the cost of a PERSISTED query — which does zero
+    training work (no k-means, no corpus encode, no Arrow stage;
+    audit-enforced) — and of the in-memory path that retrains per
+    call (s17's evidence shape). The deployment claim is the ratio:
+    at production scale the build is a scheduled job and every
+    online query pays only query_min_sec; retrain-per-query pays
+    inmemory_retrain_sec EVERY time.
+    """
+    import tempfile
+
+    from llamadb_spark.operators import ann_index
+    from llamadb_spark.operators.similarity import ivfpq_topk
+    from llamadb_spark.queries.pipeline import KNN_K, KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir).localCheckpoint()
+    kw = dict(n_cells=16, n_subspaces=16, n_codes=32, iters=1)
+    path = tempfile.mkdtemp(prefix="llamadb_idx_demo_")
+
+    t0 = time.time()
+    ann_index.build_ivfpq_index(emb, path, **kw)
+    build_sec = round(time.time() - t0, 3)
+
+    q_secs = []
+    for _ in range(3):
+        t0 = time.time()
+        ann_index.ivfpq_query_index(
+            spark, path, emb, KNN_QUERY_IDS, k=KNN_K,
+            shortlist=200, nprobe=8,
+        ).write.format("noop").mode("overwrite").save()
+        q_secs.append(round(time.time() - t0, 3))
+
+    t0 = time.time()
+    ivfpq_topk(
+        emb, KNN_QUERY_IDS, k=KNN_K, shortlist=200, nprobe=8, **kw
+    ).write.format("noop").mode("overwrite").save()
+    inmem_sec = round(time.time() - t0, 3)
+    return {
+        "build_sec": build_sec,
+        "query_secs": q_secs,
+        "query_min_sec": min(q_secs),
+        "inmemory_retrain_sec": inmem_sec,
+    }
+
+
 def line_dedup_hot_demo(spark, sf_dir: str) -> dict:
     """The d25 r08 weak-item, measured at bench scale (VERDICT r08
     #1's stress): 600k lines of which ONE is present in every third
@@ -938,6 +986,7 @@ def main() -> None:
         "n_queries": len(timings),
         "skew_demo": skew_demo(spark, sf_dir),
         "line_dedup_hot_demo": line_dedup_hot_demo(spark, sf_dir),
+        "index_deploy_demo": index_deploy_demo(spark, sf_dir),
         "aqe_skew_demo": aqe_skew_demo(spark, sf_dir),
         "bucket_demo": bucket_demo(spark, sf_dir),
         "layout_demo": layout_demo(spark, sf_dir),
