@@ -120,8 +120,10 @@ from llamadb_spark.queries.pipeline_text import (
 from llamadb_spark.queries.pipeline_dedup import (
     ORACLE_D26,
     ORACLE_D27,
+    ORACLE_D28,
     d26_url_domains,
     d27_url_canonical,
+    d28_url_dedup,
     CONTAINMENT_THRESHOLD,
     D04_HAMMING_BAND,
     D12_LSH_PLANES,
@@ -1526,6 +1528,7 @@ QUERIES = {
     "d25_line_dedup": d25_line_dedup,
     "d26_url_domains": d26_url_domains,
     "d27_url_canonical": d27_url_canonical,
+    "d28_url_dedup": d28_url_dedup,
     "p18_span_decontaminate": p18_span_decontaminate,
     "s16_pq_ann": s16_pq_ann,
     "s17_ivfpq_ann": s17_ivfpq_ann,
@@ -1565,6 +1568,7 @@ ORACLES = {
     "d25_line_dedup": ORACLE_D25,
     "d26_url_domains": ORACLE_D26,
     "d27_url_canonical": ORACLE_D27,
+    "d28_url_dedup": ORACLE_D28,
     "p18_span_decontaminate": ORACLE_P18,
     "p19_pipeline_manifest": ORACLE_P19,
     "p20_domain_caps": ORACLE_P20,

@@ -1731,3 +1731,137 @@ FROM canon
 
 
 ORACLE_D27 = _oracle_d27()
+
+
+# --- d28: URL-level exact dedup via canonicalization (round 10) -----
+
+def d28_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup — d01's keep-min-id shape at URL
+    granularity, AFTER canonicalization (the composition d27 exists
+    to serve: crawls fetch the same page under many URL spellings;
+    tracking params, fragments, and case noise must collapse before
+    grouping or every spelling looks unique). Page URLs here drop
+    the per-doc path suffix so docs genuinely collide on their page
+    (head domains collect many docs), then carry d27's deterministic
+    noise so RAW spellings differ.
+
+    Output per canonical URL: keep_id (min doc_id — the canonical
+    copy), n_copies (docs sharing the page), n_variants (DISTINCT
+    raw spellings the canonicalization merged — the collapse d28
+    measures). One content-keyed shuffle with map-side combine;
+    d01's scale shape exactly.
+    """
+    from pyspark.sql.functions import col
+
+    from llamadb_spark.operators import urls
+
+    noisy = _D27_CASE_SQL.format(
+        n="(" + _D27_NOISY_SQL.format(str_t="STRING") + ")"
+    )
+    # page URL derives ONLY from (domain, source) — unlike the d26
+    # seed, where tld/subdomain vary with the per-doc hash — so docs
+    # on the same page genuinely collide and the dedup has work to do
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .withColumn(
+            "_dom",
+            F.expr(
+                "((doc_id * 2654435761) % 1048576)"
+            ),
+        )
+        .withColumn(
+            "_dom",
+            F.expr("((_dom * _dom * _dom) div 281474976710656)"),
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://www.d"),
+                col("_dom").cast("string"),
+                F.lit("."),
+                F.when(col("_dom") % 4 == 0, "com")
+                .when(col("_dom") % 4 == 1, "org")
+                .when(col("_dom") % 4 == 2, "net")
+                .otherwise("co.uk"),
+                F.lit("/index"),
+            ),
+        )
+        .select("doc_id", F.expr(noisy).alias("url_raw"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "url_raw",
+            urls.canonical_url(col("url_raw")).alias("url_canonical"),
+        )
+        .groupBy("url_canonical")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("url_raw").alias("n_variants"),
+        )
+    )
+
+
+def _oracle_d28() -> str:
+    from llamadb_spark.operators.urls import TRACKING_PARAM_RE
+    from llamadb_spark.queries.pipeline_common import ORACLE_URL_SEED
+
+    noisy = _D27_CASE_SQL.format(
+        n="(" + _D27_NOISY_SQL.format(str_t="VARCHAR") + ")"
+    )
+    return f"""
+WITH dom AS (
+  SELECT doc_id, source,
+         ((h*h*h) // 281474976710656) AS d
+  FROM (SELECT doc_id, source,
+               (doc_id * 2654435761) % 1048576 AS h
+        FROM documents)
+),
+seed AS (
+  SELECT doc_id, source,
+         'https://www.d' || CAST(d AS VARCHAR) || '.' ||
+         CASE (d % 4) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'net' ELSE 'co.uk' END ||
+         '/index' AS url
+  FROM dom
+),
+raw AS (SELECT doc_id, {noisy} AS url_raw FROM seed),
+parts AS (
+  SELECT doc_id, url_raw,
+    lower(regexp_extract(url_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url_raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_replace(regexp_extract(url_raw,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') AS path,
+    list_filter(string_split(regexp_extract(url_raw, '\\?([^#]*)', 1),
+                             '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                     '{TRACKING_PARAM_RE}')) AS kept
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, url_raw,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END ||
+         path ||
+         CASE WHEN len(kept) > 0
+              THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS url_canonical
+  FROM parts
+)
+SELECT url_canonical, min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       count(DISTINCT url_raw) AS n_variants
+FROM canon GROUP BY url_canonical
+"""
+
+
+ORACLE_D28 = _oracle_d28()
