@@ -8,7 +8,7 @@ occupancy, and AQE's skew-join splitting handles hot buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -336,18 +336,19 @@ def minhash_signatures(
     sh = index if index is not None else hashed_shingle_index(
         docs, id_col, text_col
     )
-    hashes = F.array(
-        *[F.xxhash64(col("sh"), lit(i)) for i in range(num_hashes)]
+    # Both k-wide expression lists are SQL strings parsed server-side
+    # (one round trip each) instead of 2k python Column constructions
+    # — identical parsed expressions, ~0.5 s less driver time per
+    # invocation (see simhash_fingerprints note).
+    hashes = F.expr(
+        "array(" + ", ".join(f"xxhash64(sh, {i})" for i in range(num_hashes)) + ")"
     )
-    return (
-        sh.select(col(id_col), hashes.alias("hs"))
-        .groupBy(id_col)
-        .agg(
-            F.array(
-                *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
-            ).alias("sig")
-        )
+    mins = F.expr(
+        "array("
+        + ", ".join(f"min(element_at(hs, {i + 1}))" for i in range(num_hashes))
+        + ") AS sig"
     )
+    return sh.select(col(id_col), hashes.alias("hs")).groupBy(id_col).agg(mins)
 
 
 def minhash_lsh_pairs(
@@ -395,21 +396,21 @@ def minhash_lsh_pairs(
     # the 256-byte signature through the shuffle would dominate the
     # join payload; sigs rejoin onto the (much smaller) candidate set
     # below, where AQE turns both sig joins into broadcasts.
+    band_arr = ", ".join(
+        "struct({b} AS band_id, xxhash64({els}) AS bucket)".format(
+            b=bidx,
+            els=", ".join(
+                f"element_at(sig, {bidx * r + j + 1})" for j in range(r)
+            ),
+        )
+        for bidx in range(bands)
+    )
+    # SQL-string construction for the bands×r element_at tree — one
+    # parse round trip instead of ~bands·r python Column calls (see
+    # simhash_fingerprints note); parsed expressions identical.
     banded = sig.select(
         col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        lit(bidx).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("sig", bidx * r + j + 1) for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for bidx in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(f"array({band_arr})")).alias("band"),
     ).select(col(id_col), "band.band_id", "band.bucket")
     banded = drop_hot_keys(banded, ["band_id", "bucket"], max_bucket_size)
 
@@ -465,28 +466,29 @@ def simhash_fingerprints(
     toks = docs.select(
         col(id_col), F.explode(distinct_tokens(col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    # Bit positions must be python ints (shiftright takes a literal
-    # count).
+    # The 64 vote sums and the 64-way bit-OR are built as SQL strings
+    # parsed server-side in one round trip: assembling them from
+    # python Column operators costs ~350 py4j calls (~1.6 s of DRIVER
+    # time per invocation at any scale — measured r10); the parsed
+    # expressions are identical (same CASE WHEN / shiftright & 1
+    # semantics), so plans and results are unchanged.
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("h", b).bitwiseAND(lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS _v{b}"
+            )
             for b in range(64)
         ]
     )
-    simhash = lit(0).cast("long")
-    for b in range(64):
-        simhash = simhash.bitwiseOR(
-            F.when(
-                col(f"_v{b}") > 0, F.shiftleft(lit(1).cast("long"), b)
-            ).otherwise(lit(0).cast("long"))
-        )
+    or_chain = " | ".join(
+        f"(CASE WHEN _v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
     return votes.select(
         col(id_col),
-        simhash.alias("simhash"),
+        F.expr(or_chain).alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned("simhash", 48))
 
 
@@ -534,26 +536,28 @@ def connected_components(
     for it in range(max_iter):
         # One shuffle per round: the previous label rides the union
         # as `old` (min ignores the nulls from neighbor rows), so
-        # convergence needs no separate labels join — just a filter
-        # over the checkpointed aggregate.
+        # convergence needs no separate labels join. The change count
+        # is an OBSERVED aggregate computed inside the checkpoint job
+        # itself (r10: the former post-hoc filter+count was a second
+        # job per round — pure driver latency on every round of every
+        # CC call, at any scale).
         nbr = sym.join(
             labels.select(col("u").alias("v"), "label"), "v"
         ).select("u", "label", lit(None).cast("long").alias("old"))
+        obs = Observation()
         new = (
             labels.select("u", "label", col("label").alias("old"))
             .unionAll(nbr)
             .groupBy("u")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            .observe(
+                obs,
+                F.sum((col("label") < col("old")).cast("long")).alias("n_changed"),
+            )
             .localCheckpoint()
         )
         labels = new.select("u", "label")
-        # A non-trivial graph cannot converge before round 2 (round 1
-        # always moves labels across at least one edge), so the first
-        # convergence probe — a scalar count job over the checkpointed
-        # aggregate — is deferred to round 2: one fewer driver
-        # round-trip per call on the clique-union graphs this operator
-        # serves (they settle in 2-3 rounds).
-        if it >= 1 and new.filter(col("label") < col("old")).count() == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     return labels.select(col("u").alias("node"), col("label").alias("cluster_id"))
 
@@ -615,16 +619,22 @@ def _star_rounds(
     rounds = 0
     while rounds < max_iter:
         rounds += 1
-        small = one_round(edges).localCheckpoint()
         # Fixed-point check: an order-insensitive edge-set fingerprint
         # (count + xor of hashes; xor cannot overflow, unlike a sum
-        # under ANSI arithmetic) — one tiny aggregate over the
-        # checkpointed blocks, no set-difference join; the driver
-        # sees two scalars per check.
-        row = small.agg(
-            F.count(lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
+        # under ANSI arithmetic) — OBSERVED inside the round's own
+        # checkpoint job (r10: the former post-hoc agg+collect was a
+        # separate job per round — pure driver latency at any scale).
+        obs = Observation()
+        small = (
+            one_round(edges)
+            .observe(
+                obs,
+                F.count(lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            )
+            .localCheckpoint()
+        )
+        row = obs.get
         fp = (row["n"], row["h"])
         edges = small
         if fp == prev_fp:

@@ -174,11 +174,18 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.jaccard_ngram_pairs(
         docs, threshold=JACCARD_THRESHOLD, stop_shingle_df=STOP_SHINGLE_DF
-    ).select("a_id", "b_id", "jaccard")
-    # referenced by both join sides — stage the n_docs fingerprint
-    # rows once instead of recomputing the bit-vote aggregation twice
+    ).select("a_id", "b_id", "jaccard").localCheckpoint()
+    # Only docs that appear in a pair need a fingerprint: semi-join
+    # the corpus down to pair members BEFORE the 64-vote aggregation
+    # (guide §1.2 — don't compute what's thrown away; pair members
+    # are a small fraction of the corpus at every scale). Output is
+    # unchanged: the dropped fingerprints joined to nothing.
+    # Referenced by both join sides — staged once.
+    member_ids = pairs.select(
+        F.explode(F.array(col("a_id"), col("b_id"))).alias("doc_id")
+    ).distinct()
     fp = (
-        dedup.simhash_fingerprints(docs)
+        dedup.simhash_fingerprints(docs.join(member_ids, "doc_id", "left_semi"))
         .select("doc_id", "simhash")
         .localCheckpoint()
     )
