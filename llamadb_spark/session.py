@@ -71,7 +71,13 @@ def get_spark(app_name: str = "llamadb_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for bench/test runs (allocs ~100 MB + a jetty
+        # thread pool); SPARK_GRAFT_UI=1 turns it on for the
+        # profiling tool (tools/profile_keys.py needs the REST API).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     return builder.getOrCreate()
 

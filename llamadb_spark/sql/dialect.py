@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -444,8 +444,14 @@ def recursive_sql(
                 # UNION: only rows never produced before extend the
                 # frontier (subtract = distinct set difference)
                 step = step.distinct().subtract(acc)
-            new = step.localCheckpoint()
-            if new.count() == 0:
+            # The empty-frontier convergence probe is an OBSERVED
+            # aggregate inside the checkpoint job itself (r10: the
+            # former post-hoc count() was a second job per round —
+            # pure driver latency on every round at any scale; same
+            # discipline as the connected-components operators).
+            obs = Observation()
+            new = step.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            if (obs.get["n"] or 0) == 0:
                 break
             acc = acc.unionAll(new)
             if not union_all:
@@ -1008,11 +1014,16 @@ class LlamaSession:
             src = src.toDF(*cols)
 
         aligned = self._align(src, spec, cols)
-        self._validate(aligned, spec)
         candidate = self._data[name].unionAll(aligned)
-        # table-level constraints must see OLD+NEW rows together (a
-        # new row can collide with an existing key); reject BEFORE
-        # swapping so a failed INSERT leaves the table untouched
+        # Materialize once, then validate against the blocks (r10 —
+        # see _commit). Column validation runs on OLD+NEW rows, which
+        # is equivalent to validating just the new rows: existing
+        # rows passed these same checks at their own insert. Table-
+        # level constraints must see OLD+NEW together anyway (a new
+        # row can collide with an existing key); reject BEFORE
+        # swapping so a failed INSERT leaves the table untouched.
+        candidate = self._checkpoint_translating_overflow(candidate)
+        self._validate(candidate, spec)
         self._validate_constraints(candidate, spec)
         self._data[name] = candidate
         candidate.createOrReplaceTempView(name)
@@ -1233,11 +1244,37 @@ class LlamaSession:
         return name, out
 
     def _commit(self, name: str, df: DataFrame) -> None:
+        # ONE materialization per DML statement (r10): the new table
+        # contents are localCheckpointed FIRST, then the validation
+        # aggregates read the materialized blocks, then the swap.
+        # Previously the un-truncated plan executed once per
+        # validation AND re-executed for every later reader — the
+        # table DataFrame carried its full statement lineage, so an
+        # INSERT→MERGE→SELECT session re-ran the whole history each
+        # statement (guide §3.3: materialize to truncate the plan).
+        # Failed validation still leaves the table untouched: the
+        # swap happens after, and orphaned checkpoint blocks are GC'd.
+        df = self._checkpoint_translating_overflow(df)
         self._validate(df, self.tables[name])
         self._validate_constraints(df, self.tables[name])
         self._data[name] = df
         df.createOrReplaceTempView(name)
         self._materialize(name)
+
+    def _checkpoint_translating_overflow(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint, translating ANSI cast overflow (which now
+        fires here, at the first action, instead of inside
+        _validate's aggregate) into the dialect's own insert-time
+        error exactly as _validate does."""
+        try:
+            return df.localCheckpoint()
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc)
+            if "CAST_OVERFLOW" in msg or "ArithmeticException" in type(exc).__name__:
+                raise LlamaError(
+                    "value out of range for declared column type"
+                ) from None
+            raise
 
     def _align(self, src: DataFrame, spec: TableSpec, cols: list[str]) -> DataFrame:
         missing = [c.name for c in spec.columns if c.name not in cols]
