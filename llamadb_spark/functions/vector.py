@@ -30,3 +30,14 @@ def norm2(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """cos(a,b) = dot / sqrt(|a|² · |b|²)."""
     return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_pre(a: Column, b: Column, a_n2: Column, b_n2: Column) -> Column:
+    """cosine() with the squared norms PRE-computed per vector and
+    carried through the candidate join, instead of re-folded per
+    pair (r10: the zip_with/aggregate lambdas are interpreted, not
+    codegen'd — on a k-candidate join the per-pair norms were 4 of
+    the 6 array traversals). Bit-identical to cosine(): norm2 is the
+    same deterministic left fold over the same array, and the
+    sqrt(n2a · n2b) multiplication tree is unchanged."""
+    return dot(a, b) / F.sqrt(a_n2 * b_n2)

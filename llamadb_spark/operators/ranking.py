@@ -59,6 +59,12 @@ def distributed_row_number(
             "_lr",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
         )
+        # Staged: BOTH the counts side and the final join consume
+        # this subtree — unstaged, the entire upstream (range
+        # repartition + window + whatever feeds df) executed twice,
+        # once for the broadcast offsets and once for the output
+        # (r10; guide §5 — materialize a reused intermediate).
+        .localCheckpoint()
     )
     # one row per partition — bounded by cluster config, not data
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -112,6 +118,11 @@ def distributed_cumsum(
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
+        # Staged for the same reason as distributed_row_number (r10):
+        # the totals side re-executed the whole upstream (for p15/p19
+        # that upstream is the quality-scoring pipeline) to produce
+        # 32 total rows.
+        .localCheckpoint()
     )
     totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
     off_w = Window.orderBy("_pid").rowsBetween(

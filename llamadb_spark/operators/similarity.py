@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from llamadb_spark.functions.blocking import drop_hot_keys
-from llamadb_spark.functions.vector import as_double, cosine
+from llamadb_spark.functions.vector import as_double, cosine, cosine_pre, norm2
 
 
 def embed_neardup_pairs(
@@ -543,10 +543,33 @@ def lsh_ann_pairs(
     )
     # Vector join-backs: cand is duplicate-candidate-sized → AQE
     # broadcasts it against the corpus vector table (one pass each).
+    # Squared norms are computed ONCE per corpus vector below the
+    # join and carried as scalars (cosine_pre — bit-identical,
+    # removes the per-PAIR norm folds, which are interpreted HOFs).
+    vn = v.withColumn("n2", norm2(col("v")))
     scored = (
-        cand.join(v.select(col("_id").alias("a_id"), col("v").alias("a_v")), "a_id")
-        .join(v.select(col("_id").alias("b_id"), col("v").alias("b_v")), "b_id")
-        .withColumn("cos", F.round(cosine(col("a_v"), col("b_v")), 6))
+        cand.join(
+            vn.select(
+                col("_id").alias("a_id"),
+                col("v").alias("a_v"),
+                col("n2").alias("a_n2"),
+            ),
+            "a_id",
+        )
+        .join(
+            vn.select(
+                col("_id").alias("b_id"),
+                col("v").alias("b_v"),
+                col("n2").alias("b_n2"),
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_pre(col("a_v"), col("b_v"), col("a_n2"), col("b_n2")), 6
+            ),
+        )
     )
     return scored.filter(col("cos") >= threshold).select("a_id", "b_id", "cos")
 

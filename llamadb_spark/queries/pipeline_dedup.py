@@ -1594,13 +1594,21 @@ def d26_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llamadb_spark.queries.pipeline_common import _docs_with_urls
 
     docs = _docs_with_urls(spark, sf_dir)
-    host = urls.host_of(col("url"))
+    # Stage the host as a real column: the two suffix when-chains
+    # reference it ~32×, and inlining duplicates the regexp (over the
+    # full url expression) into every arm — a large analyzed tree AND
+    # ~32 regexp evaluations per row (r10; CollapseProject keeps the
+    # staging because regexp_extract is non-cheap). Same expressions,
+    # same output.
+    hosted = docs.select(
+        "doc_id", "source", urls.host_of(col("url")).alias("_host")
+    )
     return (
-        docs.select(
+        hosted.select(
             "doc_id",
             "source",
-            urls.registered_domain(host).alias("domain"),
-            urls.public_suffix(host).alias("suffix"),
+            urls.registered_domain(col("_host")).alias("domain"),
+            urls.public_suffix(col("_host")).alias("suffix"),
         )
         .groupBy("domain", "suffix")
         .agg(
