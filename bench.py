@@ -1005,7 +1005,21 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
-    print(json.dumps(result))
+    # Guard the stdout contract (VERDICT r10 #8): round 9's stdout
+    # JSON was truncated mid-line and cost that round its whole
+    # round-over-round comparison. The printed line keeps every
+    # driver-contract field ({metric, value, unit, queries, sf}) and
+    # all scalar evidence, but drops the two largest redundant blobs
+    # (`queries_min`, the per-key `attestation` bool map — both ~8 KB
+    # and growing with the registry, both fully present in the
+    # sidecar) and names the sidecar explicitly. ~60% shorter line,
+    # flushed, printed last.
+    stdout_line = {
+        k: v for k, v in result.items()
+        if k not in ("queries_min", "attestation")
+    }
+    stdout_line["full_payload_sidecar"] = "bench_results.json"
+    print(json.dumps(stdout_line), flush=True)
 
 
 if __name__ == "__main__":

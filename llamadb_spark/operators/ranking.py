@@ -45,6 +45,13 @@ def distributed_row_number(
     The one unpartitioned window in the plan runs over the
     per-partition COUNTS relation — one row per shuffle partition, a
     cluster-config-bounded number of scalars, never data-sized.
+
+    EAGER: the repartitioned+windowed subtree is localCheckpointed at
+    call time (a Spark job runs even if the result is discarded) so
+    that the counts side and the output join read it once instead of
+    re-executing the whole upstream twice. The checkpoint blocks are
+    released by the ContextCleaner when the returned DataFrame is
+    garbage-collected.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -100,6 +107,9 @@ def distributed_cumsum(
 
     The canonical consumer is budget-cut selection: order by a score,
     keep rows while the running total fits the budget (p15).
+
+    EAGER: localCheckpoints the windowed subtree at call time — see
+    distributed_row_number's docstring for the contract.
     """
     spark = df.sparkSession
     if num_partitions is None:

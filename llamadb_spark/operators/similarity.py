@@ -543,9 +543,11 @@ def lsh_ann_pairs(
     )
     # Vector join-backs: cand is duplicate-candidate-sized → AQE
     # broadcasts it against the corpus vector table (one pass each).
-    # Squared norms are computed ONCE per corpus vector below the
-    # join and carried as scalars (cosine_pre — bit-identical,
-    # removes the per-PAIR norm folds, which are interpreted HOFs).
+    # Squared norms are computed once per corpus vector PER JOIN SIDE
+    # (vn is not staged, so its projection runs twice — once under
+    # each join-back) and carried as scalars (cosine_pre —
+    # bit-identical, removes the per-PAIR norm folds, which are
+    # interpreted HOFs; the per-pair folds were the measured cost).
     vn = v.withColumn("n2", norm2(col("v")))
     scored = (
         cand.join(

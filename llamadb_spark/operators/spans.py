@@ -198,6 +198,16 @@ def remove_spans(
         .withColumn("isl", F.sum("new_isl").over(by_start))
         .groupBy("doc_id", "isl")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        # Staged (r11, the d04 lesson): THREE consumers read the
+        # merged intervals (gaps, tails, stats) — unstaged, the whole
+        # upstream span DETECTOR (gram explode → occupancy window →
+        # self-join → islands) re-executed once per consumer (d20's
+        # r10 plan held 3 copies of the detector subtree, 66
+        # Exchanges, 0 reuse). The merged-interval table is bounded
+        # by span count (≪ corpus), so materializing it is the cheap
+        # side of the trade at any scale. NOTE: this makes
+        # remove_spans EAGER — a Spark job runs at call time.
+        .localCheckpoint()
     )
     # kept gaps: before each merged interval, plus the tail
     by_s = Window.partitionBy("doc_id").orderBy("s")

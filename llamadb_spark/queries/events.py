@@ -978,7 +978,12 @@ def e24_transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream_unordered(spark, sf_dir),
         watermark_delay="7000 days",
     )
-    out = run_to_memory(steps, "e24_transitions", output_mode="append")
+    # no_data_batch=False (r11): every transition is emitted by the
+    # event-time timers inside the second (sentinel) data batch, so
+    # the trailing no-data stateful pass is pure overhead here.
+    out = run_to_memory(
+        steps, "e24_transitions", output_mode="append", no_data_batch=False
+    )
     counts = out.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -57,10 +57,12 @@ def read_events_stream_unordered(
     the watermark-buffered stateful operators (transitions/sessions/
     cep ``watermark_delay`` mode): two far-future events under the
     reserved SENTINEL_USER (-1) are staged as extra files after the
-    events file. The first advances the global watermark past every
-    real timestamp; the second is the data batch during which the
-    now-expired event-time flush timers actually fire (availableNow
-    runs no trailing no-data batch for timers). Sentinels are built
+    events file. The first (read in the SAME micro-batch as the data,
+    see files_per_trigger below) advances the global watermark past
+    every real timestamp; the second is the data batch during which
+    the now-expired event-time flush timers actually fire
+    (availableNow runs no trailing no-data batch for timers).
+    Sentinels are built
     in the RAW file schema (one template row with overridden id/ts
     columns), so both ts encodings normalize identically to the main
     file; the operators drop SENTINEL_USER rows on their output side
@@ -77,6 +79,17 @@ def read_events_stream_unordered(
     src = f"{sf_dir}/events.parquet"
     os.symlink(src, f"{drop_dir}/events-00000.parquet")
     batch = spark.read.parquet(src)
+    # r11: TWO files per trigger, so the FIRST sentinel rides in the
+    # data batch. Batch 1 (events + sentinel-0) buffers everything
+    # (the SPARK-24634 lagged watermark is still unset during batch
+    # 1, exactly as when the sentinel arrived separately); batch 2
+    # (sentinel-1) observes the now-advanced watermark, fires every
+    # event-time flush timer and emits the full output. Two stateful
+    # micro-batches instead of three — one applyInPandasWithState
+    # round (shuffle + Python workers + 32 state-store commits) cut
+    # per drain, byte-identical output (all real events were already
+    # buffered before any flush in both forms).
+    files_per_trigger = 2
     schema = batch.schema
     ts_type = schema["ts"].dataType
     # raw-encoding far-future timestamps (nanos-as-long vs timestamp)
@@ -108,7 +121,7 @@ def read_events_stream_unordered(
         os.utime(dst, (base_mtime + 1 + j, base_mtime + 1 + j))
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(drop_dir)
     )
     if isinstance(ts_type, LongType):
@@ -334,12 +347,14 @@ def _await_drained(q, timeout_s: int) -> None:
     then terminate on their own), so only a SECOND distinct empty
     batch — the signature of a timer loop — forces the stop.
 
-    Measured floor (VERDICT r08 #4, instrumented at sf0.1, 3 runs):
-    the e24 drain is NOT detector-bound — the query self-terminates
-    after exactly 3 micro-batches (1 data batch + 2 one-row sentinel
-    batches; the second sentinel batch is forced by SPARK-24634's
-    one-batch-lagged watermark, which needs batch N+1 to observe
-    batch N's watermark before event-time timers fire). Each batch
+    Measured floor (VERDICT r08 #4, instrumented at sf0.1, 3 runs;
+    r11 cut one batch): the e24 drain is NOT detector-bound — the
+    query self-terminates after exactly 2 micro-batches since r11
+    (data + first sentinel together, then the second sentinel batch
+    in which the timers fire; SPARK-24634's one-batch-lagged
+    watermark needs batch N+1 to observe batch N's watermark before
+    event-time timers fire, which is why a second batch must exist
+    at all). Each batch
     costs ~1.2-2.0 s of applyInPandasWithState overhead (Python
     worker + state-store commit round-trips; per-batch
     triggerExecution 1.2-2.0 s warm, ~5.5 s on the session's first
@@ -368,24 +383,48 @@ def _await_drained(q, timeout_s: int) -> None:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete", timeout_s: int = 120
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a (finite) stream into an in-memory table with
     availableNow and return the result as a DataFrame. Test harness
-    only — production sinks are parquet/Kafka/Delta via writeStream."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    only — production sinks are parquet/Kafka/Delta via writeStream.
+
+    ``no_data_batch=False`` disables Spark's trailing no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``)
+    for THIS query (r11): a full stateful pass (~2 s of
+    applyInPandasWithState shuffle + state commits at sf0.1) whose
+    only purpose is to let watermark-gated operators flush after the
+    last data batch. Keep the default for watermarked APPEND
+    aggregations (their final windows emit in that batch); pass
+    False when every row is already flushed by an in-data-batch
+    event-time timer (the sentinel-driven transitions drain)."""
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    if not no_data_batch:
+        spark.conf.set(conf_key, "false")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # the query captured the conf at start; restore immediately
+        if not no_data_batch:
+            spark.conf.set(conf_key, prev)
     try:
         _await_drained(q, timeout_s)
     finally:
         if q.isActive:
             q.stop()
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
 
 def daily_rollup_stream(events: DataFrame) -> DataFrame:
     """CHAINED stateful operators in one streaming query: hourly

@@ -912,3 +912,52 @@ def test_connect_entry_point_no_module_shadow(spark):
 
     assert hasattr(sess_mod, "get_spark")
     assert hasattr(llamadb_spark.session, "get_spark")
+
+
+# -- r11: delta-segment inserts and durable commits ---------------------
+
+
+def test_delta_inserts_compact_and_stay_correct(db):
+    """N small INSERTs append checkpointed delta segments; past
+    _MAX_SEGMENTS the chain compacts. Contents and constraint
+    enforcement must be identical throughout."""
+    db.execute("CREATE TABLE seg_t (k U32 PRIMARY KEY, v STRING)")
+    n = db._MAX_SEGMENTS + 3  # forces at least one compaction
+    for i in range(n):
+        db.execute(f"INSERT INTO seg_t VALUES ({i}, 'r{i}')")
+    rows = {(r.k, r.v) for r in db.execute("SELECT k, v FROM seg_t").collect()}
+    assert rows == {(i, f"r{i}") for i in range(n)}
+    assert db._segments["seg_t"] <= db._MAX_SEGMENTS
+    # PK violation must still see OLD+NEW across segments
+    with pytest.raises(LlamaError):
+        db.execute("INSERT INTO seg_t VALUES (0, 'dup')")
+    assert db.execute("SELECT count(*) AS n FROM seg_t").collect()[0].n == n
+
+
+def test_delta_insert_failed_validation_leaves_table(db):
+    db.execute("CREATE TABLE seg_v (k U8, v STRING)")
+    db.execute("INSERT INTO seg_v VALUES (1, 'a')")
+    with pytest.raises(LlamaError):
+        db.execute("INSERT INTO seg_v VALUES (999, 'overflow')")  # U8 max 255
+    rows = db.execute("SELECT k, v FROM seg_v").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]
+
+
+def test_durable_commit_parquet_backed(spark):
+    """durable=True re-points committed tables at a parquet scan so a
+    lost executor cannot strand the only copy (VERDICT r10 #1)."""
+    db = LlamaSession(spark, durable=True)
+    db.execute("CREATE TABLE dur_t (k U32 PRIMARY KEY, v STRING)")
+    db.execute("INSERT INTO dur_t VALUES (1, 'a'), (2, 'b')")
+    db.execute("UPDATE dur_t SET v = 'z' WHERE k = 2")
+    plan = db.table("dur_t")._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    rows = {(r.k, r.v) for r in db.execute("SELECT k, v FROM dur_t").collect()}
+    assert rows == {(1, "a"), (2, "z")}
+    # MERGE through the durable path too
+    spark.sql("SELECT 3 AS k, 'c' AS v").createOrReplaceTempView("dur_src")
+    db.execute(
+        "MERGE INTO dur_t USING dur_src ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    assert db.execute("SELECT count(*) AS n FROM dur_t").collect()[0].n == 3
