@@ -1594,21 +1594,23 @@ def d26_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llamadb_spark.queries.pipeline_common import _docs_with_urls
 
     docs = _docs_with_urls(spark, sf_dir)
-    # Stage the host as a real column: the two suffix when-chains
-    # reference it ~32×, and inlining duplicates the regexp (over the
-    # full url expression) into every arm — a large analyzed tree AND
-    # ~32 regexp evaluations per row (r10; CollapseProject keeps the
-    # staging because regexp_extract is non-cheap). Same expressions,
-    # same output.
-    hosted = docs.select(
-        "doc_id", "source", urls.host_of(col("url")).alias("_host")
-    )
+    # r11: the r10 host-staging projection is REVERTED. The staged
+    # `_host` column looked right on paper (the plan inlines the
+    # regexp into every when-arm, ~32 textual copies), but the
+    # r10 driver bench regressed d26 22% and a dedicated paired ABBA
+    # this round confirmed it (ratio 1.12 staged/inline):
+    # whole-stage codegen's SUBEXPRESSION ELIMINATION already
+    # evaluates the repeated regexp once per row at runtime — the 32
+    # plan copies are textual, not executed — so the extra Project
+    # bought nothing and cost a codegen boundary. plans/r10's
+    # d26 before/after pair remains the record of the textual diff.
+    host = urls.host_of(col("url"))
     return (
-        hosted.select(
+        docs.select(
             "doc_id",
             "source",
-            urls.registered_domain(col("_host")).alias("domain"),
-            urls.public_suffix(col("_host")).alias("suffix"),
+            urls.registered_domain(host).alias("domain"),
+            urls.public_suffix(host).alias("suffix"),
         )
         .groupBy("domain", "suffix")
         .agg(

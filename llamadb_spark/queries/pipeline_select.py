@@ -1284,16 +1284,15 @@ def p20_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llamadb_spark.queries.pipeline_common import _docs_with_urls
 
     docs = _docs_with_urls(spark, sf_dir)
-    # Stage the host as a real column (r10, see d26): the suffix
-    # when-chains reference it ~32×; staging keeps ONE regexp per row
-    # and a small analyzed tree. Same expressions, same output.
-    hosted = docs.select(
-        "doc_id", urls.host_of(col("url")).alias("_host")
-    )
-    base = hosted.select(
+    # r11: host staging reverted (see d26 — codegen subexpression
+    # elimination already evaluates the shared regexp once per row;
+    # the staged projection measured ~10% SLOWER in the paired ABBA
+    # and 22% slower in the r10 driver bench).
+    host = urls.host_of(col("url"))
+    base = docs.select(
         "doc_id",
-        urls.registered_domain(col("_host")).alias("domain"),
-        urls.public_suffix(col("_host")).alias("suffix"),
+        urls.registered_domain(host).alias("domain"),
+        urls.public_suffix(host).alias("suffix"),
     )
     counts = base.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
     rates = counts.select(
