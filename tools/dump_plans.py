@@ -11,7 +11,9 @@ import sys
 
 
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    # DUMP_TREE lets a before-plan run import from a worktree pinned
+    # at an older commit (r11).
+    sys.path.insert(0, os.environ.get("DUMP_TREE", "/root/repo"))
     import __spark_entry__ as e
     from llamadb_spark.session import get_spark
 

@@ -113,9 +113,20 @@ def stage(spark, sf_dir: str, out_dir: str, n: int) -> None:
     reduce(lambda a, b: a.unionByName(b), e_parts).repartition(
         8 * n
     ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
-    reduce(lambda a, b: a.unionByName(b), v_parts).repartition(
-        8 * n
-    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    # events must be ONE part file: the streaming reader symlinks
+    # {sf_dir}/events.parquet as a single file into its drop dir, so
+    # a multi-file directory would stream empty.
+    import shutil as _sh
+    import tempfile as _tf
+
+    _evtmp = _tf.mkdtemp(prefix="llamadb_scaled_ev_")
+    reduce(lambda a, b: a.unionByName(b), v_parts).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_evtmp)
+    part = next(f for f in os.listdir(_evtmp) if f.endswith(".parquet"))
+    _sh.copyfile(
+        os.path.join(_evtmp, part), f"{out_dir}/events.parquet"
+    )
     # the TPCH tables the composed keys touch are read as-is (they
     # are not the scaling question; symlinks keep the dir complete)
     for f in os.listdir(sf_dir):
