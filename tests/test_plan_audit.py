@@ -316,3 +316,26 @@ def test_arrow_python_only_in_vector_media_ops(spark, sf_dir):
             f"{name} uses Python in its plan but is not a sanctioned "
             "vector/media operator"
         )
+
+
+def test_span_apply_detector_runs_once(spark, sf_dir):
+    """r11 regression guard: remove_spans stages the merged-interval
+    table, so the span DETECTOR (gram explode -> occupancy window ->
+    self-join, marked by xxhash64 gram projections) executes during
+    DataFrame build and must NOT appear in the final plan — before
+    the staging, d20's plan held THREE detector copies (66
+    Exchanges). A reappearing xxhash64 here means a consumer of
+    `merged` re-derives the detector again."""
+    from llamadb_spark.queries import all_queries
+
+    qs = all_queries()
+    for key, max_exchanges in [
+        ("d20_substring_apply", 30),
+        ("d23_intra_doc_apply", 25),
+        ("p18_span_decontaminate", 30),
+    ]:
+        df = qs[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan, f"{key}: detector re-inlined"
+        n_ex = plan.count("Exchange")
+        assert n_ex <= max_exchanges, f"{key}: {n_ex} Exchanges"

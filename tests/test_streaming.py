@@ -1857,3 +1857,44 @@ def test_ingest_line_dedup_per_table_replay_gating(spark, tmp_path):
     assert versions(corpus_path) == [0, 1]  # no duplicate commit
     assert versions(index_path) == [0, 1]   # re-committed only here
     assert index2.count() == 3
+
+
+def test_unordered_drain_is_two_microbatches(spark, sf_dir):
+    """r11 regression guard: the sentinel-driven transitions drain
+    must complete in exactly TWO stateful micro-batches (data +
+    first sentinel together via maxFilesPerTrigger=2, then the
+    second-sentinel batch in which the event-time timers fire) with
+    no trailing no-data batch (run_to_memory(no_data_batch=False)).
+    Each extra batch is a full applyInPandasWithState round."""
+    from llamadb_spark.streaming.streams import (
+        _await_drained,
+        read_events_stream_unordered,
+    )
+    from llamadb_spark.streaming.transitions import transitions_stream
+
+    steps = transitions_stream(
+        read_events_stream_unordered(spark, sf_dir),
+        watermark_delay="7000 days",
+    )
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        q = (
+            steps.writeStream.format("memory")
+            .queryName("drain_batch_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    try:
+        _await_drained(q, 120)
+    finally:
+        if q.isActive:
+            q.stop()
+    batch_ids = {p["batchId"] for p in q.recentProgress}
+    assert batch_ids == {0, 1}, f"expected 2 micro-batches, got {sorted(batch_ids)}"
+    # and the drain produced output (timers actually fired in batch 1)
+    assert spark.table("drain_batch_probe").count() > 0
