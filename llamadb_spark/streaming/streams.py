@@ -50,6 +50,63 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def _stage_sentinels_pyarrow(
+    src: str, drop_dir: str, sentinel_days: int, base_mtime: float
+) -> bool:
+    """Write the two one-row sentinel files with pyarrow directly —
+    max(ts) from the parquet footer statistics, the template row from
+    the file's first page — so staging costs zero Spark jobs. Returns
+    False (caller falls back to the Spark path) when any row group
+    lacks ts statistics. Field overrides mirror the Spark path
+    exactly: user_id/event_id = -1, event_type = 'sentinel', ts =
+    max + (sentinel_days + j) days in the file's own encoding."""
+    import os
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(src)
+        names = pf.schema_arrow.names
+        ts_idx = names.index("ts")
+        mx = None
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(ts_idx).statistics
+            if st is None or not st.has_min_max:
+                return False
+            mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            return False
+        template = next(pf.iter_batches(batch_size=1))
+        ts_type = pf.schema_arrow.field("ts").type
+        for j in range(2):
+            if pa.types.is_integer(ts_type):
+                far = int(mx) + (sentinel_days + j) * 86_400_000_000_000
+            else:
+                import datetime as dt
+
+                far = mx + dt.timedelta(days=sentinel_days + j)
+            cols = []
+            for name in names:
+                f = pf.schema_arrow.field(name)
+                if name == "ts":
+                    cols.append(pa.array([far], type=f.type))
+                elif name in ("user_id", "event_id"):
+                    cols.append(pa.array([-1], type=f.type))
+                elif name == "event_type":
+                    cols.append(pa.array(["sentinel"], type=f.type))
+                else:
+                    cols.append(template.column(names.index(name)))
+            dst = f"{drop_dir}/events-9999{j}-sentinel.parquet"
+            pq.write_table(
+                pa.Table.from_arrays(cols, schema=pf.schema_arrow), dst
+            )
+            os.utime(dst, (base_mtime + 1 + j, base_mtime + 1 + j))
+        return True
+    except Exception:  # noqa: BLE001 — any surprise → Spark fallback
+        return False
+
+
 def read_events_stream_unordered(
     spark: SparkSession, sf_dir: str, sentinel_days: int = 8000
 ) -> DataFrame:
@@ -92,33 +149,46 @@ def read_events_stream_unordered(
     files_per_trigger = 2
     schema = batch.schema
     ts_type = schema["ts"].dataType
-    # raw-encoding far-future timestamps (nanos-as-long vs timestamp)
-    mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
     base_mtime = os.path.getmtime(src)
-    for j in range(2):
-        if isinstance(ts_type, LongType):
-            far = lit(int(mx) + (sentinel_days + j) * 86_400_000_000_000)
-        else:
-            import datetime as dt
+    # r11: the sentinels are staged WITHOUT Spark jobs. max(ts) comes
+    # from the parquet FOOTER statistics (guide §6 — at corpus scale
+    # the old batch.agg(max) was a full column scan; footers are
+    # O(row groups)), and the two one-row sentinel files are written
+    # directly with pyarrow from a one-row template batch. Falls back
+    # to the original Spark path when any footer lacks ts statistics.
+    staged_fast = _stage_sentinels_pyarrow(
+        src, drop_dir, sentinel_days, base_mtime
+    )
+    if not staged_fast:
+        # raw-encoding far-future timestamps (nanos-as-long vs ts)
+        mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for j in range(2):
+            if isinstance(ts_type, LongType):
+                far = lit(int(mx) + (sentinel_days + j) * 86_400_000_000_000)
+            else:
+                import datetime as dt
 
-            far = lit(mx + dt.timedelta(days=sentinel_days + j))
-        overrides = {
-            "user_id": lit(-1).cast(schema["user_id"].dataType),
-            "event_id": lit(-1).cast(schema["event_id"].dataType),
-            "event_type": lit("sentinel"),
-            "ts": far.cast(ts_type),
-        }
-        sentinel = batch.limit(1).select(
-            *[overrides.get(f.name, F.col(f.name)).alias(f.name) for f in schema.fields]
-        )
-        staged = tempfile.mkdtemp(prefix="llamadb_sentinel_")
-        sentinel.write.mode("overwrite").parquet(staged)
-        part = next(
-            f for f in os.listdir(staged) if f.endswith(".parquet")
-        )
-        dst = f"{drop_dir}/events-9999{j}-sentinel.parquet"
-        shutil.copyfile(os.path.join(staged, part), dst)
-        os.utime(dst, (base_mtime + 1 + j, base_mtime + 1 + j))
+                far = lit(mx + dt.timedelta(days=sentinel_days + j))
+            overrides = {
+                "user_id": lit(-1).cast(schema["user_id"].dataType),
+                "event_id": lit(-1).cast(schema["event_id"].dataType),
+                "event_type": lit("sentinel"),
+                "ts": far.cast(ts_type),
+            }
+            sentinel = batch.limit(1).select(
+                *[
+                    overrides.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            staged = tempfile.mkdtemp(prefix="llamadb_sentinel_")
+            sentinel.write.mode("overwrite").parquet(staged)
+            part = next(
+                f for f in os.listdir(staged) if f.endswith(".parquet")
+            )
+            dst = f"{drop_dir}/events-9999{j}-sentinel.parquet"
+            shutil.copyfile(os.path.join(staged, part), dst)
+            os.utime(dst, (base_mtime + 1 + j, base_mtime + 1 + j))
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
