@@ -27,9 +27,24 @@ ranking) at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _exclusive_prefix(totals: list) -> list:
+    """Exclusive prefix sums in partition-id order (offset of pid i =
+    sum of totals[0..i-1]). Accumulation order matches the former
+    offsets window (ORDER BY _pid ROWS UNBOUNDED PRECEDING, -1).
+    The list is type-homogeneous (all int or all float) so F.lit
+    builds a single-typed array literal."""
+    as_float = any(isinstance(t, float) for t in totals)
+    acc = 0.0 if as_float else 0
+    offs = []
+    for t in totals:
+        offs.append(acc)
+        acc += t
+    return offs
 
 
 def distributed_row_number(
@@ -42,16 +57,19 @@ def distributed_row_number(
     ``order_cols`` (ascending), computed with per-partition windows +
     partition offsets instead of a single-task global window.
 
-    The one unpartitioned window in the plan runs over the
-    per-partition COUNTS relation — one row per shuffle partition, a
-    cluster-config-bounded number of scalars, never data-sized.
+    Per-partition counts are OBSERVED aggregates computed inside the
+    checkpoint job itself (one conditional count per partition — a
+    cluster-config-bounded number of scalars, never data-sized), so
+    the offsets become driver-side literals: no second pass over the
+    checkpointed blocks and no broadcast join in the output plan
+    (r11; guide §1.2 — the former counts side re-scanned every block
+    to produce one row per partition).
 
     EAGER: the repartitioned+windowed subtree is localCheckpointed at
     call time (a Spark job runs even if the result is discarded) so
-    that the counts side and the output join read it once instead of
-    re-executing the whole upstream twice. The checkpoint blocks are
-    released by the ContextCleaner when the returned DataFrame is
-    garbage-collected.
+    that the output and the observed counts come from one execution
+    of the upstream. The checkpoint blocks are released by the
+    ContextCleaner when the returned DataFrame is garbage-collected.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -59,6 +77,7 @@ def distributed_row_number(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     cols = [F.col(c) for c in order_cols]
+    obs = Observation()
     local = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -66,25 +85,34 @@ def distributed_row_number(
             "_lr",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
         )
-        # Staged: BOTH the counts side and the final join consume
-        # this subtree — unstaged, the entire upstream (range
-        # repartition + window + whatever feeds df) executed twice,
-        # once for the broadcast offsets and once for the output
-        # (r10; guide §5 — materialize a reused intermediate).
+        # one conditional count per partition, computed by the
+        # checkpoint job — exact (long counts)
+        .observe(
+            obs,
+            *[
+                F.count(F.when(F.col("_pid") == i, 1)).alias(f"_c{i}")
+                for i in range(num_partitions)
+            ],
+        )
+        # Staged: the whole upstream (range repartition + window +
+        # whatever feeds df) runs ONCE; everything downstream reads
+        # the blocks (r10; guide §5 — materialize a reused
+        # intermediate).
         .localCheckpoint()
     )
-    # one row per partition — bounded by cluster config, not data
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    off_w = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    row = obs.get
+    offs = _exclusive_prefix(
+        [int(row[f"_c{i}"] or 0) for i in range(num_partitions)]
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_lr") + F.col("_off")).cast("long"))
-        .drop("_pid", "_lr", "_off")
+        local.withColumn(
+            out_col,
+            (
+                F.col("_lr")
+                + F.element_at(F.lit(offs), F.col("_pid") + 1)
+            ).cast("long"),
+        )
+        .drop("_pid", "_lr")
     )
 
 
@@ -108,6 +136,16 @@ def distributed_cumsum(
     The canonical consumer is budget-cut selection: order by a score,
     keep rows while the running total fits the budget (p15).
 
+    Per-partition totals are OBSERVED aggregates computed inside the
+    checkpoint job (one conditional sum per partition), so the
+    offsets are driver-side literals — no second pass over the
+    checkpointed blocks, no broadcast join (r11; see
+    distributed_row_number). Exactness: every production consumer
+    sums LONG token/row counts, where conditional sums and prefix
+    accumulation are exact in any order; for doubles the merge adds
+    identity zeros to one partition's partial, which is exact too
+    (modulo the -0.0 corner no consumer exercises).
+
     EAGER: localCheckpoints the windowed subtree at call time — see
     distributed_row_number's docstring for the contract.
     """
@@ -117,6 +155,7 @@ def distributed_cumsum(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    obs = Observation()
     local = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -128,21 +167,31 @@ def distributed_cumsum(
                 .rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        # Staged for the same reason as distributed_row_number (r10):
-        # the totals side re-executed the whole upstream (for p15/p19
-        # that upstream is the quality-scoring pipeline) to produce
-        # 32 total rows.
+        # one conditional total per partition, computed by the
+        # checkpoint job (r11; the r10 totals side re-scanned every
+        # checkpointed block — for p15/p19 the upstream is the
+        # quality-scoring pipeline — to produce 32 total rows)
+        .observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("_pid") == i, F.col(value_col)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"_t{i}")
+                for i in range(num_partitions)
+            ],
+        )
         .localCheckpoint()
     )
-    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
-    off_w = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_off")
+    row = obs.get
+    offs = _exclusive_prefix(
+        [row[f"_t{i}"] or 0 for i in range(num_partitions)]
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_lc") + F.col("_off"))
-        .drop("_pid", "_lc", "_off")
+        local.withColumn(
+            out_col,
+            F.col("_lc") + F.element_at(F.lit(offs), F.col("_pid") + 1),
+        )
+        .drop("_pid", "_lc")
     )
