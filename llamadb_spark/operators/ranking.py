@@ -57,19 +57,27 @@ def distributed_row_number(
     ``order_cols`` (ascending), computed with per-partition windows +
     partition offsets instead of a single-task global window.
 
-    Per-partition counts are OBSERVED aggregates computed inside the
-    checkpoint job itself (one conditional count per partition — a
-    cluster-config-bounded number of scalars, never data-sized), so
-    the offsets become driver-side literals: no second pass over the
-    checkpointed blocks and no broadcast join in the output plan
-    (r11; guide §1.2 — the former counts side re-scanned every block
-    to produce one row per partition).
+    The one unpartitioned window in the plan runs over the
+    per-partition COUNTS relation — one row per shuffle partition, a
+    cluster-config-bounded number of scalars, never data-sized.
+
+    Offsets stay the lazy two-pass broadcast form here, unlike
+    distributed_cumsum's observed-literal form (r11): every consumer
+    of THIS function ranks a pre-aggregated, data-reduced input (e20
+    ranks per-user counts; the bench demo ranks one table), where the
+    per-metric fixed cost of a num_partitions-wide Observation
+    (~6-12 ms/metric per call, measured row-independent 20 k → 5 M
+    rows) exceeds the tiny second scan it would save — dedicated
+    paired ABBA on e20 showed the observed form consistently ~1.1×
+    SLOWER. distributed_cumsum's consumers rank corpus-sized rows,
+    where the saved pass dominates; see its docstring.
 
     EAGER: the repartitioned+windowed subtree is localCheckpointed at
     call time (a Spark job runs even if the result is discarded) so
-    that the output and the observed counts come from one execution
-    of the upstream. The checkpoint blocks are released by the
-    ContextCleaner when the returned DataFrame is garbage-collected.
+    that the counts side and the output join read it once instead of
+    re-executing the whole upstream twice. The checkpoint blocks are
+    released by the ContextCleaner when the returned DataFrame is
+    garbage-collected.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -77,7 +85,6 @@ def distributed_row_number(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
     cols = [F.col(c) for c in order_cols]
-    obs = Observation()
     local = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -85,34 +92,25 @@ def distributed_row_number(
             "_lr",
             F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
         )
-        # one conditional count per partition, computed by the
-        # checkpoint job — exact (long counts)
-        .observe(
-            obs,
-            *[
-                F.count(F.when(F.col("_pid") == i, 1)).alias(f"_c{i}")
-                for i in range(num_partitions)
-            ],
-        )
-        # Staged: the whole upstream (range repartition + window +
-        # whatever feeds df) runs ONCE; everything downstream reads
-        # the blocks (r10; guide §5 — materialize a reused
-        # intermediate).
+        # Staged: BOTH the counts side and the final join consume
+        # this subtree — unstaged, the entire upstream (range
+        # repartition + window + whatever feeds df) executed twice,
+        # once for the broadcast offsets and once for the output
+        # (r10; guide §5 — materialize a reused intermediate).
         .localCheckpoint()
     )
-    row = obs.get
-    offs = _exclusive_prefix(
-        [int(row[f"_c{i}"] or 0) for i in range(num_partitions)]
+    # one row per partition — bounded by cluster config, not data
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
     )
     return (
-        local.withColumn(
-            out_col,
-            (
-                F.col("_lr")
-                + F.element_at(F.lit(offs), F.col("_pid") + 1)
-            ).cast("long"),
-        )
-        .drop("_pid", "_lr")
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lr") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lr", "_off")
     )
 
 
@@ -137,14 +135,21 @@ def distributed_cumsum(
     keep rows while the running total fits the budget (p15).
 
     Per-partition totals are OBSERVED aggregates computed inside the
-    checkpoint job (one conditional sum per partition), so the
-    offsets are driver-side literals — no second pass over the
-    checkpointed blocks, no broadcast join (r11; see
-    distributed_row_number). Exactness: every production consumer
-    sums LONG token/row counts, where conditional sums and prefix
-    accumulation are exact in any order; for doubles the merge adds
-    identity zeros to one partition's partial, which is exact too
-    (modulo the -0.0 corner no consumer exercises).
+    checkpoint job (one conditional sum per partition — a
+    cluster-config-bounded number of scalars), so the offsets are
+    driver-side literals — no second pass over the checkpointed
+    blocks, no broadcast join in the output plan (r11; guide §1.2).
+    This form pays a fixed per-metric Observation cost (measured
+    row-independent 20 k → 5 M rows), which is the right trade HERE
+    because every consumer cumsums corpus-sized rows (p15/p19 rank
+    each surviving doc), so the saved pass is data-sized;
+    distributed_row_number, whose consumers rank pre-aggregated
+    inputs, keeps the lazy broadcast form — see its docstring.
+    Exactness: every production consumer sums LONG token/row counts,
+    where conditional sums and prefix accumulation are exact in any
+    order; for doubles the merge adds identity zeros to one
+    partition's partial, which is exact too (modulo the -0.0 corner
+    no consumer exercises).
 
     EAGER: localCheckpoints the windowed subtree at call time — see
     distributed_row_number's docstring for the contract.

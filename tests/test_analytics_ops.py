@@ -326,3 +326,36 @@ def test_distributed_cumsum_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_distributed_cumsum_observed_offsets_internals(spark):
+    """r11: cumsum offsets are observed inside the checkpoint job and
+    applied as an array literal — the output plan must carry NO
+    broadcast join and NO aggregate (the former totals pass), and the
+    literal path must handle double values and empty input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from llamadb_spark.operators.ranking import distributed_cumsum
+
+    rows = [(i, float((i * 19) % 7) + 0.25) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = distributed_cumsum(df, [F.col("id").asc()], "w", "cum")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "HashAggregate" not in plan
+    got = {r.id: r.cum for r in out.collect()}
+    want = {
+        r.id: r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+    empty = spark.createDataFrame([], "id long, w long")
+    assert distributed_cumsum(empty, ["id"], "w", "cum").count() == 0
